@@ -1,0 +1,121 @@
+"""SearchEngine facade — the engine's `BlackLabIndex.find(...)` analog
+(reference: engine/src/main/java/nl/inl/blacklab/search/BlackLabIndex.java:180-201).
+
+Routes queries to physical strategies the way the reference's
+optimizer does (SURVEY.md §4.4): unfiltered top-k → block-max WAND;
+filtered top-k → exhaustive scoring (metadata threshold is only valid
+unfiltered); phrase → postings-intersection or forward-index probe.
+``explain()`` reports the chosen plan, mirroring
+BlackLabIndex.explain (BlackLabIndex.java:230).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from blacklab_spark.index import InvertedIndex, open_index
+from blacklab_spark.operators import hits as H
+from blacklab_spark.operators import phrase as P
+from blacklab_spark.operators.scoring import topk_exhaustive, doc_scores, finish_topk
+from blacklab_spark.operators.wand import topk_wand
+from blacklab_spark.tokenizer import py_tokens_insensitive
+
+
+class SearchEngine:
+    def __init__(self, index: InvertedIndex):
+        self.index = index
+        self.spark = index.spark
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "SearchEngine":
+        return cls(open_index(spark, path))
+
+    # -- filters (role/tool as filterable annotations, SURVEY.md §1.1) --
+    @staticmethod
+    def _doc_filter(role=None, tool=None, conv_id=None,
+                    where: Column | str | None = None) -> Column | None:
+        conds = []
+        if role is not None:
+            conds.append(F.col("role") == role)
+        if tool is not None:
+            conds.append(F.col("tool") == tool if tool is not True
+                         else F.col("tool").isNotNull())
+        if conv_id is not None:
+            conds.append(F.col("conv_id") == conv_id)
+        if where is not None:
+            conds.append(F.expr(where) if isinstance(where, str) else where)
+        if not conds:
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    def _terms(self, query: str | list[str]) -> list[str]:
+        if isinstance(query, str):
+            return py_tokens_insensitive(query)
+        return [t for q in query for t in py_tokens_insensitive(q)]
+
+    # -- top-k BM25 -----------------------------------------------------
+    def topk(self, query: str | list[str], k: int = 10, mode: str = "auto",
+             role=None, tool=None, conv_id=None, where=None) -> DataFrame:
+        terms = self._terms(query)
+        filt = self._doc_filter(role, tool, conv_id, where)
+        if mode == "auto":
+            mode = "exhaustive" if filt is not None else "wand"
+        if mode == "wand":
+            if filt is not None:
+                raise ValueError("WAND path does not support doc filters; "
+                                 "use mode='exhaustive' (threshold bound "
+                                 "is only certified unfiltered)")
+            return topk_wand(self.index, terms, k)
+        return topk_exhaustive(self.index, terms, k, doc_filter=filt)
+
+    def scores(self, query: str | list[str], role=None, tool=None,
+               conv_id=None, where=None) -> DataFrame:
+        return doc_scores(self.index, self._terms(query),
+                          self._doc_filter(role, tool, conv_id, where))
+
+    # -- positional -----------------------------------------------------
+    def phrase_hits(self, phrase: str | list[str], path: str = "postings",
+                    role=None, tool=None, conv_id=None, where=None) -> DataFrame:
+        terms = self._terms(phrase)
+        filt = self._doc_filter(role, tool, conv_id, where)
+        if path == "postings" and filt is None:
+            df = P.phrase_via_postings(self.index, terms)
+        else:
+            df = P.phrase_via_tokens(self.index, terms, doc_filter=filt)
+        return df
+
+    def term_hits(self, term: str, **filters) -> DataFrame:
+        return H.term_hits(self.index, term, self._doc_filter(**filters))
+
+    # -- result ops (thin delegates) ------------------------------------
+    def kwic(self, hits: DataFrame, context: int = H.DEFAULT_CONTEXT):
+        return H.kwic(self.index, hits, context)
+
+    def collocations(self, term: str, window: int = 10, **filters):
+        return H.collocations(self.index, term, window,
+                              self._doc_filter(**filters))
+
+    def term_frequencies(self, **filters):
+        return H.term_frequencies(self.index, self._doc_filter(**filters))
+
+    def group_hits_by_context_word(self, hits: DataFrame, offset: int = 1):
+        return H.group_hits_by_context_word(self.index, hits, offset)
+
+    def group_hits_by_doc_field(self, hits: DataFrame, field: str):
+        return H.group_hits_by_doc_field(self.index, hits, field)
+
+    def docs_from_hits(self, hits: DataFrame, **kw):
+        return H.docs_from_hits(self.index, hits, **kw)
+
+    # -- introspection --------------------------------------------------
+    def explain(self, query: str | list[str], k: int = 10, **filters) -> str:
+        terms = self._terms(query)
+        filt = self._doc_filter(**filters)
+        info = self.index.lookup_terms(terms)
+        lines = [f"query terms: {terms}",
+                 f"resolved: {info.to_dict('records')}",
+                 f"strategy: {'exhaustive (filtered)' if filt is not None else 'block-max WAND'}"]
+        return "\n".join(lines)

@@ -1,0 +1,71 @@
+"""Index handle: loads artifacts, exposes stats + term lookup.
+
+Spark analog of ``BlackLab.open(dir)`` → ``BlackLabIndex``
+(reference: engine/src/main/java/nl/inl/blacklab/search/BlackLab.java:105).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from blacklab_spark.config import BuildConfig
+from blacklab_spark.oracle import bm25_idf
+
+
+class InvertedIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        with open(os.path.join(self.path, "_index_meta.json")) as f:
+            self.meta = json.load(f)
+        c = self.meta["config"]
+        self.cfg = BuildConfig(**{k: v for k, v in c.items()
+                                  if k in BuildConfig.__dataclass_fields__})
+        s = self.meta["stats"]
+        self.n_docs: int = s["n_docs"]
+        self.avgdl: float = s["avgdl"]
+
+    # Lazy DataFrames over the artifacts -------------------------------
+    @property
+    def terms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "terms"))
+
+    @property
+    def doc_meta(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "doc_meta"))
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    # Term planning (driver-side; the terms dict is tiny vs the corpus;
+    # mirrors Lucene's rewrite of multi-term queries to term ORs,
+    # reference: search/lucene/BLSpanMultiTermQueryWrapper.java:53) ----
+    def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
+        """Exact term lookup → pandas (term, term_id, df, cf, idf)."""
+        uniq = sorted(set(terms))
+        pdf = (self.terms.filter(F.col("term").isin(uniq))
+               .select("term", "term_id", "df", "cf").toPandas())
+        pdf["idf"] = [bm25_idf(self.n_docs, int(d)) for d in pdf["df"]]
+        return pdf.sort_values("term_id").reset_index(drop=True)
+
+    def expand_regex(self, pattern: str, limit: int = 10000) -> pd.DataFrame:
+        """Regex → matching terms (SpanMultiTermQueryWrapper analog)."""
+        pdf = (self.terms.filter(F.col("term").rlike(pattern))
+               .select("term", "term_id", "df", "cf").limit(limit).toPandas())
+        pdf["idf"] = [bm25_idf(self.n_docs, int(d)) for d in pdf["df"]]
+        return pdf.sort_values("term_id").reset_index(drop=True)
+
+    def expand_prefix(self, prefix: str, limit: int = 10000) -> pd.DataFrame:
+        pdf = (self.terms.filter(F.col("term").startswith(prefix))
+               .select("term", "term_id", "df", "cf").limit(limit).toPandas())
+        pdf["idf"] = [bm25_idf(self.n_docs, int(d)) for d in pdf["df"]]
+        return pdf.sort_values("term_id").reset_index(drop=True)
+
+
+def open_index(spark: SparkSession, path: str) -> InvertedIndex:
+    return InvertedIndex(spark, path)

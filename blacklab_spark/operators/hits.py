@@ -1,0 +1,143 @@
+"""Result-set operators over hits / docs (SURVEY.md §2.B).
+
+The reference materializes hits into big arrays and applies
+sort/group/filter/sample/window in Java
+(engine/src/main/java/nl/inl/blacklab/search/results/HitsAbstract.java:157-327).
+Here hits are just a DataFrame ``(doc_id, start, end)`` and every
+result op is a declarative DataFrame op — Catalyst/Tungsten provide
+the codegen, partial aggregation and spill the reference hand-rolls.
+
+KWIC/context/collocations read the token-array column of doc_meta —
+the engine's forward index (SURVEY.md §1.1) — via JVM array slices,
+the Spark equivalent of Contexts.java:34-120 forward-index lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from blacklab_spark.index import InvertedIndex
+
+DEFAULT_CONTEXT = 5  # reference: search/BlackLabIndex.java:71
+
+
+def term_hits(index: InvertedIndex, term: str,
+              doc_filter: Column | None = None) -> DataFrame:
+    """All positions of a single term → hits (BLSpanTermQuery analog,
+    reference: search/lucene/BLSpanTermQuery.java:52). Forward-index
+    probe: posexplode of token arrays, JVM-side."""
+    dm = index.doc_meta
+    if doc_filter is not None:
+        dm = dm.filter(doc_filter)
+    return (dm.filter(F.array_contains("tokens", term))
+            .select("doc_id", F.posexplode("tokens").alias("start", "tok"))
+            .filter(F.col("tok") == term)
+            .select("doc_id", F.col("start").cast("int"),
+                    (F.col("start") + 1).cast("int").alias("end")))
+
+
+def kwic(index: InvertedIndex, hits: DataFrame,
+         context: int = DEFAULT_CONTEXT) -> DataFrame:
+    """Keyword-in-context: left/match/right token windows
+    (reference: search/results/Kwics.java:25, Contexts.java:34-120)."""
+    dm = index.doc_meta.select("doc_id", "conv_id", "turn_idx", "tokens")
+    j = hits.join(dm, "doc_id")
+    left_from = F.greatest(F.lit(0), F.col("start") - context)
+    return j.select(
+        "doc_id", "conv_id", "turn_idx", "start", "end",
+        F.slice("tokens", left_from + 1, F.col("start") - left_from)
+         .alias("left"),
+        F.slice("tokens", F.col("start") + 1, F.col("end") - F.col("start"))
+         .alias("match"),
+        F.slice("tokens", F.col("end") + 1, F.lit(context)).alias("right"),
+    )
+
+
+def group_hits_by_context_word(index: InvertedIndex, hits: DataFrame,
+                               offset: int = 1) -> DataFrame:
+    """Group hits by a context token (e.g. first word after the hit ≙
+    property key ``after:word:i:1``; reference:
+    resultproperty/HitPropertyAfterHit.java via HitProperty.java:60-128).
+    offset>0 → after-hit, offset<0 → before-hit. Hits that have no such
+    token (doc edge) group under NULL, then are dropped (reference
+    groups them under an empty context)."""
+    dm = index.doc_meta.select("doc_id", "tokens")
+    j = hits.join(dm, "doc_id")
+    idx = (F.col("end") + offset) if offset > 0 else (F.col("start") + 1 + offset)
+    word = F.try_element_at("tokens", idx.cast("int"))
+    return (j.select(word.alias("group_key"))
+            .filter(F.col("group_key").isNotNull())
+            .groupBy("group_key").agg(F.count("*").alias("count")))
+
+
+def group_hits_by_doc_field(index: InvertedIndex, hits: DataFrame,
+                            field: str) -> DataFrame:
+    """Group hits by a per-doc metadata field (HitPropertyDocumentStoredField)."""
+    dm = index.doc_meta.select("doc_id", field)
+    return (hits.join(dm, "doc_id")
+            .groupBy(F.col(field).alias("group_key"))
+            .agg(F.count("*").alias("count")))
+
+
+def docs_from_hits(index: InvertedIndex, hits: DataFrame,
+                   max_stored_per_doc: int | None = None) -> DataFrame:
+    """Hits → per-doc results with hit counts (DocResults.fromHits,
+    reference: search/results/DocResults.java:125)."""
+    agg = [F.count("*").alias("n_hits")]
+    if max_stored_per_doc:
+        agg.append(F.slice(
+            F.sort_array(F.collect_list(F.struct("start", "end"))),
+            1, max_stored_per_doc).alias("stored_hits"))
+    return hits.groupBy("doc_id").agg(*agg)
+
+
+def term_frequencies(index: InvertedIndex, doc_filter: Column | None = None,
+                     min_count: int = 1) -> DataFrame:
+    """Corpus-wide (or doc-filtered) collection frequencies — the
+    reference's fast token-frequency path is *the default* DataFrame
+    agg here (HitGroupsTokenFrequencies.java:50 fast path ≙ plain
+    explode+groupBy; SURVEY.md §2.B)."""
+    dm = index.doc_meta
+    if doc_filter is not None:
+        dm = dm.filter(doc_filter)
+    out = (dm.select(F.explode("tokens").alias("term"))
+           .groupBy("term").agg(F.count("*").alias("count")))
+    if min_count > 1:
+        out = out.filter(F.col("count") >= min_count)
+    return out
+
+
+def collocations(index: InvertedIndex, term: str, window: int = 10,
+                 doc_filter: Column | None = None) -> DataFrame:
+    """Token frequencies in ±window around hits of ``term``, hit token
+    excluded (reference: search/results/Contexts.java:247-292)."""
+    dm = index.doc_meta
+    if doc_filter is not None:
+        dm = dm.filter(doc_filter)
+    hits = (dm.filter(F.array_contains("tokens", term))
+            .select("doc_id", "tokens",
+                    F.posexplode("tokens").alias("pos", "tok"))
+            .filter(F.col("tok") == term))
+    idxs = F.array_remove(
+        F.sequence(F.greatest(F.lit(0), F.col("pos") - window),
+                   F.least(F.size("tokens") - 1, F.col("pos") + window)),
+        F.col("pos"))
+    return (hits.select(F.explode(idxs).alias("i"), "tokens")
+            .select(F.element_at("tokens", F.col("i") + 1).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("count")))
+
+
+def sample_hits(hits: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Seeded pseudo-random subset (HitsAbstract.java:213-270; sequence
+    differs from java.util.Random — documented, SURVEY.md §2.B)."""
+    return hits.sample(fraction=fraction, seed=seed)
+
+
+def window_hits(hits: DataFrame, first: int, size: int,
+                order_cols: list[str] = ("doc_id", "start")) -> DataFrame:
+    """Paging window with deterministic order (HitsAbstract.java:157-204)."""
+    from pyspark.sql import Window as W
+    w = W.orderBy(*[F.col(c) for c in order_cols])
+    return (hits.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > first) & (F.col("_rn") <= first + size))
+            .drop("_rn"))

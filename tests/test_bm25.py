@@ -1,0 +1,95 @@
+"""BM25 rank-identity gate: engine (both paths) vs pure-Python oracle.
+
+Mirrors the reference's golden-response testing discipline
+(test/test/hits.js) and its dual-path equality checks (_FI1/_FI2)."""
+
+import pytest
+
+from blacklab_spark.oracle import brute_topk
+
+QUERIES = [
+    ["visa"],
+    ["visa", "application"],
+    ["very", "good"],
+    ["the"],            # hottest term — skew / block-skipping exercise
+    ["search"],
+    ["the", "a", "visa"],
+    ["nosuchterm"],
+    ["good", "nosuchterm"],
+]
+
+
+def _engine_topk(engine, terms, k, mode):
+    rows = engine.topk(terms, k=k, mode=mode).collect()
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+def _assert_rank_identical(got, expected):
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    for g, e in zip(got, expected):
+        assert g[1] == pytest.approx(e[1], abs=1e-6)
+
+
+@pytest.mark.parametrize("terms", QUERIES, ids=["-".join(q) for q in QUERIES])
+@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+def test_topk_tiny(tiny_engine, tiny_oracle, terms, mode):
+    expected = brute_topk(tiny_oracle, terms, k=10)
+    got = _engine_topk(tiny_engine, terms, 10, mode)
+    _assert_rank_identical(got, expected)
+
+
+@pytest.mark.parametrize("terms", [["visa"], ["visa", "application"],
+                                   ["the"], ["very", "good", "please"]],
+                         ids=lambda q: "-".join(q))
+@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+def test_topk_small(small_engine, small_oracle, terms, mode):
+    expected = brute_topk(small_oracle, terms, k=10)
+    got = _engine_topk(small_engine, terms, 10, mode)
+    _assert_rank_identical(got, expected)
+
+
+@pytest.mark.parametrize("k", [1, 3, 25, 1000])
+def test_topk_various_k(small_engine, small_oracle, k):
+    expected = brute_topk(small_oracle, ["visa", "good"], k=k)
+    for mode in ("exhaustive", "wand"):
+        got = _engine_topk(small_engine, ["visa", "good"], k, mode)
+        _assert_rank_identical(got, expected)
+
+
+def test_wand_equals_exhaustive_dualpath(small_engine):
+    """Dual-path gate ≙ reference _FI1/_FI2 (hits.js:55-57)."""
+    for terms in (["visa"], ["the"], ["visa", "application", "good"]):
+        a = _engine_topk(small_engine, terms, 20, "wand")
+        b = _engine_topk(small_engine, terms, 20, "exhaustive")
+        assert [x[0] for x in a] == [x[0] for x in b]
+        for x, y in zip(a, b):
+            assert x[1] == pytest.approx(y[1], abs=1e-9)
+
+
+def test_topk_result_schema(tiny_engine):
+    df = tiny_engine.topk(["visa"], k=5)
+    assert [f.name for f in df.schema.fields] == \
+        ["rank", "doc_id", "conv_id", "turn_idx", "score", "text"]
+    rows = df.collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_filtered_topk_role(small_engine, small_oracle):
+    expected = brute_topk(small_oracle, ["visa"], k=10,
+                          predicate=lambda m: m["role"] == "assistant")
+    got = small_engine.topk(["visa"], k=10, role="assistant").collect()
+    _assert_rank_identical([(r["doc_id"], r["score"]) for r in got], expected)
+
+
+def test_filtered_topk_tool(small_engine, small_oracle):
+    expected = brute_topk(small_oracle, ["search"], k=10,
+                          predicate=lambda m: m["tool"] is not None)
+    got = small_engine.topk(["search"], k=10, tool=True).collect()
+    _assert_rank_identical([(r["doc_id"], r["score"]) for r in got], expected)
+
+
+def test_filtered_topk_conv(small_engine, small_oracle):
+    expected = brute_topk(small_oracle, ["good"], k=10,
+                          predicate=lambda m: m["conv_id"] == "conv00001")
+    got = small_engine.topk(["good"], k=10, conv_id="conv00001").collect()
+    _assert_rank_identical([(r["doc_id"], r["score"]) for r in got], expected)

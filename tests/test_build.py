@@ -1,0 +1,107 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blacklab_spark import codec
+from blacklab_spark.build import assign_dense_ids, build_index
+from blacklab_spark.config import BuildConfig
+from blacklab_spark.index import open_index
+
+
+def test_assign_dense_ids_matches_global_rank(spark, tiny_pdf):
+    df = spark.createDataFrame(tiny_pdf)
+    out = assign_dense_ids(df, ["conv_id", "turn_idx"], "doc_id", 4)
+    rows = out.select("conv_id", "turn_idx", "doc_id").collect()
+    got = sorted((r["conv_id"], r["turn_idx"], r["doc_id"]) for r in rows)
+    expected = sorted((r["conv_id"], r["turn_idx"])
+                      for r in tiny_pdf.to_dict("records"))
+    assert [g[:2] for g in got] == expected
+    assert [g[2] for g in got] == list(range(len(expected)))
+
+
+def test_doc_meta_matches_oracle(spark, tiny_index_dir, tiny_oracle):
+    idx = open_index(spark, tiny_index_dir)
+    assert idx.n_docs == tiny_oracle.n_docs
+    assert abs(idx.avgdl - tiny_oracle.avgdl) < 1e-9
+    meta = {r["doc_id"]: r for r in idx.doc_meta.collect()}
+    for d in tiny_oracle.doc_ids:
+        assert meta[d]["n_tokens"] == tiny_oracle.dl[d]
+        assert list(meta[d]["tokens"]) == tiny_oracle.tokens[d]
+
+
+def test_content_store_roundtrip(spark, tiny_index_dir, tiny_pdf):
+    """Per-turn text equality end-to-end — the invariant from
+    BASELINE.json input_hint (≙ BlackLab content-store round-trip)."""
+    idx = open_index(spark, tiny_index_dir)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in idx.doc_meta.select("conv_id", "turn_idx", "text").collect()}
+    for rec in tiny_pdf.to_dict("records"):
+        assert got[(rec["conv_id"], rec["turn_idx"])] == rec["text"]
+
+
+def test_terms_dictionary(spark, tiny_index_dir, tiny_oracle):
+    idx = open_index(spark, tiny_index_dir)
+    terms = idx.terms.orderBy("term_id").collect()
+    # dense ids in sorted-term order (deterministic reruns, SURVEY §1.5)
+    assert [r["term_id"] for r in terms] == list(range(len(terms)))
+    assert [r["term"] for r in terms] == sorted(r["term"] for r in terms)
+    for r in terms:
+        assert r["df"] == tiny_oracle.df(r["term"]), r["term"]
+        assert r["cf"] == tiny_oracle.cf(r["term"]), r["term"]
+
+
+def test_posting_blocks_decode_to_oracle(spark, tiny_index_dir, tiny_oracle):
+    idx = open_index(spark, tiny_index_dir)
+    term_of = {r["term_id"]: r["term"] for r in idx.terms.collect()}
+    seen: dict[str, dict[int, tuple[int, list[int]]]] = {}
+    for r in idx.postings.collect():
+        term = term_of[r["term_id"]]
+        docs = codec.decode_deltas(r["doc_ids"]).astype(int)
+        tfs = codec.decode_varints(r["tfs"]).astype(int)
+        dls = codec.decode_varints(r["dls"]).astype(int)
+        poss = codec.decode_positions(r["positions"], r["n_docs"])
+        assert r["n_docs"] == len(docs) <= idx.cfg.block_size
+        # block never spans buckets
+        assert (docs // idx.cfg.bucket_size == r["bucket"]).all()
+        assert r["max_tf"] == tfs.max()
+        for d, tf, dl, pos in zip(docs, tfs, dls, poss):
+            seen.setdefault(term, {})[int(d)] = (int(tf), list(pos.astype(int)))
+            assert dl == tiny_oracle.dl[int(d)]
+    for term, plist in tiny_oracle.postings.items():
+        assert term in seen, term
+        for doc_id, positions in plist.items():
+            tf, pos = seen[term][doc_id]
+            assert tf == len(positions)
+            assert pos == positions
+    assert sum(len(v) for v in seen.values()) == \
+        sum(len(v) for v in tiny_oracle.postings.values())
+
+
+def test_resume_skips_done_stages(spark, tiny_pdf, tmp_path):
+    out = str(tmp_path / "idx")
+    df = spark.createDataFrame(tiny_pdf)
+    cfg = BuildConfig(block_size=8, bucket_size=16, num_partitions=2)
+    m1 = build_index(spark, df, out, cfg)
+    assert all(s["status"] == "done" for s in m1["stages"].values())
+    # wipe one stage's success marker → resume rebuilds only that stage
+    os.remove(os.path.join(out, "postings", "_SUCCESS"))
+    m2 = build_index(spark, df, out, cfg, resume=True)
+    assert m2["stages"]["postings"]["status"] == "done"
+    # earlier stages were not re-run: durations preserved
+    assert m2["stages"]["doc_meta"] == m1["stages"]["doc_meta"]
+    idx = open_index(spark, out)
+    assert idx.postings.count() > 0
+
+
+def test_manifest_lineage(spark, tiny_index_dir):
+    with open(os.path.join(tiny_index_dir, "_index_meta.json")) as f:
+        m = json.load(f)
+    for st in ("doc_meta", "postings_rows", "terms", "postings"):
+        assert m["stages"][st]["status"] == "done"
+        assert m["stages"][st]["rows"] > 0
+        assert m["stages"][st]["rows_per_sec"] is not None
+    assert m["config"]["k1"] == 1.2 and m["config"]["b"] == 0.75
+    assert m["stats"]["n_docs"] == 112  # 41+30+41 turns (FIXTURES.md tiny)

@@ -1,0 +1,89 @@
+import pytest
+from pyspark.sql import functions as F
+
+from blacklab_spark.oracle import collocations as oracle_colloc
+from blacklab_spark.oracle import term_frequencies as oracle_tf
+
+
+def test_term_frequencies(tiny_engine, tiny_oracle):
+    got = {r["term"]: r["count"] for r in
+           tiny_engine.term_frequencies().collect()}
+    assert got == oracle_tf(tiny_oracle)
+
+
+def test_collocations(tiny_engine, tiny_oracle):
+    got = {r["term"]: r["count"] for r in
+           tiny_engine.collocations("good", window=10).collect()}
+    assert got == oracle_colloc(tiny_oracle, "good", window=10)
+
+
+def test_collocations_small(small_engine, small_oracle):
+    got = {r["term"]: r["count"] for r in
+           small_engine.collocations("visa", window=5).collect()}
+    assert got == oracle_colloc(small_oracle, "visa", window=5)
+
+
+def test_group_hits_by_next_word(tiny_engine, tiny_oracle):
+    """≙ reference property key after:word:i:1 (hits-grouped.js:45-46)."""
+    hits = tiny_engine.term_hits("a")
+    got = {r["group_key"]: r["count"] for r in
+           tiny_engine.group_hits_by_context_word(hits, offset=1).collect()}
+    expected: dict[str, int] = {}
+    for d, poss in tiny_oracle.postings.get("a", {}).items():
+        toks = tiny_oracle.tokens[d]
+        for p in poss:
+            if p + 1 < len(toks):
+                expected[toks[p + 1]] = expected.get(toks[p + 1], 0) + 1
+    assert got == expected
+
+
+def test_group_hits_by_doc_field(tiny_engine, tiny_oracle):
+    hits = tiny_engine.term_hits("visa")
+    got = {r["group_key"]: r["count"] for r in
+           tiny_engine.group_hits_by_doc_field(hits, "role").collect()}
+    expected: dict[str, int] = {}
+    for d, poss in tiny_oracle.postings.get("visa", {}).items():
+        role = tiny_oracle.meta[d]["role"]
+        expected[role] = expected.get(role, 0) + len(poss)
+    assert got == expected
+
+
+def test_docs_from_hits(tiny_engine, tiny_oracle):
+    hits = tiny_engine.term_hits("the")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           tiny_engine.docs_from_hits(hits).collect()}
+    expected = {d: len(p) for d, p in tiny_oracle.postings["the"].items()}
+    assert got == expected
+
+
+def test_kwic(tiny_engine, tiny_oracle):
+    hits = tiny_engine.phrase_hits(["very", "good"], path="tokens")
+    rows = tiny_engine.kwic(hits, context=5).collect()
+    for r in rows:
+        toks = tiny_oracle.tokens[r["doc_id"]]
+        s, e = r["start"], r["end"]
+        assert list(r["match"]) == toks[s:e] == ["very", "good"]
+        assert list(r["left"]) == toks[max(0, s - 5):s]
+        assert list(r["right"]) == toks[e:e + 5]
+
+
+def test_window_hits(tiny_engine):
+    from blacklab_spark.operators.hits import window_hits
+    hits = tiny_engine.term_hits("the")
+    all_rows = sorted((r["doc_id"], r["start"]) for r in hits.collect())
+    page = window_hits(hits, first=5, size=10).collect()
+    got = [(r["doc_id"], r["start"]) for r in page]
+    assert got == all_rows[5:15]
+
+
+def test_sample_hits_deterministic(tiny_engine):
+    from blacklab_spark.operators.hits import sample_hits
+    hits = tiny_engine.term_hits("the")
+    a = sorted(map(tuple, sample_hits(hits, 0.5, seed=7).collect()))
+    b = sorted(map(tuple, sample_hits(hits, 0.5, seed=7).collect()))
+    assert a == b
+
+
+def test_explain(tiny_engine):
+    s = tiny_engine.explain(["visa"])
+    assert "WAND" in s and "visa" in s
