@@ -1,0 +1,342 @@
+"""Driver correctness-gate: paired (Spark query, DuckDB oracle SQL).
+
+Each entry exercises a real engine operator (SURVEY.md §2) on the
+driver's parquet tables at ``sf_dir`` — or on the deterministic
+``micro`` transcript fixture embedded into the oracle SQL as a VALUES
+CTE (the driver's DuckDB sees only the pre-registered testdata views,
+so transcript-shaped checks carry their own data).
+
+Float discipline (scores/similarities): both sides ORDER BY the
+*exact* double score (ties → doc_id asc) for the top-k cut and for
+rank assignment, then ROUND(score, 4) for the emitted value — the
+same formula over the same integers yields bit-identical doubles in
+both engines, and rounding absorbs any last-ulp libm drift.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from blacklab_spark.build import build_index
+from blacklab_spark.config import BuildConfig
+from blacklab_spark.engine import SearchEngine
+from blacklab_spark.sources.documents import documents_as_transcripts
+from blacklab_spark.sources.transcripts import gen_transcripts_pandas
+
+K1, B = 1.2, 0.75
+
+# --------------------------------------------------------------------
+# cached engines (index built once per sf_dir / fixture, resumable)
+# --------------------------------------------------------------------
+_ENGINES: dict[str, SearchEngine] = {}
+_IDX_ROOT = "/tmp/blacklab_idx_v1"
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (`spark-submit --py-files` analog).
+
+    The driver may import ``__spark_entry__`` by file path from any
+    cwd; Python workers deserializing our Arrow kernels then need
+    ``blacklab_spark`` importable on *their* side. ``addPyFile`` with
+    a zip of the package is the supported runtime equivalent of
+    ``--py-files`` and works on real clusters, not just local mode.
+    """
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    import zipfile
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", f"blacklab_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join("blacklab_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
+def docs_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    ensure_shipped(spark)
+    key = os.path.abspath(sf_dir)
+    if key not in _ENGINES:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", key)
+        out = os.path.join(_IDX_ROOT, f"docs{slug}")
+        cfg = BuildConfig(block_size=128, bucket_size=1024)
+        build_index(spark, documents_as_transcripts(spark, sf_dir), out,
+                    cfg, resume=True)
+        _ENGINES[key] = SearchEngine.open(spark, out)
+    return _ENGINES[key]
+
+
+def micro_engine(spark: SparkSession) -> SearchEngine:
+    ensure_shipped(spark)
+    key = "__micro__"
+    if key not in _ENGINES:
+        out = os.path.join(_IDX_ROOT, "micro")
+        pdf = gen_transcripts_pandas("micro", seed=42)
+        cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
+        build_index(spark, spark.createDataFrame(pdf), out, cfg, resume=True)
+        _ENGINES[key] = SearchEngine.open(spark, out)
+    return _ENGINES[key]
+
+
+# --------------------------------------------------------------------
+# Spark-side output shaping
+# --------------------------------------------------------------------
+def _orig_doc_id(col: str = "conv_id") -> F.Column:
+    # documents_as_transcripts encodes the original doc_id as doc%08d
+    return F.substring(col, 4, 8).cast("long").alias("doc_id")
+
+
+def fmt_topk_docs(df: DataFrame) -> DataFrame:
+    return df.select("rank", _orig_doc_id(),
+                     F.round("score", 4).alias("score"), "text")
+
+
+def fmt_topk_micro(df: DataFrame) -> DataFrame:
+    return df.select("rank", "conv_id", "turn_idx",
+                     F.round("score", 4).alias("score"), "text")
+
+
+def with_conv(engine: SearchEngine, hits: DataFrame) -> DataFrame:
+    meta = engine.index.doc_meta.select("doc_id", "conv_id", "turn_idx")
+    return hits.join(meta, "doc_id")
+
+
+# --------------------------------------------------------------------
+# DuckDB oracle SQL builders
+# --------------------------------------------------------------------
+_DOC_TOKS = ("toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+             "'[a-z0-9]+') AS ts FROM documents)")
+_DOC_POS = (_DOC_TOKS + ",\npos AS (SELECT doc_id, unnest(ts) AS tok, "
+            "generate_subscripts(ts, 1) - 1 AS p FROM toks)")
+
+
+def _score_expr(tf="tf.tf", dl="dl.dl") -> str:
+    return (f"ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) "
+            f"* {tf} * {K1 + 1} / ({tf} + {K1} * (1 - {B} + {B} * {dl} / stats.avgdl))")
+
+
+def bm25_docs_sql(terms: list[str], k: int = 10, lang: str | None = None) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    filt = f"AND d.lang = '{lang}'" if lang else ""
+    return f"""
+WITH {_DOC_TOKS},
+dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
+       WHERE tok IN ({tl}) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT tf.doc_id, sum({_score_expr()}) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id),
+topk AS (SELECT s.doc_id, s.score
+         FROM scored s JOIN documents d USING (doc_id)
+         WHERE true {filt}
+         ORDER BY s.score DESC, s.doc_id LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY t.score DESC, t.doc_id) AS INT) AS rank,
+       t.doc_id, round(t.score, 4) AS score, d.text
+FROM topk t JOIN documents d USING (doc_id)
+"""
+
+
+def micro_cte() -> str:
+    """The micro transcript fixture as a VALUES CTE + dense doc ids
+    (row_number over (conv_id, turn_idx) — the engine's id contract)."""
+    pdf = gen_transcripts_pandas("micro", seed=42) \
+        .sort_values(["conv_id", "turn_idx"])
+    vals = []
+    for r in pdf.to_dict("records"):
+        tool = f"'{r['tool']}'" if r["tool"] else "NULL"
+        vals.append(f"('{r['conv_id']}', {r['turn_idx']}, '{r['role']}', "
+                    f"'{r['text']}', {tool})")
+    return (
+        "transcripts(conv_id, turn_idx, role, text, tool) AS (VALUES\n  "
+        + ",\n  ".join(vals) + "),\n"
+        "tdocs AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, "
+        "conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool FROM transcripts),\n"
+        "ttoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM tdocs),\n"
+        "tpos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS p FROM ttoks)"
+    )
+
+
+def bm25_micro_sql(terms: list[str], k: int = 10, role: str | None = None) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    filt = f"AND d.role = '{role}'" if role else ""
+    return f"""
+WITH {micro_cte()},
+dl AS (SELECT doc_id, len(ts) AS dl FROM ttoks),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(ts) AS tok FROM ttoks)
+       WHERE tok IN ({tl}) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT tf.doc_id, sum({_score_expr()}) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id),
+topk AS (SELECT s.doc_id, s.score
+         FROM scored s JOIN tdocs d USING (doc_id)
+         WHERE true {filt}
+         ORDER BY s.score DESC, s.doc_id LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY t.score DESC, t.doc_id) AS INT) AS rank,
+       d.conv_id, d.turn_idx, round(t.score, 4) AS score, d.text
+FROM topk t JOIN tdocs d USING (doc_id)
+"""
+
+
+def phrase_docs_sql(w1: str, w2: str) -> str:
+    return f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.tok = '{w1}' AND b.tok = '{w2}'
+"""
+
+
+def phrase_micro_within_sql(w1: str, w2: str, conv: str) -> str:
+    return f"""
+WITH {micro_cte()}
+SELECT d.conv_id, d.turn_idx, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
+FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+JOIN tdocs d ON d.doc_id = a.doc_id
+WHERE a.tok = '{w1}' AND b.tok = '{w2}' AND d.conv_id = '{conv}'
+"""
+
+
+def termfreq_sql(limit: int = 100) -> str:
+    return f"""
+WITH {_DOC_POS}
+SELECT tok AS term, count(*) AS "count" FROM pos
+GROUP BY 1 ORDER BY count(*) DESC, tok LIMIT {limit}
+"""
+
+
+def group_next_word_sql(term: str) -> str:
+    return f"""
+WITH {_DOC_POS}
+SELECT b.tok AS group_key, count(*) AS "count"
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.tok = '{term}' GROUP BY 1
+"""
+
+
+def collocations_sql(term: str, window: int) -> str:
+    return f"""
+WITH {_DOC_POS}
+SELECT b.tok AS term, count(*) AS "count"
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+     AND b.p BETWEEN a.p - {window} AND a.p + {window} AND b.p != a.p
+WHERE a.tok = '{term}' GROUP BY 1
+"""
+
+
+def docs_grouped_sql(term: str) -> str:
+    return f"""
+WITH {_DOC_TOKS}
+SELECT d.source AS group_key, count(*) AS "count"
+FROM documents d JOIN toks USING (doc_id)
+WHERE list_contains(toks.ts, '{term}')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# the paired query set
+# --------------------------------------------------------------------
+def gate_queries() -> dict:
+    """name → callable(spark, sf_dir) -> DataFrame (engine side)."""
+    def bm25_single(spark, sf_dir):
+        return fmt_topk_docs(docs_engine(spark, sf_dir)
+                             .topk(["spark"], k=10, mode="wand"))
+
+    def bm25_single_exhaustive(spark, sf_dir):
+        # dual path through the driver: same oracle as bm25_single
+        return fmt_topk_docs(docs_engine(spark, sf_dir)
+                             .topk(["spark"], k=10, mode="exhaustive"))
+
+    def bm25_multi(spark, sf_dir):
+        return fmt_topk_docs(docs_engine(spark, sf_dir)
+                             .topk(["spark", "vector", "query"], k=10,
+                                   mode="wand"))
+
+    def bm25_filtered_lang(spark, sf_dir):
+        # lang rides in the 'role' annotation slot (sources/documents.py)
+        return fmt_topk_docs(docs_engine(spark, sf_dir)
+                             .topk(["spark"], k=10, role="en"))
+
+    def phrase_hits_docs(spark, sf_dir):
+        eng = docs_engine(spark, sf_dir)
+        hits = eng.phrase_hits(["the", "table"], path="postings")
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def term_frequencies(spark, sf_dir):
+        return (docs_engine(spark, sf_dir).term_frequencies()
+                .orderBy(F.desc("count"), F.asc("term")).limit(100))
+
+    def group_next_word(spark, sf_dir):
+        eng = docs_engine(spark, sf_dir)
+        return eng.group_hits_by_context_word(eng.term_hits("the"), offset=1)
+
+    def collocations(spark, sf_dir):
+        return docs_engine(spark, sf_dir).collocations("spark", window=5)
+
+    def docs_grouped_source(spark, sf_dir):
+        eng = docs_engine(spark, sf_dir)
+        # source rides in the 'tool' annotation slot
+        return (eng.index.doc_meta
+                .filter(F.array_contains("tokens", "spark"))
+                .groupBy(F.col("tool").alias("group_key"))
+                .agg(F.count("*").alias("count")))
+
+    def transcript_topk_role(spark, sf_dir):
+        return fmt_topk_micro(micro_engine(spark)
+                              .topk(["visa"], k=5, role="assistant"))
+
+    def transcript_phrase_within(spark, sf_dir):
+        eng = micro_engine(spark)
+        hits = eng.phrase_hits(["very", "good"], path="tokens",
+                               conv_id="conv00001")
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
+    return {
+        "bm25_topk_single": bm25_single,
+        "bm25_topk_single_exhaustive": bm25_single_exhaustive,
+        "bm25_topk_multi": bm25_multi,
+        "bm25_topk_filtered_lang": bm25_filtered_lang,
+        "phrase_hits": phrase_hits_docs,
+        "term_frequencies_top100": term_frequencies,
+        "group_hits_by_next_word": group_next_word,
+        "collocations_window5": collocations,
+        "docs_grouped_by_source": docs_grouped_source,
+        "transcript_topk_role_filtered": transcript_topk_role,
+        "transcript_phrase_within_conv": transcript_phrase_within,
+    }
+
+
+def gate_oracles() -> dict[str, str]:
+    return {
+        "bm25_topk_single": bm25_docs_sql(["spark"], 10),
+        "bm25_topk_single_exhaustive": bm25_docs_sql(["spark"], 10),
+        "bm25_topk_multi": bm25_docs_sql(["spark", "vector", "query"], 10),
+        "bm25_topk_filtered_lang": bm25_docs_sql(["spark"], 10, lang="en"),
+        "phrase_hits": phrase_docs_sql("the", "table"),
+        "term_frequencies_top100": termfreq_sql(100),
+        "group_hits_by_next_word": group_next_word_sql("the"),
+        "collocations_window5": collocations_sql("spark", 5),
+        "docs_grouped_by_source": docs_grouped_sql("spark"),
+        "transcript_topk_role_filtered": bm25_micro_sql(["visa"], 5,
+                                                        role="assistant"),
+        "transcript_phrase_within_conv": phrase_micro_within_sql(
+            "very", "good", "conv00001"),
+    }

@@ -48,6 +48,8 @@ _VOW = "aeiou"
 
 FIXTURES = {
     # name: (n_convs, turns_spec, vocab_size)
+    # micro: small enough to embed as a VALUES CTE in driver oracle SQL
+    "micro": (3, [8, 8, 8], 50),
     "tiny": (3, [41, 30, 41], 300),
     "small": (200, (10, 80), 5000),
     "bench": (20000, (10, 100), 50000),
