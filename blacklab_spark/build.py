@@ -46,11 +46,16 @@ from blacklab_spark.config import BuildConfig
 from blacklab_spark.oracle import bm25_idf  # same formula, one source of truth
 from blacklab_spark.tokenizer import tokens_insensitive
 
+# positions are emitted varint-ENCODED per (term, doc): ``[tf,
+# first_abs, gaps...]`` — the exact per-doc layout of the final block
+# positions stream, so the merge stage just concatenates bytes. An
+# array<int> column here would dominate the stage in pandas→Arrow
+# conversion (~10µs/row × 10^5 rows/batch, measured).
 POSTING_ROW_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("tf", T.IntegerType(), False),
-    T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+    T.StructField("positions", T.BinaryType(), False),
     T.StructField("dl", T.IntegerType(), False),
 ])
 
@@ -69,7 +74,7 @@ BLOCK_SCHEMA = T.StructType([
 
 
 def assign_dense_ids(df: DataFrame, key_cols: list[str], id_col: str,
-                     num_partitions: int) -> DataFrame:
+                     num_partitions: int):
     """Dense 0-based int64 ids by global sort order of unique ``key_cols``.
 
     Range-partition on the keys (disjoint ordered ranges per partition),
@@ -93,7 +98,9 @@ def assign_dense_ids(df: DataFrame, key_cols: list[str], id_col: str,
     out = (d.join(F.broadcast(off_df), "_pid")
             .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
             .drop("_pid", "_off"))
-    return out
+    # caller must unpersist `d` once `out` is materialized — leaving the
+    # whole input cached poisons later stages' execution memory / GC
+    return out, d
 
 
 def _spimi_postings(tokenized: DataFrame) -> DataFrame:
@@ -118,60 +125,141 @@ def _spimi_postings(tokenized: DataFrame) -> DataFrame:
             starts = np.repeat(np.cumsum(lens) - lens, lens)
             pos_flat = (np.arange(total) - starts).astype(np.int32)
             dls_flat = np.repeat(lens, lens).astype(np.int32)
+            # factorize token strings once → int codes (object-array
+            # lexsort is 10×+ slower than int lexsort)
+            codes, uniques = pd.factorize(flat, sort=False)
             # group by (term, doc): stable lexsort keeps positions ascending
-            order = np.lexsort((pos_flat, docs_flat, flat))
-            f, dcs, ps, dls = flat[order], docs_flat[order], pos_flat[order], dls_flat[order]
+            order = np.lexsort((pos_flat, docs_flat, codes))
+            f, dcs, ps, dls = codes[order], docs_flat[order], pos_flat[order], dls_flat[order]
             change = np.empty(f.size, dtype=bool)
             change[0] = True
             change[1:] = (f[1:] != f[:-1]) | (dcs[1:] != dcs[:-1])
             g_starts = np.nonzero(change)[0]
             g_ends = np.append(g_starts[1:], f.size)
+            n_groups = g_starts.size
             tfs = (g_ends - g_starts).astype(np.int32)
+            # encode [tf, first_abs, gaps...] per group in one pass
+            cnt_idx = g_starts + np.arange(n_groups)
+            stream = np.empty(f.size + n_groups, dtype=np.uint64)
+            stream[cnt_idx] = tfs.astype(np.uint64)
+            mask = np.ones(f.size + n_groups, dtype=bool)
+            mask[cnt_idx] = False
+            ps64 = ps.astype(np.int64)
+            pdelta = ps64.copy()
+            pdelta[1:] = ps64[1:] - ps64[:-1]
+            pdelta[g_starts] = ps64[g_starts]
+            stream[mask] = pdelta.astype(np.uint64)
+            enc = codec.encode_varints(stream)
+            boff = np.concatenate(([0], np.cumsum(codec.varint_lengths(stream))))
+            v_bounds = np.append(cnt_idx, stream.size)
             yield pd.DataFrame({
-                "term": f[g_starts],
+                "term": np.asarray(uniques, dtype=object)[f[g_starts]],
                 "doc_id": dcs[g_starts].astype(np.int64),
                 "tf": tfs,
-                "positions": [ps[s:e] for s, e in zip(g_starts, g_ends)],
+                "positions": [enc[boff[a]:boff[b]]
+                              for a, b in zip(v_bounds[:-1], v_bounds[1:])],
                 "dl": dls[g_starts],
             })
 
     return tokenized.select("doc_id", "tokens").mapInPandas(build, POSTING_ROW_SCHEMA)
 
 
-def _block_builder(cfg: BuildConfig, n_docs: int, avgdl: float):
-    """applyInPandas kernel: one (term_id, bucket) group → encoded blocks."""
+def _encode_block_batch(pdf: pd.DataFrame, cfg: BuildConfig, n_docs: int,
+                        avgdl: float) -> pd.DataFrame:
+    """Encode a batch of posting rows — sorted by (term_id, bucket,
+    doc_id), groups complete — into posting-block rows.
+
+    Fully vectorized: one varint stream per column for the whole batch
+    (delta-gapped with absolutes re-seeded at block starts), then
+    per-block byte-range slicing from cumsum offsets. Per-block Python
+    work is 4 byte-slices — no per-group pandas frames, which is what
+    makes 10^5+ (term,bucket) groups per partition tractable.
+    """
     k1, b, bs = cfg.k1, cfg.b, cfg.block_size
     store_pos = cfg.store_positions
+    n = len(pdf)
+    tid = pdf["term_id"].to_numpy(dtype=np.int64)
+    bkt = pdf["bucket"].to_numpy(dtype=np.int64)
+    doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tf = pdf["tf"].to_numpy(dtype=np.int64)
+    dl = pdf["dl"].to_numpy(dtype=np.int64)
+    dfv = pdf["df"].to_numpy(dtype=np.int64)
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term_id, bucket = int(key[0]), int(key[1])
-        pdf = pdf.sort_values("doc_id")
-        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tf = pdf["tf"].to_numpy(dtype=np.int64)
-        dl = pdf["dl"].to_numpy(dtype=np.int64)
-        df_t = int(pdf["df"].iloc[0])
-        idf = bm25_idf(n_docs, df_t)
-        tf_norm = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        score = idf * tf_norm
-        pos_lists = pdf["positions"].tolist() if store_pos else None
-        rows = []
-        for blk, s in enumerate(range(0, len(doc), bs)):
-            e = min(s + bs, len(doc))
-            rows.append({
-                "term_id": term_id,
-                "bucket": bucket,
-                "block_id": blk,
-                "n_docs": e - s,
-                "doc_ids": codec.encode_deltas(doc[s:e]),
-                "tfs": codec.encode_varints(tf[s:e]),
-                "dls": codec.encode_varints(dl[s:e]),
-                "positions": codec.encode_positions(
-                    [np.asarray(p, dtype=np.uint64) for p in pos_lists[s:e]])
-                    if store_pos else None,
-                "max_tf": int(tf[s:e].max()),
-                "max_score": float(score[s:e].max()),
-            })
-        return pd.DataFrame(rows)
+    group_change = np.empty(n, dtype=bool)
+    group_change[0] = True
+    group_change[1:] = (tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])
+    gidx = np.cumsum(group_change) - 1
+    g_start_row = np.nonzero(group_change)[0]
+    idx_in_group = np.arange(n) - g_start_row[gidx]
+    block_start = group_change | (idx_in_group % bs == 0)
+    b_starts = np.nonzero(block_start)[0]
+    b_ends = np.append(b_starts[1:], n)
+    block_ids = (idx_in_group[b_starts] // bs).astype(np.int32)
+    n_docs_blk = (b_ends - b_starts).astype(np.int32)
+
+    # doc ids: delta-gap, absolute re-seeded at each block start
+    deltas = doc.astype(np.uint64)
+    deltas = deltas.copy()
+    deltas[1:] = doc[1:].astype(np.uint64) - doc[:-1].astype(np.uint64)
+    deltas[b_starts] = doc[b_starts].astype(np.uint64)
+    doc_stream = codec.encode_varints(deltas)
+    doc_off = np.concatenate(([0], np.cumsum(codec.varint_lengths(deltas))))
+    tf_stream = codec.encode_varints(tf)
+    tf_off = np.concatenate(([0], np.cumsum(codec.varint_lengths(tf))))
+    dl_stream = codec.encode_varints(dl)
+    dl_off = np.concatenate(([0], np.cumsum(codec.varint_lengths(dl))))
+
+    # per-block BM25 upper bound (exact contribution of best doc)
+    idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+    contrib = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    max_score = np.maximum.reduceat(contrib, b_starts)
+    max_tf = np.maximum.reduceat(tf, b_starts).astype(np.int32)
+
+    if store_pos:
+        # per-row positions are already block-format byte runs
+        pos_bytes = pdf["positions"].to_numpy()
+
+    rows_doc, rows_tf, rows_dl, rows_pos = [], [], [], []
+    for i, (s, e) in enumerate(zip(b_starts, b_ends)):
+        rows_doc.append(doc_stream[doc_off[s]:doc_off[e]])
+        rows_tf.append(tf_stream[tf_off[s]:tf_off[e]])
+        rows_dl.append(dl_stream[dl_off[s]:dl_off[e]])
+        if store_pos:
+            rows_pos.append(b"".join(pos_bytes[s:e]))
+    return pd.DataFrame({
+        "term_id": tid[b_starts],
+        "bucket": bkt[b_starts],
+        "block_id": block_ids,
+        "n_docs": n_docs_blk,
+        "doc_ids": rows_doc,
+        "tfs": rows_tf,
+        "dls": rows_dl,
+        "positions": rows_pos if store_pos else [None] * len(b_starts),
+        "max_tf": max_tf,
+        "max_score": max_score.astype(np.float64),
+    })
+
+
+def _block_stream_builder(cfg: BuildConfig, n_docs: int, avgdl: float):
+    """mapInPandas kernel over partitions sorted by (term_id, bucket,
+    doc_id): encodes blocks batch-wise, carrying the (possibly
+    incomplete) trailing group across Arrow batch boundaries."""
+    def build(batches):
+        leftover: pd.DataFrame | None = None
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            tid = pdf["term_id"].to_numpy()
+            bkt = pdf["bucket"].to_numpy()
+            in_last = (tid == tid[-1]) & (bkt == bkt[-1])
+            cut = len(pdf) - int(in_last.sum())
+            if cut > 0:
+                yield _encode_block_batch(pdf.iloc[:cut], cfg, n_docs, avgdl)
+            leftover = pdf.iloc[cut:]
+        if leftover is not None and len(leftover):
+            yield _encode_block_batch(leftover, cfg, n_docs, avgdl)
 
     return build
 
@@ -230,16 +318,21 @@ class IndexBuilder:
         doc_meta_path = os.path.join(self.out, "doc_meta")
         if not (resume and self._stage_done(m, "doc_meta")):
             t0 = time.time()
-            with_ids = assign_dense_ids(transcripts, ["conv_id", "turn_idx"],
-                                        "doc_id", parts)
+            with_ids, cached = assign_dense_ids(
+                transcripts, ["conv_id", "turn_idx"], "doc_id", parts)
             doc_meta = (with_ids
                         .withColumn("tokens", tokens_insensitive("text"))
                         .withColumn("n_tokens", F.size("tokens").cast("int"))
                         .select("doc_id", "conv_id", "turn_idx", "role",
                                 "tool", "ts", "n_tokens", "tokens", "text"))
-            (doc_meta.repartitionByRange(parts, "doc_id")
-                     .sortWithinPartitions("doc_id")
-                     .write.mode("overwrite").parquet(doc_meta_path))
+            # with_ids is already range-partitioned by (conv_id, turn_idx)
+            # = doc_id order, rows sorted within partitions by the
+            # row_number window → files hold disjoint sorted doc_id
+            # runs; writing directly keeps parquet row-group pruning
+            # and avoids a second shuffle (repartitionByRange would
+            # also re-execute the pipeline for boundary sampling).
+            doc_meta.write.mode("overwrite").parquet(doc_meta_path)
+            cached.unpersist()
             n_rows = self.spark.read.parquet(doc_meta_path).count()
             self._finish_stage(m, "doc_meta", t0, n_rows, parts)
 
@@ -271,11 +364,13 @@ class IndexBuilder:
             terms_agg = (postings_rows.groupBy("term")
                          .agg(F.count("*").alias("df"),
                               F.sum("tf").alias("cf")))
-            terms = assign_dense_ids(terms_agg, ["term"], "term_id", parts) \
-                .select("term", "term_id", "df", "cf")
-            (terms.repartitionByRange(max(1, parts // 4), "term_id")
-                  .sortWithinPartitions("term_id")
-                  .write.mode("overwrite").parquet(terms_path))
+            terms, t_cached = assign_dense_ids(terms_agg, ["term"],
+                                               "term_id", parts)
+            terms = terms.select("term", "term_id", "df", "cf")
+            # same: assign_dense_ids leaves terms range-partitioned
+            # and sorted by term (= term_id order); write directly
+            terms.write.mode("overwrite").parquet(terms_path)
+            t_cached.unpersist()
             nt = self.spark.read.parquet(terms_path).count()
             self._finish_stage(m, "terms", t0, nt, parts)
         terms = self.spark.read.parquet(terms_path)
@@ -289,12 +384,23 @@ class IndexBuilder:
                       .withColumn("bucket",
                                   (F.col("doc_id") / F.lit(cfg.bucket_size))
                                   .cast("long")))
-            blocks = (joined.groupBy("term_id", "bucket")
-                      .applyInPandas(_block_builder(cfg, n_docs, avgdl),
-                                     BLOCK_SCHEMA))
-            (blocks.repartitionByRange(parts, "term_id", "bucket")
-                   .sortWithinPartitions("term_id", "bucket", "block_id")
-                   .write.mode("overwrite").parquet(postings_path))
+            # hash-shuffle on (term_id, bucket) keeps each group whole
+            # within a partition; sortWithinPartitions gives the kernel
+            # contiguous sorted groups — the SPIMI merge shuffle.
+            blocks = (joined
+                      .repartition(parts, "term_id", "bucket")
+                      .sortWithinPartitions("term_id", "bucket", "doc_id")
+                      .select("term_id", "bucket", "doc_id", "tf", "dl",
+                              "df", "positions")
+                      .mapInPandas(_block_stream_builder(cfg, n_docs, avgdl),
+                                   BLOCK_SCHEMA))
+            # kernel output preserves the (term_id, bucket, doc_id)
+            # sort of its input partition → each file is a sorted run
+            # with non-overlapping row-group [min,max] on term_id, so
+            # a k-term lookup touches ≤k row groups per file. A
+            # repartitionByRange here would re-run the whole encode
+            # pipeline for boundary sampling — write directly.
+            blocks.write.mode("overwrite").parquet(postings_path)
             nb = self.spark.read.parquet(postings_path).count()
             self._finish_stage(m, "postings", t0, nb, parts)
 

@@ -1,0 +1,101 @@
+"""CLI entry points — the ``spark-submit --py-files`` surface.
+
+Build:
+    spark-submit --py-files blacklab_spark.zip -m blacklab_spark.cli build \\
+        --input /data/transcripts_parquet --out /indexes/conv \\
+        [--resume] [--block-size 128] [--bucket-size 8192]
+
+Query:
+    python -m blacklab_spark.cli query --index /indexes/conv \\
+        --terms "visa application" [--k 10] [--mode wand|exhaustive] \\
+        [--role assistant] [--json]
+
+Mirrors the reference's IndexTool / QueryTool pair
+(reference: tools/src/main/java/nl/inl/blacklab/tools/IndexTool.java:46,
+querytool/QueryToolImpl.java).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build(args) -> int:
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.session import get_spark
+    spark = get_spark("blacklab-build")
+    df = spark.read.parquet(args.input)
+    cfg = BuildConfig(block_size=args.block_size,
+                      bucket_size=args.bucket_size,
+                      store_positions=not args.no_positions)
+    t0 = time.time()
+    manifest = build_index(spark, df, args.out, cfg, resume=args.resume)
+    dur = time.time() - t0
+    out = {"out": args.out, "seconds": round(dur, 2),
+           "turns": manifest["stats"]["n_docs"],
+           "turns_per_sec": round(manifest["stats"]["n_docs"] / dur, 1),
+           "stages": manifest["stages"]}
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _query(args) -> int:
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.session import get_spark
+    spark = get_spark("blacklab-query")
+    eng = SearchEngine.open(spark, args.index)
+    t0 = time.time()
+    if args.phrase:
+        df = eng.phrase_hits(args.terms, role=args.role, tool=args.tool,
+                             conv_id=args.conv_id)
+    else:
+        df = eng.topk(args.terms, k=args.k, mode=args.mode, role=args.role,
+                      tool=args.tool, conv_id=args.conv_id)
+    rows = [r.asDict() for r in df.collect()]
+    dur = time.time() - t0
+    if args.json:
+        print(json.dumps({"latency_sec": round(dur, 3), "rows": rows},
+                         default=str))
+    else:
+        for r in rows:
+            print(r)
+        print(f"-- {len(rows)} rows in {dur:.3f}s", file=sys.stderr)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="blacklab_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from transcripts parquet")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--bucket-size", type=int, default=8192)
+    b.add_argument("--no-positions", action="store_true")
+    b.set_defaults(fn=_build)
+
+    q = sub.add_parser("query", help="BM25 top-k / phrase query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--terms", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="auto",
+                   choices=["auto", "wand", "exhaustive"])
+    q.add_argument("--phrase", action="store_true")
+    q.add_argument("--role")
+    q.add_argument("--tool")
+    q.add_argument("--conv-id", dest="conv_id")
+    q.add_argument("--json", action="store_true")
+    q.set_defaults(fn=_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

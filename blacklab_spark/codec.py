@@ -22,21 +22,30 @@ _MASK7 = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized): max(1, ceil(bits/7)).
+
+    Lets callers encode one concatenated stream for thousands of
+    blocks and slice per-block byte ranges from the cumsum — the trick
+    that makes block building O(batch) instead of O(blocks) pandas ops.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nz = tmp > 0
+        nbytes[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
 def encode_varints(values: np.ndarray) -> bytes:
     """LEB128-encode a 1-D array of unsigned ints (vectorized)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
         return b""
-    # byte length per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(n, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp >>= np.uint64(7)
-        nz = tmp > 0
-    nbits[nbits == 0] = 1
+    nbits = varint_lengths(v)
     offsets = np.concatenate(([0], np.cumsum(nbits)))
     out = np.zeros(offsets[-1], dtype=np.uint8)
     max_len = int(nbits.max())

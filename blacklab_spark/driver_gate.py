@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from blacklab_spark.build import build_index
 from blacklab_spark.config import BuildConfig
 from blacklab_spark.engine import SearchEngine
+from blacklab_spark.shipping import ship as ensure_shipped
 from blacklab_spark.sources.documents import documents_as_transcripts
 from blacklab_spark.sources.transcripts import gen_transcripts_pandas
 
@@ -32,43 +33,23 @@ K1, B = 1.2, 0.75
 # cached engines (index built once per sf_dir / fixture, resumable)
 # --------------------------------------------------------------------
 _ENGINES: dict[str, SearchEngine] = {}
-_IDX_ROOT = "/tmp/blacklab_idx_v1"
-_SHIPPED: set[int] = set()
 
 
-def ensure_shipped(spark: SparkSession) -> None:
-    """Ship the package to executors (`spark-submit --py-files` analog).
-
-    The driver may import ``__spark_entry__`` by file path from any
-    cwd; Python workers deserializing our Arrow kernels then need
-    ``blacklab_spark`` importable on *their* side. ``addPyFile`` with
-    a zip of the package is the supported runtime equivalent of
-    ``--py-files`` and works on real clusters, not just local mode.
-    """
-    key = id(spark)
-    if key in _SHIPPED:
-        return
-    import zipfile
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join("/tmp", f"blacklab_spark_pkg_{os.getpid()}.zip")
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(root, fn)
-                    rel = os.path.join("blacklab_spark",
-                                       os.path.relpath(full, pkg_dir))
-                    zf.write(full, rel)
-    spark.sparkContext.addPyFile(zip_path)
-    _SHIPPED.add(key)
-
-
+def _idx_root() -> str:
+    """Cache root fingerprinted by engine version + format + tokenizer
+    so stale indexes are never reused across code changes."""
+    import hashlib
+    import blacklab_spark
+    from blacklab_spark.config import INDEX_FORMAT_VERSION, TOKENIZER_VERSION
+    tag = hashlib.md5(f"{blacklab_spark.__version__}|{INDEX_FORMAT_VERSION}|"
+                      f"{TOKENIZER_VERSION}".encode()).hexdigest()[:10]
+    return f"/tmp/blacklab_idx_{tag}"
 def docs_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     ensure_shipped(spark)
     key = os.path.abspath(sf_dir)
     if key not in _ENGINES:
         slug = re.sub(r"[^A-Za-z0-9.]+", "_", key)
-        out = os.path.join(_IDX_ROOT, f"docs{slug}")
+        out = os.path.join(_idx_root(), f"docs{slug}")
         cfg = BuildConfig(block_size=128, bucket_size=1024)
         build_index(spark, documents_as_transcripts(spark, sf_dir), out,
                     cfg, resume=True)
@@ -80,7 +61,7 @@ def micro_engine(spark: SparkSession) -> SearchEngine:
     ensure_shipped(spark)
     key = "__micro__"
     if key not in _ENGINES:
-        out = os.path.join(_IDX_ROOT, "micro")
+        out = os.path.join(_idx_root(), "micro")
         pdf = gen_transcripts_pandas("micro", seed=42)
         cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
         build_index(spark, spark.createDataFrame(pdf), out, cfg, resume=True)
@@ -101,9 +82,34 @@ def fmt_topk_docs(df: DataFrame) -> DataFrame:
                      F.round("score", 4).alias("score"), "text")
 
 
-def fmt_topk_micro(df: DataFrame) -> DataFrame:
-    return df.select("rank", "conv_id", "turn_idx",
-                     F.round("score", 4).alias("score"), "text")
+def _rounded_rank_cut(df: DataFrame, k: int) -> DataFrame:
+    """Re-rank and cut by (round(score,4) DESC, doc_id) — the same
+    total order the oracle SQL uses. Exact-score ordering is not
+    portable across engines: mathematically tied sums differ in the
+    last ulp depending on aggregation order, and DuckDB's SUM order is
+    unspecified. Rounded-order ties resolve by doc_id identically on
+    both sides. The caller over-fetches (margin ≫ k) so the rounded
+    cut can never pull in a doc the exact cut missed."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+    return (df.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k))
+
+
+def gate_topk_docs(eng: SearchEngine, terms: list[str], k: int,
+                   mode: str = "wand", **filt) -> DataFrame:
+    fetched = eng.topk(terms, k=max(200, 4 * k), mode=mode, **filt)         .drop("rank")
+    return _rounded_rank_cut(fetched, k).select(
+        "rank", _orig_doc_id(), F.round("score", 4).alias("score"), "text")
+
+
+def gate_topk_micro(eng: SearchEngine, terms: list[str], k: int,
+                    **filt) -> DataFrame:
+    fetched = eng.topk(terms, k=max(200, 4 * k), mode="exhaustive",
+                       **filt).drop("rank")
+    return _rounded_rank_cut(fetched, k).select(
+        "rank", "conv_id", "turn_idx",
+        F.round("score", 4).alias("score"), "text")
 
 
 def with_conv(engine: SearchEngine, hits: DataFrame) -> DataFrame:
@@ -142,8 +148,8 @@ scored AS (SELECT tf.doc_id, sum({_score_expr()}) AS score
 topk AS (SELECT s.doc_id, s.score
          FROM scored s JOIN documents d USING (doc_id)
          WHERE true {filt}
-         ORDER BY s.score DESC, s.doc_id LIMIT {k})
-SELECT CAST(row_number() OVER (ORDER BY t.score DESC, t.doc_id) AS INT) AS rank,
+         ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY round(t.score, 4) DESC, t.doc_id) AS INT) AS rank,
        t.doc_id, round(t.score, 4) AS score, d.text
 FROM topk t JOIN documents d USING (doc_id)
 """
@@ -186,8 +192,8 @@ scored AS (SELECT tf.doc_id, sum({_score_expr()}) AS score
 topk AS (SELECT s.doc_id, s.score
          FROM scored s JOIN tdocs d USING (doc_id)
          WHERE true {filt}
-         ORDER BY s.score DESC, s.doc_id LIMIT {k})
-SELECT CAST(row_number() OVER (ORDER BY t.score DESC, t.doc_id) AS INT) AS rank,
+         ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY round(t.score, 4) DESC, t.doc_id) AS INT) AS rank,
        d.conv_id, d.turn_idx, round(t.score, 4) AS score, d.text
 FROM topk t JOIN tdocs d USING (doc_id)
 """
@@ -255,23 +261,22 @@ GROUP BY 1
 def gate_queries() -> dict:
     """name → callable(spark, sf_dir) -> DataFrame (engine side)."""
     def bm25_single(spark, sf_dir):
-        return fmt_topk_docs(docs_engine(spark, sf_dir)
-                             .topk(["spark"], k=10, mode="wand"))
+        return gate_topk_docs(docs_engine(spark, sf_dir), ["spark"], 10,
+                              mode="wand")
 
     def bm25_single_exhaustive(spark, sf_dir):
         # dual path through the driver: same oracle as bm25_single
-        return fmt_topk_docs(docs_engine(spark, sf_dir)
-                             .topk(["spark"], k=10, mode="exhaustive"))
+        return gate_topk_docs(docs_engine(spark, sf_dir), ["spark"], 10,
+                              mode="exhaustive")
 
     def bm25_multi(spark, sf_dir):
-        return fmt_topk_docs(docs_engine(spark, sf_dir)
-                             .topk(["spark", "vector", "query"], k=10,
-                                   mode="wand"))
+        return gate_topk_docs(docs_engine(spark, sf_dir),
+                              ["spark", "vector", "query"], 10, mode="wand")
 
     def bm25_filtered_lang(spark, sf_dir):
         # lang rides in the 'role' annotation slot (sources/documents.py)
-        return fmt_topk_docs(docs_engine(spark, sf_dir)
-                             .topk(["spark"], k=10, role="en"))
+        return gate_topk_docs(docs_engine(spark, sf_dir), ["spark"], 10,
+                              mode="exhaustive", role="en")
 
     def phrase_hits_docs(spark, sf_dir):
         eng = docs_engine(spark, sf_dir)
@@ -299,8 +304,8 @@ def gate_queries() -> dict:
                 .agg(F.count("*").alias("count")))
 
     def transcript_topk_role(spark, sf_dir):
-        return fmt_topk_micro(micro_engine(spark)
-                              .topk(["visa"], k=5, role="assistant"))
+        return gate_topk_micro(micro_engine(spark), ["visa"], 5,
+                               role="assistant")
 
     def transcript_phrase_within(spark, sf_dir):
         eng = micro_engine(spark)
@@ -309,7 +314,9 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select("conv_id", "turn_idx",
                                            "start", "end")
 
+    from blacklab_spark.driver_gate_pipeline import pipeline_queries
     return {
+        **pipeline_queries(),
         "bm25_topk_single": bm25_single,
         "bm25_topk_single_exhaustive": bm25_single_exhaustive,
         "bm25_topk_multi": bm25_multi,
@@ -325,7 +332,9 @@ def gate_queries() -> dict:
 
 
 def gate_oracles() -> dict[str, str]:
+    from blacklab_spark.driver_gate_pipeline import pipeline_oracles
     return {
+        **pipeline_oracles(),
         "bm25_topk_single": bm25_docs_sql(["spark"], 10),
         "bm25_topk_single_exhaustive": bm25_docs_sql(["spark"], 10),
         "bm25_topk_multi": bm25_docs_sql(["spark", "vector", "query"], 10),

@@ -1,0 +1,258 @@
+"""Driver gate, part 2: training-data pipeline ops + DuckDB oracles.
+
+Same discipline as driver_gate.py: every Spark query has an
+independent SQL re-derivation (cross-engine md5-prefix hashing, see
+functions/hashing.py), integer/rounded arithmetic, rounded-order
+cuts. The IVF ANN query is oracle-checked by re-running the *same
+deterministic algorithm* in SQL — not a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from blacklab_spark.functions import dedup as D
+from blacklab_spark.functions import multimodal as M
+from blacklab_spark.functions import similarity as S
+from blacklab_spark.functions import textstats as X
+
+H15 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def R4(num: str, den: str) -> str:
+    """Integer round-half-up of num/den to 4dp — mirrors
+    functions.textstats.rational_round4 (see its docstring)."""
+    return (f"(((20000 * ({num}) + ({den})) // (2 * ({den})))::DOUBLE"
+            f" / 10000.0)")
+
+_SHINGLES = (
+    "stoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "
+    "AS ts FROM documents),\n"
+    "tsets AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(0, len(ts) - 2)), "
+    "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM stoks)")
+_TOKS = ("toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+         "'[a-z0-9]+') AS ts FROM documents)")
+
+JACCARD_T = 0.5   # planted near-dup pairs sit at 0.9-0.99; next-highest < 0.1
+SIMHASH_T = 4
+EMB_QUERY_ID = 7
+NEAR_COS_T = 0.45
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def pipeline_queries() -> dict:
+    def dedup_exact(spark, sf_dir):
+        return D.exact_dedup(_docs(spark, sf_dir))
+
+    def jaccard_pairs(spark, sf_dir):
+        return D.jaccard_pairs_bruteforce(_docs(spark, sf_dir), JACCARD_T)
+
+    def minhash_lsh(spark, sf_dir):
+        return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+
+    def simhash_pairs(spark, sf_dir):
+        return D.simhash_near_pairs(_docs(spark, sf_dir),
+                                    max_hamming=SIMHASH_T)
+
+    def embedding_topk(spark, sf_dir):
+        return S.cosine_topk(_emb(spark, sf_dir), EMB_QUERY_ID, k=10)
+
+    def embedding_topk_ivf(spark, sf_dir):
+        return S.ivf_topk(_emb(spark, sf_dir), EMB_QUERY_ID, k=10,
+                          stride=64, nprobe=2)
+
+    def embedding_near_pairs(spark, sf_dir):
+        return D.embedding_near_pairs(_emb(spark, sf_dir), NEAR_COS_T)
+
+    def langid(spark, sf_dir):
+        return X.language_id(_docs(spark, sf_dir))
+
+    def quality(spark, sf_dir):
+        return X.quality_score(_docs(spark, sf_dir))
+
+    def tokstats(spark, sf_dir):
+        return X.token_stats(_docs(spark, sf_dir))
+
+    def fp(spark, sf_dir):
+        return X.fingerprint(_docs(spark, sf_dir))
+
+    def mm_features(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return M.byte_features(M.media_from_documents(docs))
+
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard_pairs": jaccard_pairs,
+        "dedup_minhash_lsh": minhash_lsh,
+        "dedup_simhash_pairs": simhash_pairs,
+        "embedding_cosine_topk": embedding_topk,
+        "embedding_cosine_topk_ivf": embedding_topk_ivf,
+        "embedding_near_pairs": embedding_near_pairs,
+        "text_language_id": langid,
+        "text_quality_score": quality,
+        "text_token_stats": tokstats,
+        "text_fingerprint": fp,
+        "multimodal_byte_features": mm_features,
+    }
+
+
+def _jaccard_sql(threshold: float) -> str:
+    return f"""
+WITH {_SHINGLES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {R4("len(list_intersect(a.s, b.s))",
+           "len(list_distinct(list_concat(a.s, b.s)))")} AS jaccard
+FROM tsets a JOIN tsets b ON a.doc_id < b.doc_id
+WHERE {R4("len(list_intersect(a.s, b.s))",
+          "len(list_distinct(list_concat(a.s, b.s)))")} >= {threshold}
+"""
+
+
+def _cos_expr(a: str, b: str) -> str:
+    return (f"list_inner_product({a}, {b}) / "
+            f"(sqrt(list_inner_product({a}, {a})) * "
+            f"sqrt(list_inner_product({b}, {b})))")
+
+
+def _emb_topk_sql(query_id: int, k: int) -> str:
+    cos = _cos_expr("e.v", "q.v")
+    return f"""
+WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM ed WHERE vec_id = {query_id}),
+scored AS (SELECT e.vec_id, round({cos}, 4) AS cosine
+           FROM ed e CROSS JOIN q WHERE e.vec_id != {query_id}),
+topk AS (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank,
+       vec_id, cosine FROM topk
+"""
+
+
+def _emb_ivf_sql(query_id: int, k: int, stride: int, nprobe: int) -> str:
+    return f"""
+WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM ed WHERE vec_id % {stride} = 0),
+assign_all AS (
+  SELECT e.vec_id AS id, e.v, c.cid,
+         round({_cos_expr('e.v', 'c.cv')}, 6) AS sim,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({_cos_expr('e.v', 'c.cv')}, 6) DESC,
+                                     c.cid) AS rn
+  FROM ed e CROSS JOIN cents c),
+assigned AS (SELECT id, v, cid FROM assign_all WHERE rn = 1),
+q AS (SELECT v FROM ed WHERE vec_id = {query_id}),
+probe AS (SELECT c.cid FROM cents c CROSS JOIN q
+          ORDER BY round({_cos_expr('c.cv', 'q.v')}, 6) DESC, c.cid
+          LIMIT {nprobe}),
+cand AS (SELECT a.id, a.v FROM assigned a JOIN probe USING (cid)
+         WHERE a.id != {query_id}),
+scored AS (SELECT c.id AS vec_id, round({_cos_expr('c.v', 'q.v')}, 4) AS cosine
+           FROM cand c CROSS JOIN q),
+topk AS (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank,
+       vec_id, cosine FROM topk
+"""
+
+
+def pipeline_oracles() -> dict[str, str]:
+    sw = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    tok_h = H15.format(x="t")
+    oracles = {
+        "dedup_exact": f"""
+SELECT {H15.format(x='text')} AS digest, min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+        "dedup_jaccard_pairs": _jaccard_sql(JACCARD_T),
+        # LSH + exact-verify equals brute force on this corpus (100%
+        # recall verified in tests) → same oracle as brute force.
+        "dedup_minhash_lsh": _jaccard_sql(JACCARD_T),
+        "dedup_simhash_pairs": f"""
+WITH {_TOKS},
+occ AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+occ_h AS (SELECT doc_id, {tok_h} AS h FROM occ),
+bits AS (SELECT doc_id, g.bit,
+                sum(CASE WHEN (h >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM occ_h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) g
+         GROUP BY doc_id, g.bit),
+sh AS (SELECT doc_id,
+              sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+              AS simhash
+       FROM bits GROUP BY doc_id),
+base AS (SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+         FROM documents d LEFT JOIN sh USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM base a JOIN base b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_T}
+""",
+        "embedding_cosine_topk": _emb_topk_sql(EMB_QUERY_ID, 10),
+        "embedding_cosine_topk_ivf": _emb_ivf_sql(EMB_QUERY_ID, 10, 64, 2),
+        "embedding_near_pairs": f"""
+WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_expr('a.v', 'b.v')}, 4) AS cosine
+FROM ed a JOIN ed b ON a.vec_id < b.vec_id
+WHERE round({_cos_expr('a.v', 'b.v')}, 4) >= {NEAR_COS_T}
+""",
+        "text_language_id": f"""
+WITH {_TOKS},
+r AS (SELECT doc_id, len(ts) AS n,
+             len(list_filter(ts, t -> t IN ({sw}))) AS swc
+      FROM toks)
+SELECT doc_id,
+       CASE WHEN n > 0 THEN {R4("swc", "n")} ELSE 0.0 END AS sw_ratio,
+       CASE WHEN swc * 100 >= n * 8 THEN 'en' ELSE 'other' END AS pred_lang
+FROM r
+""",
+        "text_quality_score": f"""
+WITH {_TOKS},
+m AS (SELECT doc_id, len(ts) AS n,
+             coalesce(list_sum(list_transform(ts, t -> strlen(t))), 0)
+               AS sum_len,
+             len(list_filter(ts, t -> t IN ({sw}))) AS swc
+      FROM toks)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       CASE WHEN n > 0 THEN {R4("sum_len", "n")} ELSE 0.0 END
+         AS mean_token_len,
+       CASE WHEN n > 0 THEN {R4("swc", "n")} ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n > 0 THEN
+         {R4("least(n, 200) * n + 200 * least(5 * swc, n)", "400 * n")}
+       ELSE 0.0 END AS quality
+FROM m
+""",
+        "text_token_stats": """
+SELECT doc_id,
+       CAST(CASE WHEN strlen(trim(text)) > 0
+                 THEN len(string_split_regex(trim(text), '\\s+'))
+                 ELSE 0 END AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+            AS INT) AS bpe_tokens
+FROM documents
+""",
+        "text_fingerprint": f"""
+WITH {_TOKS},
+h AS (SELECT doc_id,
+             list_transform(ts, t -> {tok_h} % {X.FP_MOD}) AS hs
+      FROM toks)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, hs),
+                   (a, b) -> (a * {X.FP_MULT} + b) % {X.FP_MOD}) AS fingerprint
+FROM h
+""",
+        "multimodal_byte_features": """
+SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1))
+                 ELSE NULL END AS INT) AS head_byte
+FROM documents
+""",
+    }
+    return oracles

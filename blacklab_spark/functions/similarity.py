@@ -1,0 +1,103 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k vs one query vector:
+  JVM-only (zip_with/aggregate in double), ``orderBy().limit(k)`` →
+  TakeOrderedAndProject. The baseline every ANN variant is judged
+  against.
+* ``ivf_topk`` — IVF-style ANN: deterministic centroids (every
+  ``stride``-th vector), map-side assignment to nearest centroid
+  (broadcast centroid table), query probes ``nprobe`` nearest lists.
+  Fully deterministic ⇒ the DuckDB oracle re-runs the *same*
+  algorithm, so even the ANN path is value-checked, not just
+  rows-counted. At 10^9 vectors the assignment is one broadcast join
+  and the probe reads ~nprobe/ncentroids of the corpus (partition by
+  centroid id for locality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _as_double(col: str) -> F.Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k neighbours of the vector with ``query_id``
+    (query excluded). Rank/cut by (round(cos,4) desc, id) — the
+    cross-engine-stable total order (see driver_gate)."""
+    d = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    q = d.filter(F.col("id") == query_id) \
+         .select(F.col("v").alias("qv"))
+    joined = d.filter(F.col("id") != query_id).crossJoin(F.broadcast(q))
+    cos = F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+    scored = joined.select("id", cos.alias("cosine"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", F.col("id").alias("vec_id"), "cosine"))
+
+
+def centroids(emb: DataFrame, stride: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF centroids: every stride-th vector by id.
+    (A k-means refinement would drop in here; determinism and
+    oracle-parity matter more than centroid quality for the gate.)"""
+    return (emb.filter(F.col(id_col) % stride == 0)
+            .select(F.col(id_col).alias("cid"),
+                    _as_double(vec_col).alias("cv")))
+
+
+def ivf_assign(emb: DataFrame, cents: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (ties →
+    smaller cid). Broadcast join + window argmax — map-side at scale."""
+    d = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    j = d.crossJoin(F.broadcast(cents))
+    cos = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (j.select("id", "v", "cid", cos.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "v", "cid"))
+
+
+def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, stride: int = 64,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: probe the nprobe centroids nearest to the query,
+    exact cosine over their member lists only."""
+    cents = centroids(emb, stride, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    q = emb.filter(F.col(id_col) == query_id) \
+           .select(_as_double(vec_col).alias("qv"))
+    probe = (cents.crossJoin(F.broadcast(q))
+             .select("cid", F.round(_dot("cv", "qv")
+                                    / (_norm("cv") * _norm("qv")), 6)
+                     .alias("sim"))
+             .orderBy(F.desc("sim"), F.asc("cid")).limit(nprobe)
+             .select("cid"))
+    cand = (assigned.join(F.broadcast(probe), "cid")
+            .filter(F.col("id") != query_id)
+            .crossJoin(F.broadcast(q)))
+    cos = F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+    scored = cand.select("id", cos.alias("cosine"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return (scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", F.col("id").alias("vec_id"), "cosine"))

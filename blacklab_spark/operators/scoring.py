@@ -1,10 +1,18 @@
 """Exhaustive BM25 scorer — the reference path of the dual-path gate.
 
-Decodes every posting block of the query terms, emits per-posting
-score contributions, and lets Spark do the rest declaratively:
-``groupBy(doc_id).sum`` (map-side partial aggregation) →
+Scores every posting block of the query terms through the shared
+per-bucket kernel (``score_bucket_kernel``), then finishes with
 ``orderBy(score desc, doc_id).limit(k)`` (Catalyst compiles this to
 TakeOrderedAndProject — per-partition top-k, no global sort).
+
+**Float determinism contract** (SURVEY.md §7 hard part 4): a doc's
+final score is always the sum of its per-term contributions in
+*term_id-ascending* order, computed inside one kernel invocation — a
+doc's postings live in exactly one doc-range bucket, so no partial
+sums are ever combined across tasks and the result is bit-identical
+across paths, partitionings and cluster sizes. The Python oracle sums
+in sorted-term order (= term_id order) with the identical expression
+shape, so engine ties resolve exactly like oracle ties.
 
 Mirrors the role of plain Lucene scoring without WAND; the WAND path
 (operators/wand.py) must be rank- and score-identical to this one
@@ -24,9 +32,9 @@ from pyspark.sql import functions as F, types as T
 from blacklab_spark import codec
 from blacklab_spark.index import InvertedIndex
 
-CONTRIB_SCHEMA = T.StructType([
+SCORE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
-    T.StructField("contribution", T.DoubleType(), False),
+    T.StructField("score", T.DoubleType(), False),
 ])
 
 TOPK_SCHEMA = T.StructType([
@@ -39,28 +47,44 @@ TOPK_SCHEMA = T.StructType([
 ])
 
 
-def _decode_contribs(idf_by_term: dict[int, float], k1: float, b: float,
-                     avgdl: float):
-    """mapInPandas kernel: posting blocks → (doc_id, contribution)."""
-    def decode(batches: Iterable[pd.DataFrame]):
-        for pdf in batches:
-            docs_out, contribs_out = [], []
-            for term_id, blob_doc, blob_tf, blob_dl in zip(
-                    pdf["term_id"], pdf["doc_ids"], pdf["tfs"], pdf["dls"]):
-                doc = codec.decode_deltas(blob_doc).astype(np.int64)
-                tf = codec.decode_varints(blob_tf).astype(np.float64)
-                dl = codec.decode_varints(blob_dl).astype(np.float64)
-                idf = idf_by_term[int(term_id)]
-                contrib = idf * tf * (k1 + 1.0) / (
-                    tf + k1 * (1.0 - b + b * dl / avgdl))
-                docs_out.append(doc)
-                contribs_out.append(contrib)
-            if docs_out:
-                yield pd.DataFrame({
-                    "doc_id": np.concatenate(docs_out),
-                    "contribution": np.concatenate(contribs_out),
-                })
-    return decode
+def score_bucket_kernel(idf_by_term: dict[int, float], k1: float, b: float,
+                        avgdl: float, local_k: int | None = None):
+    """applyInPandas kernel over one doc-range bucket's blocks: decode,
+    canonical (doc_id, term_id)-ordered contribution sum per doc,
+    optional local top-k (tie-break score desc → doc_id asc so the cut
+    never drops a global winner). Shared by the exhaustive and WAND
+    paths — identical arithmetic by construction."""
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        docs_out, tids_out, contribs_out = [], [], []
+        for term_id, blob_doc, blob_tf, blob_dl in zip(
+                pdf["term_id"], pdf["doc_ids"], pdf["tfs"], pdf["dls"]):
+            doc = codec.decode_deltas(blob_doc).astype(np.int64)
+            tf = codec.decode_varints(blob_tf).astype(np.float64)
+            dl = codec.decode_varints(blob_dl).astype(np.float64)
+            idf = idf_by_term[int(term_id)]
+            # expression shape MUST match oracle.bm25_score exactly
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl))
+            docs_out.append(doc)
+            tids_out.append(np.full(doc.size, int(term_id), dtype=np.int64))
+            contribs_out.append(contrib)
+        d = np.concatenate(docs_out)
+        t = np.concatenate(tids_out)
+        c = np.concatenate(contribs_out)
+        order = np.lexsort((t, d))  # doc asc, then term_id asc
+        d, c = d[order], c[order]
+        starts = np.empty(d.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = d[1:] != d[:-1]
+        s_idx = np.nonzero(starts)[0]
+        uniq = d[s_idx]
+        sums = np.add.reduceat(c, s_idx)
+        if local_k is not None and uniq.size > local_k:
+            top = np.lexsort((uniq, -sums))[:local_k]
+            uniq, sums = uniq[top], sums[top]
+        return pd.DataFrame({"doc_id": uniq, "score": sums})
+
+    return kernel
 
 
 def doc_scores(index: InvertedIndex, terms: list[str],
@@ -73,14 +97,16 @@ def doc_scores(index: InvertedIndex, terms: list[str],
     idf_map = {int(t): float(i) for t, i in zip(info["term_id"], info["idf"])}
     blocks = index.postings.filter(
         F.col("term_id").isin([int(t) for t in info["term_id"]]))
-    contribs = blocks.select("term_id", "doc_ids", "tfs", "dls").mapInPandas(
-        _decode_contribs(idf_map, index.cfg.k1, index.cfg.b, index.avgdl),
-        CONTRIB_SCHEMA)
+    scores = (blocks.select("bucket", "term_id", "doc_ids", "tfs", "dls")
+              .groupBy("bucket")
+              .applyInPandas(
+                  score_bucket_kernel(idf_map, index.cfg.k1, index.cfg.b,
+                                      index.avgdl),
+                  SCORE_SCHEMA))
     if doc_filter is not None:
         allowed = index.doc_meta.filter(doc_filter).select("doc_id")
-        contribs = contribs.join(allowed, "doc_id", "left_semi")
-    return contribs.groupBy("doc_id").agg(
-        F.sum("contribution").alias("score"))
+        scores = scores.join(allowed, "doc_id", "left_semi")
+    return scores
 
 
 def finish_topk(index: InvertedIndex, scores: DataFrame, k: int) -> DataFrame:

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F, types as T
 
 from blacklab_spark import codec
 from blacklab_spark.index import InvertedIndex
-from blacklab_spark.operators.scoring import finish_topk
+from blacklab_spark.operators.scoring import finish_topk, score_bucket_kernel
 
 LOCAL_TOPK_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
@@ -57,40 +57,6 @@ def _seed_threshold(blocks: DataFrame, k: int) -> float:
            .agg(F.max("max_score").alias("t0"))
            .collect()[0]["t0"])
     return float(kth) if kth is not None else 0.0
-
-
-def _bucket_kernel(idf_by_term: dict[int, float], k1: float, b: float,
-                   avgdl: float, k: int):
-    """applyInPandas per bucket: decode all query-term blocks, exact
-    DAAT sum per doc (vectorized), local top-k with (score desc,
-    doc_id asc) tie-break so the cut never drops a global winner."""
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        docs_out, contribs_out = [], []
-        for term_id, blob_doc, blob_tf, blob_dl in zip(
-                pdf["term_id"], pdf["doc_ids"], pdf["tfs"], pdf["dls"]):
-            doc = codec.decode_deltas(blob_doc).astype(np.int64)
-            tf = codec.decode_varints(blob_tf).astype(np.float64)
-            dl = codec.decode_varints(blob_dl).astype(np.float64)
-            idf = idf_by_term[int(term_id)]
-            contribs_out.append(idf * tf * (k1 + 1.0) / (
-                tf + k1 * (1.0 - b + b * dl / avgdl)))
-            docs_out.append(doc)
-        d = np.concatenate(docs_out)
-        c = np.concatenate(contribs_out)
-        order = np.argsort(d, kind="stable")
-        d, c = d[order], c[order]
-        starts = np.empty(d.size, dtype=bool)
-        starts[0] = True
-        starts[1:] = d[1:] != d[:-1]
-        s_idx = np.nonzero(starts)[0]
-        uniq = d[s_idx]
-        sums = np.add.reduceat(c, s_idx)
-        if uniq.size > k:
-            top = np.lexsort((uniq, -sums))[:k]
-            uniq, sums = uniq[top], sums[top]
-        return pd.DataFrame({"doc_id": uniq, "score": sums})
-
-    return kernel
 
 
 def topk_wand(index: InvertedIndex, terms: list[str], k: int = 10) -> DataFrame:
@@ -130,7 +96,7 @@ def topk_wand(index: InvertedIndex, terms: list[str], k: int = 10) -> DataFrame:
     local = (pruned.select("bucket", "term_id", "doc_ids", "tfs", "dls")
              .groupBy("bucket")
              .applyInPandas(
-                 _bucket_kernel(idf_map, index.cfg.k1, index.cfg.b,
-                                index.avgdl, k),
+                 score_bucket_kernel(idf_map, index.cfg.k1, index.cfg.b,
+                                     index.avgdl, local_k=k),
                  LOCAL_TOPK_SCHEMA))
     return finish_topk(index, local, k)

@@ -74,7 +74,10 @@ def bm25_score(idx: OracleIndex, terms: list[str], doc_id: int,
     avgdl = idx.avgdl
     dl = idx.dl[doc_id]
     s = 0.0
-    for t in terms:
+    # canonical summation order: sorted terms == engine's term_id order
+    # (term ids are assigned in sorted-term order) — ties then resolve
+    # bit-identically between oracle and engine (SURVEY.md §7 part 4)
+    for t in sorted(set(terms)):
         plist = idx.postings.get(t, {})
         if doc_id not in plist:
             continue

@@ -27,10 +27,25 @@ def get_spark(app: str = "blacklab_spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Floor on scan split count: small/mid-size corpora compress to
+        # a handful of 128MB byte-splits, which would cap every
+        # downstream stage's parallelism below the core count. At real
+        # scale file volume yields far more splits than this minimum,
+        # so the setting is inert there.
+        .config("spark.sql.files.minPartitionNum", str(cores * 2))
+        # Shuffle/spill on tmpfs: the sandbox's virtio disk has high
+        # write-latency variance that swamps job timing; tmpfs models
+        # a real executor's local NVMe. Override with SPARK_LOCAL_DIRS.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # make blacklab_spark importable on executors regardless of how the
+    # driver found it (cwd, PYTHONPATH, import-by-path)
+    from blacklab_spark.shipping import ship
+    ship(spark)
     return spark

@@ -59,15 +59,22 @@ _EPOCH = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
 
 
 def make_vocab(size: int) -> list[str]:
-    """Deterministic synthetic vocabulary: special head + CV syllable words."""
+    """Deterministic synthetic vocabulary: special head + CV syllable
+    words, unique by construction (base-80 digit encoding of the index)."""
     words = list(_SPECIAL)
     syll = ["".join(p) for p in itertools.product(_CONS, _VOW)]
+    base = len(syll)
+    special = set(_SPECIAL)
     i = 0
     while len(words) < size:
-        w = syll[i % len(syll)] + syll[(i * 7 + 3) % len(syll)]
-        if i >= len(syll) * 2:
-            w += syll[(i * 13 + 5) % len(syll)]
-        if w not in _SPECIAL:
+        n, parts = i, []
+        while True:
+            parts.append(syll[n % base])
+            n //= base
+            if n == 0:
+                break
+        w = "".join(parts)
+        if w not in special:
             words.append(w)
         i += 1
     return words[:size]

@@ -13,8 +13,9 @@ from blacklab_spark.index import open_index
 
 def test_assign_dense_ids_matches_global_rank(spark, tiny_pdf):
     df = spark.createDataFrame(tiny_pdf)
-    out = assign_dense_ids(df, ["conv_id", "turn_idx"], "doc_id", 4)
+    out, cached = assign_dense_ids(df, ["conv_id", "turn_idx"], "doc_id", 4)
     rows = out.select("conv_id", "turn_idx", "doc_id").collect()
+    cached.unpersist()
     got = sorted((r["conv_id"], r["turn_idx"], r["doc_id"]) for r in rows)
     expected = sorted((r["conv_id"], r["turn_idx"])
                       for r in tiny_pdf.to_dict("records"))
