@@ -110,6 +110,23 @@ class SearchEngine:
     def docs_from_hits(self, hits: DataFrame, **kw):
         return H.docs_from_hits(self.index, hits, **kw)
 
+    # -- CQL-lite (parse → rewrite → span algebra) ----------------------
+    def find(self, cql: str, role=None, tool=None, conv_id=None,
+             where=None) -> DataFrame:
+        """CQL-lite query → hits frame (BlackLabIndex.find analog,
+        reference: search/BlackLabIndex.java:180-201)."""
+        from blacklab_spark.plans.executor import find as _find
+        hits = _find(self.index, cql)
+        filt = self._doc_filter(role, tool, conv_id, where)
+        if filt is not None:
+            from blacklab_spark.operators.spans import filter_by_docs
+            hits = filter_by_docs(hits, self.index.doc_meta.filter(filt))
+        return hits
+
+    def explain_cql(self, cql: str) -> str:
+        from blacklab_spark.plans.executor import explain as _explain
+        return _explain(cql)
+
     # -- introspection --------------------------------------------------
     def explain(self, query: str | list[str], k: int = 10, **filters) -> str:
         terms = self._terms(query)

@@ -1,0 +1,319 @@
+"""Span algebra: BlackLab's BLSpanQuery operator set over hit frames.
+
+A *hits frame* is a DataFrame ``(doc_id:long, start:int, end:int)``
+(half-open token intervals — the reference's Hit contract,
+engine/src/main/java/nl/inl/blacklab/search/results/EphemeralHit.java:13-15),
+optionally with a ``match_info`` map column for named captures.
+
+Each function mirrors one operator from SURVEY.md §2.A (reference
+file:line cited per function) as a declarative DataFrame plan:
+unions, equi-joins on (doc_id, position) and interval joins — all
+strategies Catalyst already optimizes (broadcast vs SMJ, AQE skew
+splitting). Nothing here shuffles more than the join keys demand;
+the positional join keys are (doc_id) with range predicates on
+positions, so co-partitioning by doc_id makes every operator a local
+join at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from blacklab_spark.index import InvertedIndex
+
+HIT_COLS = ["doc_id", "start", "end"]
+
+
+def _h(df: DataFrame) -> DataFrame:
+    return df.select(*HIT_COLS, *[c for c in df.columns
+                                  if c == "match_info"])
+
+
+# -- leaves -----------------------------------------------------------
+def term(index: InvertedIndex, t: str) -> DataFrame:
+    """All positions of a term (BLSpanTermQuery.java:52)."""
+    from blacklab_spark.operators.hits import term_hits
+    return term_hits(index, t)
+
+
+def regex_terms(index: InvertedIndex, pattern: str) -> DataFrame:
+    """Multi-term: regex → matching terms → OR of term hits
+    (BLSpanMultiTermQueryWrapper.java:53 rewrite-to-OR). The term
+    dictionary drives expansion; hits come from one array probe with
+    an OR-set membership filter, not |terms| separate scans."""
+    info = index.expand_regex(f"^(?:{pattern})$")
+    terms = list(info["term"])
+    if not terms:
+        return no_hits(index)
+    dm = index.doc_meta
+    tset = F.array(*[F.lit(t) for t in terms])
+    return (dm.filter(F.arrays_overlap("tokens", tset))
+            .select("doc_id", F.posexplode("tokens").alias("start", "tok"))
+            .filter(F.array_contains(tset, F.col("tok")))
+            .select("doc_id", F.col("start").cast("int"),
+                    (F.col("start") + 1).cast("int").alias("end")))
+
+
+def any_token(index: InvertedIndex, min_len: int = 1,
+              max_len: int = 1) -> DataFrame:
+    """``[]{m,n}`` — every n-gram span (SpanQueryAnyToken.java:25,
+    SpansNGrams.java:17). Generated from doc lengths, not stored.
+    NOTE: the rewriter (plans/rewrite.py) eliminates this in favour of
+    expansion whenever possible — materializing it is the expensive
+    last resort, exactly as in the reference (§4.1 CCAnyExpansion)."""
+    dm = index.doc_meta.select("doc_id", "n_tokens")
+    lens = F.explode(F.sequence(F.lit(min_len), F.lit(max_len))).alias("w")
+    with_w = dm.select("doc_id", "n_tokens", lens)
+    starts = F.explode(F.sequence(
+        F.lit(0), F.col("n_tokens") - F.col("w"))).alias("start")
+    return (with_w.filter(F.col("n_tokens") >= F.col("w"))
+            .select("doc_id", "w", starts)
+            .select("doc_id", F.col("start").cast("int"),
+                    (F.col("start") + F.col("w")).cast("int").alias("end")))
+
+
+def no_hits(index: InvertedIndex) -> DataFrame:
+    """Empty relation (SpanQueryNoHits.java:20)."""
+    return index.spark.createDataFrame(
+        [], "doc_id long, start int, end int")
+
+
+def fixed_span(index: InvertedIndex, start: int, end: int) -> DataFrame:
+    """Constant span per doc, clamped (SpanQueryFixedSpan.java:32)."""
+    return (index.doc_meta.filter(F.col("n_tokens") >= end)
+            .select("doc_id", F.lit(start).cast("int").alias("start"),
+                    F.lit(end).cast("int").alias("end")))
+
+
+# -- set combinators --------------------------------------------------
+def or_(*clauses: DataFrame) -> DataFrame:
+    """Union of span sets (BLSpanOrQuery priority-queue merge ≙ union +
+    downstream sort; duplicates kept, as in the reference)."""
+    out = _h(clauses[0])
+    for c in clauses[1:]:
+        out = out.unionByName(_h(c))
+    return out
+
+
+def and_(*clauses: DataFrame) -> DataFrame:
+    """Same-span intersection (SpanQueryAnd.java:11, SpansAndSimple):
+    keep spans identical in all clauses."""
+    out = _h(clauses[0]).dropDuplicates(HIT_COLS)
+    for c in clauses[1:]:
+        out = out.join(_h(c).dropDuplicates(HIT_COLS), HIT_COLS)
+    return out
+
+
+def and_not(positive: DataFrame, negative: DataFrame) -> DataFrame:
+    """Positive minus negative on identical spans
+    (SpanQueryAndNot.java:34)."""
+    return _h(positive).join(_h(negative), HIT_COLS, "left_anti")
+
+
+def not_(index: InvertedIndex, clause: DataFrame) -> DataFrame:
+    """Token complement: all single-token positions not covered by a
+    clause hit (SpanQueryNot.java:25; uses doc lengths like
+    DocFieldLengthGetter.java:20). Rewritten away whenever possible."""
+    return and_not(any_token(index, 1, 1), _h(clause))
+
+
+# -- positional combinators ------------------------------------------
+def sequence(a: DataFrame, b: DataFrame, min_gap: int = 0,
+             max_gap: int = 0) -> DataFrame:
+    """A followed by B with gap∈[min_gap, max_gap]
+    (SpanQuerySequence.java:50; gapped variant
+    SpansSequenceWithGap.java:57). Equi-join on doc + position range;
+    with gap 0 it is a pure equi-join on (doc_id, boundary) — the
+    merge-join fast path (SpansSequenceSimple.java:18) falls out of
+    Catalyst choosing SMJ on those keys."""
+    aa, bb = _h(a).alias("a"), _h(b).alias("b")
+    if min_gap == 0 and max_gap == 0:
+        cond = (F.col("a.doc_id") == F.col("b.doc_id")) & \
+               (F.col("b.start") == F.col("a.end"))
+    else:
+        cond = (F.col("a.doc_id") == F.col("b.doc_id")) & \
+               (F.col("b.start") >= F.col("a.end") + min_gap) & \
+               (F.col("b.start") <= F.col("a.end") + max_gap)
+    return (aa.join(bb, cond)
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.start").alias("start"),
+                    F.col("b.end").alias("end"))
+            .dropDuplicates(HIT_COLS))
+
+
+def expand(index: InvertedIndex, clause: DataFrame, direction: str,
+           min_exp: int, max_exp: int) -> DataFrame:
+    """Stretch hits left/right by m..n tokens, one hit per amount,
+    clamped to doc bounds (SpanQueryExpansion.java:36,
+    SpansExpansionRaw.java:33). No join — explode + clamp."""
+    dm = index.doc_meta.select("doc_id", "n_tokens")
+    j = _h(clause).join(dm, "doc_id")
+    amt = F.explode(F.sequence(F.lit(min_exp), F.lit(max_exp))).alias("amt")
+    j = j.select("doc_id", "start", "end", "n_tokens", amt)
+    if direction == "left":
+        out = j.select("doc_id",
+                       (F.col("start") - F.col("amt")).alias("start"), "end")
+        out = out.filter(F.col("start") >= 0)
+    else:
+        out = j.select("doc_id", "start",
+                       (F.col("end") + F.col("amt")).alias("end"),
+                       "n_tokens").filter(F.col("end") <= F.col("n_tokens")) \
+               .drop("n_tokens")
+    return out.select("doc_id", F.col("start").cast("int"),
+                      F.col("end").cast("int"))
+
+
+def repetition(clause: DataFrame, min_rep: int, max_rep: int) -> DataFrame:
+    """A{m,n}: consecutive self-concatenation
+    (SpanQueryRepetition.java:25). Iterated self-join on
+    end == next.start; n is typically small so the join depth is
+    bounded (the rewriter collapses A{1,1} → A first)."""
+    assert min_rep >= 1
+    reps = {1: _h(clause).dropDuplicates(HIT_COLS)}
+    for i in range(2, max_rep + 1):
+        reps[i] = sequence(reps[i - 1], reps[1])
+    frames = [reps[i] for i in range(min_rep, max_rep + 1)]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.dropDuplicates(HIT_COLS)
+
+
+# -- position filters (SpanQueryPositionFilter.java:24, ops enum
+#    :160-181; interval joins) ---------------------------------------
+def _pos_join(a: DataFrame, b: DataFrame, cond, invert: bool) -> DataFrame:
+    aa, bb = _h(a).alias("a"), _h(b).alias("b")
+    full = (F.col("a.doc_id") == F.col("b.doc_id")) & cond
+    how = "left_anti" if invert else "left_semi"
+    return (aa.join(bb, full, how)
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.start").alias("start"),
+                    F.col("a.end").alias("end")))
+
+
+def within(a: DataFrame, b: DataFrame, invert: bool = False) -> DataFrame:
+    """Keep hits of A contained in some hit of B."""
+    return _pos_join(a, b, (F.col("a.start") >= F.col("b.start"))
+                     & (F.col("a.end") <= F.col("b.end")), invert)
+
+
+def containing(a: DataFrame, b: DataFrame, invert: bool = False) -> DataFrame:
+    """Keep hits of A that contain some hit of B."""
+    return _pos_join(a, b, (F.col("b.start") >= F.col("a.start"))
+                     & (F.col("b.end") <= F.col("a.end")), invert)
+
+
+def matches(a: DataFrame, b: DataFrame, invert: bool = False) -> DataFrame:
+    return _pos_join(a, b, (F.col("a.start") == F.col("b.start"))
+                     & (F.col("a.end") == F.col("b.end")), invert)
+
+
+def starts_at(a: DataFrame, b: DataFrame, invert: bool = False) -> DataFrame:
+    return _pos_join(a, b, F.col("a.start") == F.col("b.start"), invert)
+
+
+def ends_at(a: DataFrame, b: DataFrame, invert: bool = False) -> DataFrame:
+    return _pos_join(a, b, F.col("a.end") == F.col("b.end"), invert)
+
+
+def overlapping(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Overlap regions of A and B (SpanQueryOverlapping.java:15):
+    emit (max(start), min(end)) per overlapping pair."""
+    aa, bb = _h(a).alias("a"), _h(b).alias("b")
+    cond = (F.col("a.doc_id") == F.col("b.doc_id")) & \
+           (F.col("a.start") < F.col("b.end")) & \
+           (F.col("b.start") < F.col("a.end"))
+    return (aa.join(bb, cond)
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.greatest("a.start", "b.start").cast("int").alias("start"),
+                    F.least("a.end", "b.end").cast("int").alias("end"))
+            .dropDuplicates(HIT_COLS))
+
+
+# -- unary shapes -----------------------------------------------------
+def edge(clause: DataFrame, trailing: bool = False) -> DataFrame:
+    """Zero-length leading/trailing edge (SpanQueryEdge.java:23)."""
+    c = _h(clause)
+    if trailing:
+        return c.select("doc_id", F.col("end").alias("start"), "end")
+    return c.select("doc_id", "start", F.col("start").alias("end"))
+
+
+def unique(clause: DataFrame) -> DataFrame:
+    """Dedup identical spans (SpansUnique.java:11)."""
+    return _h(clause).dropDuplicates(HIT_COLS)
+
+
+def filter_by_length(clause: DataFrame, min_len: int,
+                     max_len: int) -> DataFrame:
+    """Keep hits with length in [min_len, max_len]
+    (SpanQueryFilterByHitLength.java:21)."""
+    return _h(clause).filter(
+        (F.col("end") - F.col("start")).between(min_len, max_len))
+
+
+def filter_by_docs(clause: DataFrame, docs: DataFrame) -> DataFrame:
+    """Restrict hits to a doc set from a metadata query
+    (SpanQueryFiltered.java:24) — semi-join; Catalyst broadcasts the
+    filtered doc list when small."""
+    return _h(clause).join(docs.select("doc_id"), "doc_id", "left_semi")
+
+
+# -- captures + global constraints -----------------------------------
+def capture(clause: DataFrame, name: str) -> DataFrame:
+    """Record the clause span under ``name`` in match_info
+    (SpanQueryCaptureGroup.java:19; registry HitQueryContext.java:16).
+    match_info is a map<string, struct<start,end>> carried through
+    downstream operators by the *_keep_info variants."""
+    c = _h(clause)
+    entry = F.create_map(
+        F.lit(name), F.struct(F.col("start").alias("s"),
+                              F.col("end").alias("e")))
+    if "match_info" in c.columns:
+        return c.withColumn("match_info",
+                            F.map_concat("match_info", entry))
+    return c.withColumn("match_info", entry)
+
+
+def sequence_keep_info(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Adjacency join that merges both sides' match_info."""
+    aa = capture_noop(a).alias("a")
+    bb = capture_noop(b).alias("b")
+    cond = (F.col("a.doc_id") == F.col("b.doc_id")) & \
+           (F.col("b.start") == F.col("a.end"))
+    return (aa.join(bb, cond)
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.start").alias("start"),
+                    F.col("b.end").alias("end"),
+                    F.map_concat(F.col("a.match_info"),
+                                 F.col("b.match_info")).alias("match_info")))
+
+
+def capture_noop(clause: DataFrame) -> DataFrame:
+    c = _h(clause)
+    if "match_info" not in c.columns:
+        c = c.withColumn(
+            "match_info",
+            F.create_map().cast("map<string,struct<s:int,e:int>>"))
+    return c
+
+
+def constrained(index: InvertedIndex, clause: DataFrame,
+                predicate: Column) -> DataFrame:
+    """Global constraint over captured groups, e.g.
+    ``tokens[A.start] == tokens[B.start]``
+    (SpanQueryConstrained.java:25; MatchFilter AST ≙ a plain Catalyst
+    expression over match_info + the token-array forward index —
+    Catalyst evaluates what the reference needed a custom NFA/forward-
+    index machinery for)."""
+    dm = index.doc_meta.select("doc_id", "tokens")
+    return (clause.join(dm, "doc_id").filter(predicate)
+            .select(*HIT_COLS, "match_info"))
+
+
+def capture_token(name: str, offset: int = 0) -> Column:
+    """Column expr: the token at ``match_info[name].s + offset``
+    (1-based element_at; NULL off-edge)."""
+    return F.try_element_at(
+        "tokens",
+        (F.col("match_info")[name]["s"] + offset + 1).cast("int"))

@@ -1,0 +1,181 @@
+"""CQL-lite parser: a corpus-query-language subset → Pattern AST.
+
+Covers the productions of the reference grammar we support
+(reference grammar: query-parser/src/main/javacc/.../cql.jj —
+sequence:465, booleanQuery:443, repetitionAmount:415,
+containingWithinQuery:247; written from scratch as a recursive-descent
+parser, not a translation):
+
+    query        := seq (('within'|'containing') seq)?
+    seq          := boolean+
+    boolean      := unary (('|' | '&') unary)*
+    unary        := '!' unary | postfixed
+    postfixed    := atom ('*' | '+' | '?' | '{m,n}' | '{m,}' | '{m}')*
+    atom         := '"text"' | "'text'" | '[]' | '[word="re"]'
+                    | '(' query ')' | name ':(' query ')' | '<turn/>'
+                    | bareword
+
+A quoted/bare token containing regex metacharacters parses as Regex
+(the rewriter may simplify it back to Term/prefix — SimplestMatcher,
+SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import re
+
+from blacklab_spark.plans.query import (And, AnyToken, Capture, Not, Or,
+                                        Pattern, PosFilter, Regex, Rep, Seq,
+                                        Term, Turn)
+
+_TOKEN_RE = re.compile(r"""
+    \s*(
+        "(?:[^"\\]|\\.)*"          |  # double-quoted
+        '(?:[^'\\]|\\.)*'          |  # single-quoted
+        \[\s*word\s*=\s*"[^"]*"\s*\] |  # [word="..."]
+        \[\s*\]                    |  # []
+        <turn/>                    |
+        \{\s*\d*\s*(?:,\s*\d*\s*)?\} |  # {m}, {m,}, {m,n}, {,n}
+        [A-Za-z_][A-Za-z0-9_]*:\(  |  # capture open
+        \(|\)|\||&|!|\*|\+|\?      |
+        within|containing          |
+        [^\s()\[\]{}|&!*+?:'"]+        # bare word / regex (no quotes)
+    )""", re.VERBOSE)
+
+_META = re.compile(r"[.*+?^$|\\(){}\[\]]")
+
+
+class ParseError(ValueError):
+    pass
+
+
+def _lex(s: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                break
+            raise ParseError(f"cannot tokenize at: {s[pos:pos+20]!r}")
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+def _word_pattern(text: str) -> Pattern:
+    return Regex(text) if _META.search(text) else Term(text.lower())
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ParseError("unexpected end of query")
+        self.i += 1
+        return t
+
+    # query := seq (within|containing seq)?
+    def query(self) -> Pattern:
+        left = self.seq()
+        while self.peek() in ("within", "containing"):
+            op = self.next()
+            right = self.seq()
+            left = PosFilter(left, right, op)
+        return left
+
+    def seq(self) -> Pattern:
+        clauses = [self.boolean()]
+        while self.peek() is not None and self.peek() not in (
+                ")", "within", "containing"):
+            clauses.append(self.boolean())
+        return clauses[0] if len(clauses) == 1 else Seq(*clauses)
+
+    def boolean(self) -> Pattern:
+        left = self.unary()
+        while self.peek() in ("|", "&"):
+            op = self.next()
+            right = self.unary()
+            if op == "|":
+                left = Or(left, right)
+            else:
+                left = And(left, right)
+        return left
+
+    def unary(self) -> Pattern:
+        if self.peek() == "!":
+            self.next()
+            return Not(self.unary())
+        return self.postfixed()
+
+    def postfixed(self) -> Pattern:
+        node = self.atom()
+        while True:
+            t = self.peek()
+            if t == "*":
+                self.next()
+                node = Rep(node, 0, 8)   # bounded star (see rewrite note)
+            elif t == "+":
+                self.next()
+                node = Rep(node, 1, 8)
+            elif t == "?":
+                self.next()
+                node = Rep(node, 0, 1)
+            elif t is not None and t.startswith("{"):
+                self.next()
+                inner = t[1:-1].strip()
+                if "," in inner:
+                    lo, hi = inner.split(",")
+                    node = Rep(node, int(lo or 0), int(hi or 8))
+                else:
+                    node = Rep(node, int(inner), int(inner))
+            else:
+                return node
+
+    def atom(self) -> Pattern:
+        t = self.next()
+        if t.startswith('"') or t.startswith("'"):
+            body = t[1:-1]
+            words = body.split()
+            if len(words) > 1:            # "very good" → phrase
+                return Seq(*[_word_pattern(w) for w in words])
+            return _word_pattern(body)
+        if t == "[]":
+            return AnyToken(1, 1)
+        if t.startswith("[") and "word" in t:
+            m = re.match(r'\[\s*word\s*=\s*"([^"]*)"\s*\]', t)
+            return _word_pattern(m.group(1))
+        if t == "<turn/>":
+            return Turn()
+        if t == "(":
+            node = self.query()
+            if self.next() != ")":
+                raise ParseError("expected )")
+            return node
+        if t.endswith(":("):
+            name = t[:-2]
+            node = self.query()
+            if self.next() != ")":
+                raise ParseError("expected )")
+            return Capture(node, name)
+        if t in (")", "|", "&", "!", "*", "+", "?"):
+            raise ParseError(f"unexpected {t!r}")
+        return _word_pattern(t)
+
+
+def parse(query: str) -> Pattern:
+    """Parse a CQL-lite query string into a Pattern AST."""
+    toks = _lex(query)
+    if not toks:
+        raise ParseError("empty query")
+    p = _Parser(toks)
+    node = p.query()
+    if p.peek() is not None:
+        raise ParseError(f"trailing input: {p.toks[p.i:]}")
+    return node

@@ -1,0 +1,127 @@
+"""Query AST — the engine's TextPattern layer.
+
+Mirrors the reference's TextPattern classes 1:1 for the supported
+subset (reference: engine/src/main/java/nl/inl/blacklab/search/textpattern/,
+SURVEY.md §2.A query-language surface); dataclasses instead of a class
+hierarchy, and Spark DataFrames instead of BLSpans at execution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Pattern:
+    """Base of all query AST nodes."""
+
+
+@dataclass(frozen=True)
+class Term(Pattern):          # TextPatternTerm
+    text: str
+
+
+@dataclass(frozen=True)
+class Regex(Pattern):         # TextPatternRegex
+    pattern: str
+
+
+@dataclass(frozen=True)
+class AnyToken(Pattern):      # TextPatternAnyToken  []{min,max}
+    min_len: int = 1
+    max_len: int = 1
+
+
+@dataclass(frozen=True)
+class Seq(Pattern):           # TextPatternSequence
+    clauses: tuple
+
+    def __init__(self, *clauses):
+        object.__setattr__(self, "clauses", tuple(clauses))
+
+
+@dataclass(frozen=True)
+class Or(Pattern):            # TextPatternOr
+    clauses: tuple
+
+    def __init__(self, *clauses):
+        object.__setattr__(self, "clauses", tuple(clauses))
+
+
+@dataclass(frozen=True)
+class And(Pattern):           # TextPatternAnd (same-span)
+    clauses: tuple
+
+    def __init__(self, *clauses):
+        object.__setattr__(self, "clauses", tuple(clauses))
+
+
+@dataclass(frozen=True)
+class Not(Pattern):           # TextPatternNot (token complement)
+    clause: Pattern
+
+
+@dataclass(frozen=True)
+class Rep(Pattern):           # TextPatternRepetition  A{min,max}
+    clause: Pattern
+    min_rep: int
+    max_rep: int
+
+
+@dataclass(frozen=True)
+class Expand(Pattern):        # TextPatternExpansion (rewrite product)
+    clause: Pattern
+    direction: str            # 'left' | 'right'
+    min_exp: int
+    max_exp: int
+
+
+@dataclass(frozen=True)
+class PosFilter(Pattern):     # TextPatternPositionFilter (within/containing)
+    producer: Pattern
+    filter: Pattern
+    operation: str            # 'within' | 'containing'
+    invert: bool = False
+
+
+@dataclass(frozen=True)
+class Capture(Pattern):       # TextPatternCaptureGroup  name:(...)
+    clause: Pattern
+    name: str
+
+
+@dataclass(frozen=True)
+class Turn(Pattern):
+    """Whole-turn span ``<turn/>`` — the structural analog of the
+    reference's ``<u/>`` inline tag (turns are rows here, SURVEY §1.4)."""
+
+
+def pattern_str(p: Pattern) -> str:
+    """Stable printable form (used by explain())."""
+    if isinstance(p, Term):
+        return f'"{p.text}"'
+    if isinstance(p, Regex):
+        return f'/{p.pattern}/'
+    if isinstance(p, AnyToken):
+        return f"[]{{{p.min_len},{p.max_len}}}"
+    if isinstance(p, Seq):
+        return "SEQ(" + ", ".join(pattern_str(c) for c in p.clauses) + ")"
+    if isinstance(p, Or):
+        return "OR(" + ", ".join(pattern_str(c) for c in p.clauses) + ")"
+    if isinstance(p, And):
+        return "AND(" + ", ".join(pattern_str(c) for c in p.clauses) + ")"
+    if isinstance(p, Not):
+        return f"NOT({pattern_str(p.clause)})"
+    if isinstance(p, Rep):
+        return f"REP({pattern_str(p.clause)},{p.min_rep},{p.max_rep})"
+    if isinstance(p, Expand):
+        return (f"EXPAND({pattern_str(p.clause)},{p.direction},"
+                f"{p.min_exp},{p.max_exp})")
+    if isinstance(p, PosFilter):
+        inv = "NOT" if p.invert else ""
+        return (f"{inv}{p.operation.upper()}({pattern_str(p.producer)}, "
+                f"{pattern_str(p.filter)})")
+    if isinstance(p, Capture):
+        return f"{p.name}:({pattern_str(p.clause)})"
+    if isinstance(p, Turn):
+        return "<turn/>"
+    return repr(p)

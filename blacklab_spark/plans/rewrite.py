@@ -1,0 +1,155 @@
+"""Logical rewrite rules over the Pattern AST.
+
+The reference's rule catalog (doc/technical/query rewriting.md:30-64,
+SURVEY.md §4.1) for the supported subset. The single most important
+class is any-token elimination (CCAnyExpansion / CCAnyCombine /
+NGramsToLengthFilter): a materialized ``[]`` relation is a full-corpus
+explode, so every rule that turns ``[]{m,n}`` neighbours into
+Expansion — or drops them — removes a corpus-sized scan from the plan.
+
+Rules run to fixpoint (the reference iterates inside
+SpanQuerySequence.java:303-360; we iterate the whole tree).
+"""
+
+from __future__ import annotations
+
+import re
+
+from blacklab_spark.plans.query import (And, AnyToken, Capture, Expand, Not,
+                                        Or, Pattern, PosFilter, Regex, Rep,
+                                        Seq, Term, Turn)
+
+_META = re.compile(r"[.*+?^$|\\(){}\[\]]")
+
+
+def _map_children(p: Pattern, fn) -> Pattern:
+    if isinstance(p, Seq):
+        return Seq(*[fn(c) for c in p.clauses])
+    if isinstance(p, Or):
+        return Or(*[fn(c) for c in p.clauses])
+    if isinstance(p, And):
+        return And(*[fn(c) for c in p.clauses])
+    if isinstance(p, Not):
+        return Not(fn(p.clause))
+    if isinstance(p, Rep):
+        return Rep(fn(p.clause), p.min_rep, p.max_rep)
+    if isinstance(p, Expand):
+        return Expand(fn(p.clause), p.direction, p.min_exp, p.max_exp)
+    if isinstance(p, PosFilter):
+        return PosFilter(fn(p.producer), fn(p.filter), p.operation, p.invert)
+    if isinstance(p, Capture):
+        return Capture(fn(p.clause), p.name)
+    return p
+
+
+def _rewrite_once(p: Pattern) -> Pattern:
+    p = _map_children(p, _rewrite_once)
+
+    # SimplestMatcher: REGEX with no metachars → TERM (query
+    # rewriting.md: "REGEX(appel) → TERM(appel)")
+    if isinstance(p, Regex) and not _META.search(p.pattern):
+        return Term(p.pattern.lower())
+
+    # TrivialRep: A{1,1} → A ; REP(ANY) merge: []{a,b}{c,d} → []{ac,bd}
+    if isinstance(p, Rep):
+        if p.min_rep == 1 and p.max_rep == 1:
+            return p.clause
+        if isinstance(p.clause, AnyToken):
+            return AnyToken(p.clause.min_len * p.min_rep,
+                            p.clause.max_len * p.max_rep)
+        # nested repetition: (A{a,b}){c,d} → A{a·c, b·d} (consecutive)
+        if isinstance(p.clause, Rep):
+            return Rep(p.clause.clause, p.clause.min_rep * p.min_rep,
+                       p.clause.max_rep * p.max_rep)
+
+    # Flatten + Trivial Seq/Or/And
+    if isinstance(p, Seq):
+        flat: list[Pattern] = []
+        for c in p.clauses:
+            flat.extend(c.clauses if isinstance(c, Seq) else [c])
+        # CCAnyCombine: adjacent []{a,b} []{c,d} → []{a+c,b+d}
+        merged: list[Pattern] = []
+        for c in flat:
+            if (merged and isinstance(c, AnyToken)
+                    and isinstance(merged[-1], AnyToken)):
+                prev = merged.pop()
+                merged.append(AnyToken(prev.min_len + c.min_len,
+                                       prev.max_len + c.max_len))
+            else:
+                merged.append(c)
+        # CCAnyExpansion: A []{m,n} → EXPAND(A, right, m, n);
+        # []{m,n} A → EXPAND(A, left, m, n)
+        out: list[Pattern] = []
+        for c in merged:
+            if (out and isinstance(c, AnyToken)
+                    and not isinstance(out[-1], AnyToken)):
+                out.append(Expand(out.pop(), "right", c.min_len, c.max_len))
+            elif (out and isinstance(out[-1], AnyToken)
+                  and not isinstance(c, AnyToken)):
+                any_t = out.pop()
+                out.append(Expand(c, "left", any_t.min_len, any_t.max_len))
+            else:
+                out.append(c)
+        if len(out) == 1:
+            return out[0]
+        # EmptyClauseAlts (correctness-critical, SURVEY §4.1 / §7 hard
+        # part 2): a possibly-empty clause inside a sequence becomes an
+        # OR of with/without variants: A B{0,n} C → (A C) | (A B{1,n} C)
+        for i, c in enumerate(out):
+            if isinstance(c, Rep) and c.min_rep == 0:
+                without = [x for j, x in enumerate(out) if j != i]
+                with_ = list(out)
+                with_[i] = Rep(c.clause, 1, c.max_rep)
+                left = without[0] if len(without) == 1 else Seq(*without)
+                return Or(left, Seq(*with_))
+        if out != list(p.clauses):
+            return Seq(*out)
+        return p
+    if isinstance(p, Or):
+        flat = []
+        for c in p.clauses:
+            flat.extend(c.clauses if isinstance(c, Or) else [c])
+        if len(flat) == 1:
+            return flat[0]
+        if flat != list(p.clauses):
+            return Or(*flat)
+    if isinstance(p, And):
+        flat = []
+        for c in p.clauses:
+            flat.extend(c.clauses if isinstance(c, And) else [c])
+        # OnlyNGrams drop: AND(A, []{m,n}) → length filter — here we
+        # drop all-token clauses that match any length ≥ the others
+        non_any = [c for c in flat if not isinstance(c, AnyToken)]
+        if non_any and len(non_any) < len(flat):
+            # keep as PosFilter 'matches' on lengths via Rep of any —
+            # subset case: single-token anys just disappear
+            flat = non_any
+        if len(flat) == 1:
+            return flat[0]
+        if flat != list(p.clauses):
+            return And(*flat)
+
+    # !!A → A
+    if isinstance(p, Not) and isinstance(p.clause, Not):
+        return p.clause.clause
+
+    # EXPAND with 0,0 → clause
+    if isinstance(p, Expand) and p.min_exp == 0 and p.max_exp == 0:
+        return p.clause
+
+    # WITHIN(A, <turn/>) → A (turn = row; structurally free, §1.4)
+    if isinstance(p, PosFilter) and isinstance(p.filter, Turn) \
+            and p.operation == "within" and not p.invert:
+        return p.producer
+
+    return p
+
+
+def rewrite(p: Pattern, max_iters: int = 10) -> Pattern:
+    """Apply rules to fixpoint."""
+    for _ in range(max_iters):
+        q = _rewrite_once(p)
+        if q == p:
+            return q
+        p = q
+    return p

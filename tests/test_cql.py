@@ -1,0 +1,156 @@
+"""CQL-lite parser + rewriter + executor vs brute-force oracle."""
+
+import re
+
+import pytest
+
+from blacklab_spark.plans import query as Q
+from blacklab_spark.plans.executor import explain, find
+from blacklab_spark.plans.parser import ParseError, parse
+from blacklab_spark.plans.rewrite import rewrite
+
+
+def hits_of(df):
+    return sorted((r["doc_id"], r["start"], r["end"]) for r in
+                  df.select("doc_id", "start", "end").collect())
+
+
+# ---------------- parser ----------------
+def test_parse_shapes():
+    assert parse('"visa"') == Q.Term("visa")
+    assert parse("visa") == Q.Term("visa")
+    assert parse('"very" "good"') == Q.Seq(Q.Term("very"), Q.Term("good"))
+    assert parse('"very good"') == Q.Seq(Q.Term("very"), Q.Term("good"))
+    assert parse("a | b") == Q.Or(Q.Term("a"), Q.Term("b"))
+    assert parse("[] {2,3}") == Q.Rep(Q.AnyToken(1, 1), 2, 3)
+    assert parse('[word="vi.a"]') == Q.Regex("vi.a")
+    assert parse("the{2}") == Q.Rep(Q.Term("the"), 2, 2)
+    assert parse("x:(visa)") == Q.Capture(Q.Term("visa"), "x")
+    assert parse('"a" within <turn/>') == Q.PosFilter(
+        Q.Term("a"), Q.Turn(), "within")
+    assert parse("!the") == Q.Not(Q.Term("the"))
+
+
+def test_parse_errors():
+    for bad in ["", "(a", "a)", "|", "a{"]:
+        with pytest.raises(ParseError):
+            parse(bad)
+
+
+# ---------------- rewriter ----------------
+def test_rewrite_rules():
+    # SimplestMatcher
+    assert rewrite(Q.Regex("visa")) == Q.Term("visa")
+    # TrivialRep, flatten
+    assert rewrite(Q.Rep(Q.Term("a"), 1, 1)) == Q.Term("a")
+    assert rewrite(Q.Seq(Q.Seq(Q.Term("a"), Q.Term("b")), Q.Term("c"))) == \
+        Q.Seq(Q.Term("a"), Q.Term("b"), Q.Term("c"))
+    # any-token elimination: "a" [] "b" → SEQ(EXPAND(a,right,1,1), b)
+    r = rewrite(parse('"a" [] "b"'))
+    assert r == Q.Seq(Q.Expand(Q.Term("a"), "right", 1, 1), Q.Term("b"))
+    # any merge: [] [] → []{2,2} then expansion
+    r2 = rewrite(parse('"a" [] []'))
+    assert r2 == Q.Expand(Q.Term("a"), "right", 2, 2)
+    # EmptyClauseAlts: "a" "b"? → OR(a, SEQ(a, b))
+    r3 = rewrite(parse('"a" "b"?'))
+    assert r3 == Q.Or(Q.Term("a"), Q.Seq(Q.Term("a"), Q.Term("b")))
+    # within turn is structural → producer alone
+    assert rewrite(parse('"a" within <turn/>')) == Q.Term("a")
+    # !! elimination
+    assert rewrite(Q.Not(Q.Not(Q.Term("x")))) == Q.Term("x")
+
+
+def test_explain():
+    s = explain('"a" [] "b"')
+    assert "original" in s and "EXPAND" in s
+
+
+# ---------------- executor vs oracle ----------------
+@pytest.fixture(scope="module")
+def idx(tiny_engine):
+    return tiny_engine.index
+
+
+def otoks(o):
+    return o.tokens
+
+
+def test_find_term(idx, tiny_oracle):
+    got = hits_of(find(idx, '"visa"'))
+    expected = sorted((d, p, p + 1)
+                      for d, ps in tiny_oracle.postings["visa"].items()
+                      for p in ps)
+    assert got == expected
+
+
+def test_find_phrase(idx, tiny_oracle):
+    from blacklab_spark.oracle import phrase_hits
+    assert hits_of(find(idx, '"very good"')) == \
+        phrase_hits(tiny_oracle, ["very", "good"])
+
+
+def test_find_gap_pattern(idx, tiny_oracle):
+    """"visa" [] "application" — visa, one token, application."""
+    got = hits_of(find(idx, '"visa" [] "application"'))
+    expected = []
+    for d, toks in otoks(tiny_oracle).items():
+        for p in range(len(toks) - 2):
+            if toks[p] == "visa" and toks[p + 2] == "application":
+                expected.append((d, p, p + 3))
+    assert got == sorted(expected)
+
+
+def test_find_optional(idx, tiny_oracle):
+    """"very" "good"? — EmptyClauseAlts path."""
+    got = hits_of(find(idx, '"very" "good"?'))
+    expected = set()
+    for d, toks in otoks(tiny_oracle).items():
+        for p, t in enumerate(toks):
+            if t == "very":
+                expected.add((d, p, p + 1))
+                if p + 1 < len(toks) and toks[p + 1] == "good":
+                    expected.add((d, p, p + 2))
+    assert got == sorted(expected)
+
+
+def test_find_or_and_regex(idx, tiny_oracle):
+    got = hits_of(find(idx, '"visa" | [word="goo."]'))
+    rx = re.compile(r"^(?:goo.)$")
+    expected = sorted(
+        [(d, p, p + 1) for d, ps in tiny_oracle.postings["visa"].items()
+         for p in ps] +
+        [(d, p, p + 1) for t, plist in tiny_oracle.postings.items()
+         if rx.match(t) for d, ps in plist.items() for p in ps])
+    assert got == expected
+
+
+def test_find_repetition(idx, tiny_oracle):
+    got = hits_of(find(idx, '"the"{2,2}'))
+    expected = []
+    for d, toks in otoks(tiny_oracle).items():
+        for p in range(len(toks) - 1):
+            if toks[p] == "the" and toks[p + 1] == "the":
+                expected.append((d, p, p + 2))
+    assert got == sorted(expected)
+
+
+def test_find_containing(idx, tiny_oracle):
+    """([]{3,3}) containing "visa" — 3-grams containing visa."""
+    got = hits_of(find(idx, '([]{3,3}) containing "visa"'))
+    expected = set()
+    for d, toks in otoks(tiny_oracle).items():
+        vs = {p for p, t in enumerate(toks) if t == "visa"}
+        for s in range(len(toks) - 2):
+            if any(s <= v < s + 3 for v in vs):
+                expected.add((d, s, s + 3))
+    assert got == sorted(expected)
+
+
+def test_find_capture(idx, tiny_oracle):
+    df = find(idx, 'x:("visa") "application"')
+    rows = df.collect()
+    for r in rows:
+        mi = r["match_info"]
+        assert mi["x"]["s"] == r["start"]
+        assert mi["x"]["e"] == r["start"] + 1
+    assert len(rows) > 0
