@@ -42,21 +42,28 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F, types as T
 
 from blacklab_spark import codec
+from blacklab_spark.arrow_kernels import finalize_blocks_arrow, spimi_miniblocks
 from blacklab_spark.config import BuildConfig
 from blacklab_spark.oracle import bm25_idf  # same formula, one source of truth
 from blacklab_spark.tokenizer import tokens_insensitive
 
-# positions are emitted varint-ENCODED per (term, doc): ``[tf,
-# first_abs, gaps...]`` — the exact per-doc layout of the final block
-# positions stream, so the merge stage just concatenates bytes. An
-# array<int> column here would dominate the stage in pandas→Arrow
-# conversion (~10µs/row × 10^5 rows/batch, measured).
-POSTING_ROW_SCHEMA = T.StructType([
+# SPIMI emits pre-encoded MINI-BLOCKS, not raw posting rows: doc ids
+# are range-partitioned, so a (term, bucket) group lives in ≤2 adjacent
+# partitions and per-partition encoding is already ~the merge. The
+# shuffle then carries ~5× fewer rows with payloads as opaque bytes —
+# the 63M-row version spent ~480 CPU-s in the JVM↔Arrow row pivot
+# alone (measured at sf-bench scale).
+MINIBLOCK_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
-    T.StructField("doc_id", T.LongType(), False),
-    T.StructField("tf", T.IntegerType(), False),
-    T.StructField("positions", T.BinaryType(), False),
-    T.StructField("dl", T.IntegerType(), False),
+    T.StructField("bucket", T.LongType(), False),
+    T.StructField("first_doc", T.LongType(), False),
+    T.StructField("n_docs", T.IntegerType(), False),
+    T.StructField("sum_tf", T.LongType(), False),
+    T.StructField("max_tf", T.IntegerType(), False),
+    T.StructField("doc_ids", T.BinaryType(), False),
+    T.StructField("tfs", T.BinaryType(), False),
+    T.StructField("dls", T.BinaryType(), False),
+    T.StructField("positions", T.BinaryType(), True),
 ])
 
 BLOCK_SCHEMA = T.StructType([
@@ -71,6 +78,18 @@ BLOCK_SCHEMA = T.StructType([
     T.StructField("max_tf", T.IntegerType(), False),
     T.StructField("max_score", T.DoubleType(), False),
 ])
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (driver-side, no Spark job —
+    each read-back count() was ~0.5-1s of serial latency per stage)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    total = 0
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        total += _pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 def assign_dense_ids(df: DataFrame, key_cols: list[str], id_col: str,
@@ -103,165 +122,11 @@ def assign_dense_ids(df: DataFrame, key_cols: list[str], id_col: str,
     return out, d
 
 
-def _spimi_postings(tokenized: DataFrame) -> DataFrame:
-    """Per-partition vectorized posting construction (SPIMI).
-
-    Input: (doc_id, tokens). Output: one row per (term, doc) with tf,
-    positions, dl. All heavy lifting is numpy over the Arrow batch —
-    flatten, lexsort, run-length boundaries — no per-token Python.
-    """
-    def build(batches):
-        for pdf in batches:
-            doc_ids = pdf["doc_id"].to_numpy()
-            tok_lists = pdf["tokens"].tolist()
-            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
-                               count=len(tok_lists))
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            flat = np.concatenate([np.asarray(t, dtype=object)
-                                   for t in tok_lists if len(t)])
-            docs_flat = np.repeat(doc_ids, lens)
-            starts = np.repeat(np.cumsum(lens) - lens, lens)
-            pos_flat = (np.arange(total) - starts).astype(np.int32)
-            dls_flat = np.repeat(lens, lens).astype(np.int32)
-            # factorize token strings once → int codes (object-array
-            # lexsort is 10×+ slower than int lexsort)
-            codes, uniques = pd.factorize(flat, sort=False)
-            # group by (term, doc): stable lexsort keeps positions ascending
-            order = np.lexsort((pos_flat, docs_flat, codes))
-            f, dcs, ps, dls = codes[order], docs_flat[order], pos_flat[order], dls_flat[order]
-            change = np.empty(f.size, dtype=bool)
-            change[0] = True
-            change[1:] = (f[1:] != f[:-1]) | (dcs[1:] != dcs[:-1])
-            g_starts = np.nonzero(change)[0]
-            g_ends = np.append(g_starts[1:], f.size)
-            n_groups = g_starts.size
-            tfs = (g_ends - g_starts).astype(np.int32)
-            # encode [tf, first_abs, gaps...] per group in one pass
-            cnt_idx = g_starts + np.arange(n_groups)
-            stream = np.empty(f.size + n_groups, dtype=np.uint64)
-            stream[cnt_idx] = tfs.astype(np.uint64)
-            mask = np.ones(f.size + n_groups, dtype=bool)
-            mask[cnt_idx] = False
-            ps64 = ps.astype(np.int64)
-            pdelta = ps64.copy()
-            pdelta[1:] = ps64[1:] - ps64[:-1]
-            pdelta[g_starts] = ps64[g_starts]
-            stream[mask] = pdelta.astype(np.uint64)
-            enc = codec.encode_varints(stream)
-            boff = np.concatenate(([0], np.cumsum(codec.varint_lengths(stream))))
-            v_bounds = np.append(cnt_idx, stream.size)
-            yield pd.DataFrame({
-                "term": np.asarray(uniques, dtype=object)[f[g_starts]],
-                "doc_id": dcs[g_starts].astype(np.int64),
-                "tf": tfs,
-                "positions": [enc[boff[a]:boff[b]]
-                              for a, b in zip(v_bounds[:-1], v_bounds[1:])],
-                "dl": dls[g_starts],
-            })
-
-    return tokenized.select("doc_id", "tokens").mapInPandas(build, POSTING_ROW_SCHEMA)
-
-
-def _encode_block_batch(pdf: pd.DataFrame, cfg: BuildConfig, n_docs: int,
-                        avgdl: float) -> pd.DataFrame:
-    """Encode a batch of posting rows — sorted by (term_id, bucket,
-    doc_id), groups complete — into posting-block rows.
-
-    Fully vectorized: one varint stream per column for the whole batch
-    (delta-gapped with absolutes re-seeded at block starts), then
-    per-block byte-range slicing from cumsum offsets. Per-block Python
-    work is 4 byte-slices — no per-group pandas frames, which is what
-    makes 10^5+ (term,bucket) groups per partition tractable.
-    """
-    k1, b, bs = cfg.k1, cfg.b, cfg.block_size
-    store_pos = cfg.store_positions
-    n = len(pdf)
-    tid = pdf["term_id"].to_numpy(dtype=np.int64)
-    bkt = pdf["bucket"].to_numpy(dtype=np.int64)
-    doc = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tf = pdf["tf"].to_numpy(dtype=np.int64)
-    dl = pdf["dl"].to_numpy(dtype=np.int64)
-    dfv = pdf["df"].to_numpy(dtype=np.int64)
-
-    group_change = np.empty(n, dtype=bool)
-    group_change[0] = True
-    group_change[1:] = (tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])
-    gidx = np.cumsum(group_change) - 1
-    g_start_row = np.nonzero(group_change)[0]
-    idx_in_group = np.arange(n) - g_start_row[gidx]
-    block_start = group_change | (idx_in_group % bs == 0)
-    b_starts = np.nonzero(block_start)[0]
-    b_ends = np.append(b_starts[1:], n)
-    block_ids = (idx_in_group[b_starts] // bs).astype(np.int32)
-    n_docs_blk = (b_ends - b_starts).astype(np.int32)
-
-    # doc ids: delta-gap, absolute re-seeded at each block start
-    deltas = doc.astype(np.uint64)
-    deltas = deltas.copy()
-    deltas[1:] = doc[1:].astype(np.uint64) - doc[:-1].astype(np.uint64)
-    deltas[b_starts] = doc[b_starts].astype(np.uint64)
-    doc_stream = codec.encode_varints(deltas)
-    doc_off = np.concatenate(([0], np.cumsum(codec.varint_lengths(deltas))))
-    tf_stream = codec.encode_varints(tf)
-    tf_off = np.concatenate(([0], np.cumsum(codec.varint_lengths(tf))))
-    dl_stream = codec.encode_varints(dl)
-    dl_off = np.concatenate(([0], np.cumsum(codec.varint_lengths(dl))))
-
-    # per-block BM25 upper bound (exact contribution of best doc)
-    idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
-    contrib = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-    max_score = np.maximum.reduceat(contrib, b_starts)
-    max_tf = np.maximum.reduceat(tf, b_starts).astype(np.int32)
-
-    if store_pos:
-        # per-row positions are already block-format byte runs
-        pos_bytes = pdf["positions"].to_numpy()
-
-    rows_doc, rows_tf, rows_dl, rows_pos = [], [], [], []
-    for i, (s, e) in enumerate(zip(b_starts, b_ends)):
-        rows_doc.append(doc_stream[doc_off[s]:doc_off[e]])
-        rows_tf.append(tf_stream[tf_off[s]:tf_off[e]])
-        rows_dl.append(dl_stream[dl_off[s]:dl_off[e]])
-        if store_pos:
-            rows_pos.append(b"".join(pos_bytes[s:e]))
-    return pd.DataFrame({
-        "term_id": tid[b_starts],
-        "bucket": bkt[b_starts],
-        "block_id": block_ids,
-        "n_docs": n_docs_blk,
-        "doc_ids": rows_doc,
-        "tfs": rows_tf,
-        "dls": rows_dl,
-        "positions": rows_pos if store_pos else [None] * len(b_starts),
-        "max_tf": max_tf,
-        "max_score": max_score.astype(np.float64),
-    })
-
-
-def _block_stream_builder(cfg: BuildConfig, n_docs: int, avgdl: float):
-    """mapInPandas kernel over partitions sorted by (term_id, bucket,
-    doc_id): encodes blocks batch-wise, carrying the (possibly
-    incomplete) trailing group across Arrow batch boundaries."""
-    def build(batches):
-        leftover: pd.DataFrame | None = None
-        for pdf in batches:
-            if leftover is not None and len(leftover):
-                pdf = pd.concat([leftover, pdf], ignore_index=True)
-            if len(pdf) == 0:
-                continue
-            tid = pdf["term_id"].to_numpy()
-            bkt = pdf["bucket"].to_numpy()
-            in_last = (tid == tid[-1]) & (bkt == bkt[-1])
-            cut = len(pdf) - int(in_last.sum())
-            if cut > 0:
-                yield _encode_block_batch(pdf.iloc[:cut], cfg, n_docs, avgdl)
-            leftover = pdf.iloc[cut:]
-        if leftover is not None and len(leftover):
-            yield _encode_block_batch(leftover, cfg, n_docs, avgdl)
-
-    return build
+def _spimi_miniblocks(tokenized: DataFrame, cfg: BuildConfig) -> DataFrame:
+    """Per-partition SPIMI → encoded mini-block rows (Arrow-native,
+    see arrow_kernels.spimi_miniblocks)."""
+    return tokenized.select("doc_id", "tokens") \
+        .mapInArrow(spimi_miniblocks(cfg), MINIBLOCK_SCHEMA)
 
 
 class IndexBuilder:
@@ -331,10 +196,16 @@ class IndexBuilder:
             # runs; writing directly keeps parquet row-group pruning
             # and avoids a second shuffle (repartitionByRange would
             # also re-execute the pipeline for boundary sampling).
-            doc_meta.write.mode("overwrite").parquet(doc_meta_path)
+            # 4MB row groups: splittable scans regardless of file
+            # count (a single 128MB row group makes a file one
+            # indivisible task → stage skew), and finer row-group
+            # pruning at query time.
+            doc_meta.write.mode("overwrite") \
+                .option("parquet.block.size", 4 * 1024 * 1024) \
+                .parquet(doc_meta_path)
             cached.unpersist()
-            n_rows = self.spark.read.parquet(doc_meta_path).count()
-            self._finish_stage(m, "doc_meta", t0, n_rows, parts)
+            self._finish_stage(m, "doc_meta", t0,
+                               _parquet_rows(doc_meta_path), parts)
 
         doc_meta = self.spark.read.parquet(doc_meta_path)
         agg = doc_meta.agg(F.count("*").alias("n"),
@@ -345,25 +216,27 @@ class IndexBuilder:
                       "avgdl": avgdl}
         self._save_manifest(m)
 
-        # Stage 2: SPIMI posting rows (kept as an explicit checkpoint —
-        # both the terms stage and the blocks stage consume it, and a
-        # resumed build must not re-tokenize).
-        postings_rows_path = os.path.join(self.out, "postings_rows")
-        if not (resume and self._stage_done(m, "postings_rows")):
+        # Stage 2: SPIMI mini-blocks (explicit checkpoint — both the
+        # terms stage and the merge stage consume it, and a resumed
+        # build must not re-tokenize).
+        runs_path = os.path.join(self.out, "runs")
+        if not (resume and self._stage_done(m, "runs")):
             t0 = time.time()
-            rows = _spimi_postings(doc_meta)
-            rows.write.mode("overwrite").parquet(postings_rows_path)
-            nr = self.spark.read.parquet(postings_rows_path).count()
-            self._finish_stage(m, "postings_rows", t0, nr, parts)
-        postings_rows = self.spark.read.parquet(postings_rows_path)
+            runs = _spimi_miniblocks(doc_meta, cfg)
+            runs.write.mode("overwrite") \
+                .option("parquet.block.size", 4 * 1024 * 1024) \
+                .parquet(runs_path)
+            self._finish_stage(m, "runs", t0, _parquet_rows(runs_path),
+                               parts)
+        runs = self.spark.read.parquet(runs_path)
 
         # Stage 3: terms dictionary with dense ids (sorted by term).
         terms_path = os.path.join(self.out, "terms")
         if not (resume and self._stage_done(m, "terms")):
             t0 = time.time()
-            terms_agg = (postings_rows.groupBy("term")
-                         .agg(F.count("*").alias("df"),
-                              F.sum("tf").alias("cf")))
+            terms_agg = (runs.groupBy("term")
+                         .agg(F.sum("n_docs").alias("df"),
+                              F.sum("sum_tf").alias("cf")))
             terms, t_cached = assign_dense_ids(terms_agg, ["term"],
                                                "term_id", parts)
             terms = terms.select("term", "term_id", "df", "cf")
@@ -371,38 +244,40 @@ class IndexBuilder:
             # and sorted by term (= term_id order); write directly
             terms.write.mode("overwrite").parquet(terms_path)
             t_cached.unpersist()
-            nt = self.spark.read.parquet(terms_path).count()
-            self._finish_stage(m, "terms", t0, nt, parts)
+            self._finish_stage(m, "terms", t0, _parquet_rows(terms_path),
+                               parts)
         terms = self.spark.read.parquet(terms_path)
 
-        # Stage 4: shuffle merge into posting blocks per (term_id, bucket).
+        # Stage 4: shuffle merge of mini-blocks per (term_id, bucket):
+        # assign term ids, renumber block ids, add per-block max BM25
+        # score (df is only known after the terms stage — that is why
+        # max_score cannot be computed in SPIMI).
         postings_path = os.path.join(self.out, "postings")
         if not (resume and self._stage_done(m, "postings")):
             t0 = time.time()
-            joined = (postings_rows
-                      .join(terms.select("term", "term_id", "df"), "term")
-                      .withColumn("bucket",
-                                  (F.col("doc_id") / F.lit(cfg.bucket_size))
-                                  .cast("long")))
+            joined = runs.join(terms.select("term", "term_id", "df"), "term")
             # hash-shuffle on (term_id, bucket) keeps each group whole
             # within a partition; sortWithinPartitions gives the kernel
-            # contiguous sorted groups — the SPIMI merge shuffle.
+            # contiguous groups in doc order — the SPIMI merge shuffle,
+            # now over pre-encoded rows.
             blocks = (joined
                       .repartition(parts, "term_id", "bucket")
-                      .sortWithinPartitions("term_id", "bucket", "doc_id")
-                      .select("term_id", "bucket", "doc_id", "tf", "dl",
-                              "df", "positions")
-                      .mapInPandas(_block_stream_builder(cfg, n_docs, avgdl),
-                                   BLOCK_SCHEMA))
+                      .sortWithinPartitions("term_id", "bucket", "first_doc")
+                      .select("term_id", "bucket", "n_docs", "df", "max_tf",
+                              "doc_ids", "tfs", "dls", "positions")
+                      .mapInArrow(finalize_blocks_arrow(cfg, n_docs, avgdl),
+                                  BLOCK_SCHEMA))
             # kernel output preserves the (term_id, bucket, doc_id)
             # sort of its input partition → each file is a sorted run
             # with non-overlapping row-group [min,max] on term_id, so
             # a k-term lookup touches ≤k row groups per file. A
             # repartitionByRange here would re-run the whole encode
             # pipeline for boundary sampling — write directly.
-            blocks.write.mode("overwrite").parquet(postings_path)
-            nb = self.spark.read.parquet(postings_path).count()
-            self._finish_stage(m, "postings", t0, nb, parts)
+            blocks.write.mode("overwrite") \
+                .option("parquet.block.size", 4 * 1024 * 1024) \
+                .parquet(postings_path)
+            self._finish_stage(m, "postings", t0,
+                               _parquet_rows(postings_path), parts)
 
         m["built_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         self._save_manifest(m)

@@ -31,6 +31,8 @@ def varint_lengths(values: np.ndarray) -> np.ndarray:
     """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     nbytes = np.ones(v.size, dtype=np.int64)
+    if v.size == 0 or v.max() < 128:   # fast path: all single-byte
+        return nbytes
     tmp = v >> np.uint64(7)
     while tmp.any():
         nz = tmp > 0
@@ -45,6 +47,8 @@ def encode_varints(values: np.ndarray) -> bytes:
     n = v.size
     if n == 0:
         return b""
+    if v.max() < 128:          # fast path: every value is one byte
+        return v.astype(np.uint8).tobytes()
     nbits = varint_lengths(v)
     offsets = np.concatenate(([0], np.cumsum(nbits)))
     out = np.zeros(offsets[-1], dtype=np.uint8)

@@ -1,0 +1,128 @@
+"""Hit/Doc property key DSL → Column expressions.
+
+The reference's sort/group/filter key language (reference:
+engine/src/main/java/nl/inl/blacklab/resultproperty/HitProperty.java:25,60-128
+dispatcher; HitPropertyHitText / BeforeHit / AfterHit / ContextPart /
+DocumentStoredField / DocumentDecade / HitPosition; DocProperty*;
+``-`` prefix = descending, ``,`` = multi-key). Here a property key
+compiles to a Spark Column over the joined (hits ⋈ doc_meta) frame —
+sorting/grouping is then plain ``orderBy`` / ``groupBy``.
+
+Supported keys (single annotation 'word', insensitive corpus):
+    hit[:word[:i]]        text of the hit (tokens joined by space)
+    before[:word[:i][:k]] k-th token before the hit (default 1)
+    after[:word[:i][:k]]  k-th token after the hit (default 1)
+    left / right          aliases of before/after
+    field:<name>          doc metadata column (role, tool, conv_id, …)
+    doc / docid           doc_id
+    hitposition           start offset
+    length                hit length in tokens
+Prefix ``-`` → descending. Multi-key: comma-separated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from blacklab_spark.index import InvertedIndex
+
+_DOC_FIELDS = {"role", "tool", "conv_id", "turn_idx", "ts", "n_tokens"}
+
+
+def compile_property(key: str) -> Column:
+    """One property key (no ``-`` prefix) → Column expr. Assumes the
+    frame has hit cols + doc_meta cols (incl. ``tokens``)."""
+    parts = key.split(":")
+    head = parts[0]
+    if head in ("hit",):
+        return F.concat_ws(
+            " ", F.slice("tokens", F.col("start") + 1,
+                         F.col("end") - F.col("start")))
+    if head in ("before", "left", "after", "right"):
+        k = 1
+        for p in parts[1:]:
+            if p.isdigit():
+                k = int(p)
+        if head in ("before", "left"):
+            idx = F.col("start") - k + 1          # 1-based element_at
+        else:
+            idx = F.col("end") + k
+        return F.coalesce(F.try_element_at("tokens", idx.cast("int")),
+                          F.lit(""))
+    if head == "field" and len(parts) > 1:
+        return F.col(parts[1])
+    if head in _DOC_FIELDS:
+        return F.col(head)
+    if head in ("doc", "docid"):
+        return F.col("doc_id")
+    if head == "hitposition":
+        return F.col("start")
+    if head == "length":
+        return F.col("end") - F.col("start")
+    raise ValueError(f"unknown property key: {key!r}")
+
+
+def _parse_keys(spec: str) -> list[tuple[str, bool]]:
+    out = []
+    for raw in spec.split(","):
+        raw = raw.strip()
+        desc = raw.startswith("-")
+        out.append((raw.lstrip("-"), desc))
+    return out
+
+
+def _with_meta(index: InvertedIndex, hits: DataFrame) -> DataFrame:
+    meta_cols = ["doc_id", "conv_id", "turn_idx", "role", "tool",
+                 "n_tokens", "tokens"]
+    return hits.join(index.doc_meta.select(*meta_cols), "doc_id")
+
+
+def sort_hits(index: InvertedIndex, hits: DataFrame, spec: str) -> DataFrame:
+    """Sort hits by a property spec, e.g. ``field:conv_id,hitposition``
+    or ``-after:word:i:1`` (HitsAbstract.sort analog)."""
+    frame = _with_meta(index, hits)
+    cols = []
+    for key, desc in _parse_keys(spec):
+        c = compile_property(key)
+        cols.append(c.desc() if desc else c.asc())
+    return frame.orderBy(*cols).select("doc_id", "start", "end")
+
+
+def group_hits(index: InvertedIndex, hits: DataFrame, spec: str,
+               max_stored: int = 0) -> DataFrame:
+    """Group hits by property spec → (group_key..., count[, hits]).
+
+    ≙ HitGroups (reference: search/results/HitGroups.java:54): sizes
+    always; ≤max_stored example hits per group when requested."""
+    frame = _with_meta(index, hits)
+    keys = _parse_keys(spec)
+    key_cols = [compile_property(k).alias(f"key_{i}")
+                for i, (k, _) in enumerate(keys)]
+    aggs = [F.count("*").alias("count")]
+    if max_stored > 0:
+        aggs.append(F.slice(
+            F.sort_array(F.collect_list(F.struct("doc_id", "start", "end"))),
+            1, max_stored).alias("stored_hits"))
+    return frame.select(*key_cols, "doc_id", "start", "end") \
+        .groupBy(*[f"key_{i}" for i in range(len(keys))]).agg(*aggs)
+
+
+def group_stats(groups: DataFrame) -> dict:
+    """largestGroupSize / totalResults over a grouped frame
+    (HitGroups.java:140-190)."""
+    row = groups.agg(F.max("count").alias("largest"),
+                     F.sum("count").alias("total"),
+                     F.count("*").alias("n_groups")).collect()[0]
+    return {"largest_group": row["largest"], "total_hits": row["total"],
+            "n_groups": row["n_groups"]}
+
+
+def facets(index: InvertedIndex, docs: DataFrame,
+           fields: list[str]) -> dict[str, DataFrame]:
+    """Multi-criteria doc counts, sizes only (Facets.java:9-31):
+    one groupBy per facet field over the same filtered doc set."""
+    out = {}
+    for f_ in fields:
+        out[f_] = (docs.groupBy(F.col(f_).alias("value"))
+                   .agg(F.count("*").alias("count")))
+    return out

@@ -15,6 +15,13 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "blacklab_spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    # One BLAS/OMP thread per Python worker: numpy's default spawns
+    # n_cores spin-waiting OpenBLAS threads *per worker process*, so a
+    # 16-worker stage burns ~512 spinning threads and 3× the CPU
+    # (measured). Our kernels are already data-parallel across tasks.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
     builder = (

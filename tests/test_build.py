@@ -100,7 +100,7 @@ def test_resume_skips_done_stages(spark, tiny_pdf, tmp_path):
 def test_manifest_lineage(spark, tiny_index_dir):
     with open(os.path.join(tiny_index_dir, "_index_meta.json")) as f:
         m = json.load(f)
-    for st in ("doc_meta", "postings_rows", "terms", "postings"):
+    for st in ("doc_meta", "runs", "terms", "postings"):
         assert m["stages"][st]["status"] == "done"
         assert m["stages"][st]["rows"] > 0
         assert m["stages"][st]["rows_per_sec"] is not None
