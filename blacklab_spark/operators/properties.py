@@ -126,3 +126,12 @@ def facets(index: InvertedIndex, docs: DataFrame,
         out[f_] = (docs.groupBy(F.col(f_).alias("value"))
                    .agg(F.count("*").alias("count")))
     return out
+
+
+def group_of_groups(groups: DataFrame) -> DataFrame:
+    """Group the groups by size (HitGroupPropertySize analog,
+    reference: resultproperty/HitGroupPropertySize.java): how many
+    groups have each size."""
+    return (groups.groupBy(F.col("count").alias("group_size"))
+            .agg(F.count("*").alias("n_groups"))
+            .orderBy(F.desc("group_size")))
