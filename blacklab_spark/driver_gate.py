@@ -245,6 +245,55 @@ WHERE a.tok = '{term}' GROUP BY 1
 """
 
 
+def spans_containing_sql(term: str, n: int) -> str:
+    return f"""
+WITH {_DOC_POS},
+dl AS (SELECT doc_id, len(ts) AS n FROM toks)
+SELECT DISTINCT d.doc_id, CAST(g.s AS INT) AS start, CAST(g.s + {n} AS INT) AS "end"
+FROM dl d
+CROSS JOIN (SELECT unnest(generate_series(0, 100000)) AS s) g
+JOIN pos p ON p.doc_id = d.doc_id AND p.tok = '{term}'
+          AND p.p >= g.s AND p.p < g.s + {n}
+WHERE g.s + {n} <= d.n
+"""
+
+
+def cql_gap_sql(w1: str, w2: str) -> str:
+    return f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 3 AS INT) AS "end"
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 2
+WHERE a.tok = '{w1}' AND b.tok = '{w2}'
+"""
+
+
+def kwic_sql(term: str, ctx: int) -> str:
+    return f"""
+WITH {_DOC_POS},
+t2 AS (SELECT doc_id, ts FROM toks)
+SELECT p.doc_id, CAST(p.p AS INT) AS start, CAST(p.p + 1 AS INT) AS "end",
+       coalesce(array_to_string(ts[greatest(1, p.p - {ctx} + 1):p.p], ' '),
+                '') AS left_ctx,
+       ts[p.p + 1] AS match,
+       coalesce(array_to_string(
+                ts[p.p + 2:least(len(ts), p.p + 1 + {ctx})], ' '), '')
+         AS right_ctx
+FROM pos p JOIN t2 USING (doc_id)
+WHERE p.tok = '{term}'
+"""
+
+
+def window_sql(term: str, first: int, size: int) -> str:
+    return f"""
+WITH {_DOC_POS},
+h AS (SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end",
+             row_number() OVER (ORDER BY doc_id, p) AS rn
+      FROM pos WHERE tok = '{term}')
+SELECT doc_id, start, "end" FROM h
+WHERE rn > {first} AND rn <= {first + size}
+"""
+
+
 def docs_grouped_sql(term: str) -> str:
     return f"""
 WITH {_DOC_TOKS}
@@ -303,6 +352,42 @@ def gate_queries() -> dict:
                 .groupBy(F.col("tool").alias("group_key"))
                 .agg(F.count("*").alias("count")))
 
+    def spans_containing(spark, sf_dir):
+        """3-grams containing 'spark' (SpanQueryPositionFilter analog
+        via the span algebra + CQL executor)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, "([]{3,3}) containing \"spark\"")
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_gap_phrase(spark, sf_dir):
+        """CQL '"the" [] "table"' → rewriter turns the any-token into
+        an expansion; result checked against a plain SQL self-join."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '"the" [] "table"')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def kwic_spark(spark, sf_dir):
+        eng = docs_engine(spark, sf_dir)
+        k = eng.kwic(eng.term_hits("spark"), context=3)
+        return (with_conv(eng, k.drop("conv_id", "turn_idx"))
+                .select(_orig_doc_id(), "start", "end",
+                        F.concat_ws(" ", "left").alias("left_ctx"),
+                        F.concat_ws(" ", "match").alias("match"),
+                        F.concat_ws(" ", "right").alias("right_ctx")))
+
+    def hits_page2(spark, sf_dir):
+        """Deterministic paging window: hits 11-20 of 'vector' by
+        (doc_id, start) — HitsAbstract window analog."""
+        from blacklab_spark.operators.hits import window_hits
+        eng = docs_engine(spark, sf_dir)
+        hits = window_hits(eng.term_hits("vector"), first=10, size=10)
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def transcript_topk_role(spark, sf_dir):
         return gate_topk_micro(micro_engine(spark), ["visa"], 5,
                                role="assistant")
@@ -326,6 +411,10 @@ def gate_queries() -> dict:
         "group_hits_by_next_word": group_next_word,
         "collocations_window5": collocations,
         "docs_grouped_by_source": docs_grouped_source,
+        "spans_containing_trigram": spans_containing,
+        "cql_gap_phrase": cql_gap_phrase,
+        "kwic_spark_ctx3": kwic_spark,
+        "hits_window_page2": hits_page2,
         "transcript_topk_role_filtered": transcript_topk_role,
         "transcript_phrase_within_conv": transcript_phrase_within,
     }
@@ -344,6 +433,10 @@ def gate_oracles() -> dict[str, str]:
         "group_hits_by_next_word": group_next_word_sql("the"),
         "collocations_window5": collocations_sql("spark", 5),
         "docs_grouped_by_source": docs_grouped_sql("spark"),
+        "spans_containing_trigram": spans_containing_sql("spark", 3),
+        "cql_gap_phrase": cql_gap_sql("the", "table"),
+        "kwic_spark_ctx3": kwic_sql("spark", 3),
+        "hits_window_page2": window_sql("vector", 10, 10),
         "transcript_topk_role_filtered": bm25_micro_sql(["visa"], 5,
                                                         role="assistant"),
         "transcript_phrase_within_conv": phrase_micro_within_sql(
