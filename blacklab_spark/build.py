@@ -45,7 +45,7 @@ from blacklab_spark import codec
 from blacklab_spark.arrow_kernels import finalize_blocks_arrow, spimi_miniblocks
 from blacklab_spark.config import BuildConfig
 from blacklab_spark.oracle import bm25_idf  # same formula, one source of truth
-from blacklab_spark.tokenizer import tokens_insensitive
+from blacklab_spark.tokenizer import tokens_insensitive, tokens_sensitive
 
 # SPIMI emits pre-encoded MINI-BLOCKS, not raw posting rows: doc ids
 # are range-partitioned, so a (term, bucket) group lives in ≤2 adjacent
@@ -185,11 +185,17 @@ class IndexBuilder:
             t0 = time.time()
             with_ids, cached = assign_dense_ids(
                 transcripts, ["conv_id", "turn_idx"], "doc_id", parts)
+            # two sensitivity layers per annotation (BlackLab @i/@s,
+            # SURVEY.md §1.1): `tokens` = lowercased (drives postings +
+            # BM25), `tokens_s` = original case (sensitive searches
+            # probe it directly — the forward-index physical path)
             doc_meta = (with_ids
                         .withColumn("tokens", tokens_insensitive("text"))
+                        .withColumn("tokens_s", tokens_sensitive("text"))
                         .withColumn("n_tokens", F.size("tokens").cast("int"))
                         .select("doc_id", "conv_id", "turn_idx", "role",
-                                "tool", "ts", "n_tokens", "tokens", "text"))
+                                "tool", "ts", "n_tokens", "tokens",
+                                "tokens_s", "text"))
             # with_ids is already range-partitioned by (conv_id, turn_idx)
             # = doc_id order, rows sorted within partitions by the
             # row_number window → files hold disjoint sorted doc_id

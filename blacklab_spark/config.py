@@ -25,7 +25,7 @@ TOKEN_RE_SENSITIVE: str = "[A-Za-z0-9]+"
 TOKENIZER_VERSION: str = "v1-ascii-alnum-lower"
 
 # Storage schema version for the index artifacts.
-INDEX_FORMAT_VERSION: int = 1
+INDEX_FORMAT_VERSION: int = 2
 
 
 @dataclass(frozen=True)

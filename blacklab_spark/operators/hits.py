@@ -22,15 +22,21 @@ DEFAULT_CONTEXT = 5  # reference: search/BlackLabIndex.java:71
 
 
 def term_hits(index: InvertedIndex, term: str,
-              doc_filter: Column | None = None) -> DataFrame:
+              doc_filter: Column | None = None,
+              sensitivity: str = "i") -> DataFrame:
     """All positions of a single term → hits (BLSpanTermQuery analog,
     reference: search/lucene/BLSpanTermQuery.java:52). Forward-index
-    probe: posexplode of token arrays, JVM-side."""
+    probe: posexplode of token arrays, JVM-side.
+
+    sensitivity: "i" probes the lowercased layer, "s" the original-case
+    layer (≙ BlackLab's @i/@s annotation sensitivities,
+    indexmetadata/MatchSensitivity.java:12-17)."""
+    col = "tokens" if sensitivity == "i" else "tokens_s"
     dm = index.doc_meta
     if doc_filter is not None:
         dm = dm.filter(doc_filter)
-    return (dm.filter(F.array_contains("tokens", term))
-            .select("doc_id", F.posexplode("tokens").alias("start", "tok"))
+    return (dm.filter(F.array_contains(col, term))
+            .select("doc_id", F.posexplode(col).alias("start", "tok"))
             .filter(F.col("tok") == term)
             .select("doc_id", F.col("start").cast("int"),
                     (F.col("start") + 1).cast("int").alias("end")))

@@ -30,10 +30,11 @@ def _h(df: DataFrame) -> DataFrame:
 
 
 # -- leaves -----------------------------------------------------------
-def term(index: InvertedIndex, t: str) -> DataFrame:
-    """All positions of a term (BLSpanTermQuery.java:52)."""
+def term(index: InvertedIndex, t: str, sensitivity: str = "i") -> DataFrame:
+    """All positions of a term (BLSpanTermQuery.java:52); sensitivity
+    "i"/"s" selects the annotation layer (SURVEY §1.1)."""
     from blacklab_spark.operators.hits import term_hits
-    return term_hits(index, t)
+    return term_hits(index, t, sensitivity=sensitivity)
 
 
 def regex_terms(index: InvertedIndex, pattern: str) -> DataFrame:

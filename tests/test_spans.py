@@ -194,3 +194,28 @@ def test_capture_and_constraint(idx, tiny_oracle):
                       for p in range(tiny_oracle.dl[d] - 1)
                       if tiny_oracle.tokens[d][p] == tiny_oracle.tokens[d][p + 1])
     assert got == expected and len(got) > 0
+
+
+def test_sensitivity_layers(spark, tmp_path):
+    """@s vs @i term search on a mixed-case corpus (SURVEY §1.1;
+    reference MatchSensitivity.java:12-17)."""
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.index import open_index
+    import datetime as dt
+    rows = [("c0", 0, "user", "Visa visa VISA application", None,
+             dt.datetime(2025, 1, 1)),
+            ("c0", 1, "assistant", "the Visa office", None,
+             dt.datetime(2025, 1, 1, 0, 1))]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = str(tmp_path / "sens")
+    build_index(spark, df, out, BuildConfig(num_partitions=1))
+    idx = open_index(spark, out)
+    insens = hits_of(S.term(idx, "visa"))              # all case variants
+    assert insens == [(0, 0, 1), (0, 1, 2), (0, 2, 3), (1, 1, 2)]
+    sens = hits_of(S.term(idx, "Visa", sensitivity="s"))
+    assert sens == [(0, 0, 1), (1, 1, 2)]
+    assert hits_of(S.term(idx, "VISA", sensitivity="s")) == [(0, 2, 3)]
+    assert hits_of(S.term(idx, "visa", sensitivity="s")) == [(0, 1, 2)]
