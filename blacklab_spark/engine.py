@@ -13,7 +13,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from dataclasses import dataclass
+
 from blacklab_spark.index import InvertedIndex, open_index
+
+
+@dataclass(frozen=True)
+class SearchSettings:
+    """Result-set budget caps (reference:
+    search/results/SearchSettings.java:21-24 — DEFAULT_MAX_PROCESS =
+    10M stored hits, count unlimited). ``max_hits_to_process`` bounds
+    what a query materializes (a LIMIT on the hits frame);
+    ``max_hits_to_count`` bounds counting (None = unlimited)."""
+    max_hits_to_process: int = 10_000_000
+    max_hits_to_count: int | None = None
 from blacklab_spark.operators import hits as H
 from blacklab_spark.operators import phrase as P
 from blacklab_spark.operators.scoring import topk_exhaustive, doc_scores, finish_topk
@@ -22,9 +35,11 @@ from blacklab_spark.tokenizer import py_tokens_insensitive
 
 
 class SearchEngine:
-    def __init__(self, index: InvertedIndex):
+    def __init__(self, index: InvertedIndex,
+                 settings: SearchSettings | None = None):
         self.index = index
         self.spark = index.spark
+        self.settings = settings or SearchSettings()
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "SearchEngine":
@@ -121,7 +136,18 @@ class SearchEngine:
         if filt is not None:
             from blacklab_spark.operators.spans import filter_by_docs
             hits = filter_by_docs(hits, self.index.doc_meta.filter(filt))
+        if self.settings.max_hits_to_process is not None:
+            hits = hits.limit(self.settings.max_hits_to_process)
         return hits
+
+    def count_hits(self, cql: str, **filters) -> int:
+        """Count hits for a query, honoring max_hits_to_count
+        (ResultCount analog; None = exact unlimited count)."""
+        hits = self.find(cql, **filters)
+        cap = self.settings.max_hits_to_count
+        if cap is not None:
+            return hits.limit(cap).count()
+        return hits.count()
 
     def explain_cql(self, cql: str) -> str:
         from blacklab_spark.plans.executor import explain as _explain

@@ -154,3 +154,15 @@ def test_find_capture(idx, tiny_oracle):
         assert mi["x"]["s"] == r["start"]
         assert mi["x"]["e"] == r["start"] + 1
     assert len(rows) > 0
+
+
+def test_search_settings_caps(spark, tiny_index_dir):
+    from blacklab_spark.engine import SearchEngine, SearchSettings
+    from blacklab_spark.index import open_index
+    idx = open_index(spark, tiny_index_dir)
+    capped = SearchEngine(idx, SearchSettings(max_hits_to_process=5,
+                                              max_hits_to_count=7))
+    assert capped.find('"the"').count() == 5
+    assert capped.count_hits('"the"') <= 7
+    uncapped = SearchEngine(idx)
+    assert uncapped.find('"the"').count() > 5
