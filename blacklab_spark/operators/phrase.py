@@ -60,41 +60,57 @@ def phrase_via_tokens(index: InvertedIndex, terms: list[str],
                     (F.col("start") + n).cast("int").alias("end")))
 
 
+def _decode_doc_positions(blob_doc: bytes, blob_tf: bytes,
+                          blob_pos: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """One block → (doc_id per position, absolute position) arrays,
+    fully vectorized: the tfs stream doubles as the positions-stream
+    interleaved counts, so segment boundaries need no sequential scan;
+    per-doc delta chains resolve with a segmented-cumsum correction."""
+    docs = codec.decode_deltas(blob_doc).astype(np.int64)
+    tf = codec.decode_varints(blob_tf).astype(np.int64)
+    flat = codec.decode_varints(blob_pos).astype(np.int64)
+    n_docs = docs.size
+    total = int(tf.sum())
+    # value layout per doc: [count, first_abs, gaps...]
+    starts_v = np.concatenate(([0], np.cumsum(tf + 1)))[:-1]  # count slots
+    mask = np.ones(total + n_docs, dtype=bool)
+    mask[starts_v] = False
+    deltas = flat[mask]                       # first_abs + gaps, per doc
+    seg_first = np.concatenate(([0], np.cumsum(tf)))[:-1]
+    S = np.cumsum(deltas)
+    base = S[seg_first] - deltas[seg_first]   # cumsum before each segment
+    pos = S - np.repeat(base, tf)
+    return np.repeat(docs, tf), pos
+
+
 def _phrase_kernel(term_order: dict[int, int], n_terms: int):
-    """Per-bucket kernel: positions-list intersection, doc at a time."""
+    """Per-bucket kernel: vectorized position intersection.
+
+    Keys (doc_id << 21 | position) make slot membership an int64
+    ``isin`` (sort + searchsorted in numpy) — no per-doc Python.
+    Positions are < 2^21 tokens/turn by construction; doc ids fit the
+    remaining 42 bits per bucket."""
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # positions per (term slot, doc)
-        per_slot: list[dict[int, np.ndarray]] = [dict() for _ in range(n_terms)]
-        for term_id, blob_doc, n_docs, blob_pos in zip(
-                pdf["term_id"], pdf["doc_ids"], pdf["n_docs"], pdf["positions"]):
+        slot_keys: list[list[np.ndarray]] = [[] for _ in range(n_terms)]
+        for term_id, blob_doc, blob_tf, blob_pos in zip(
+                pdf["term_id"], pdf["doc_ids"], pdf["tfs"], pdf["positions"]):
             slot = term_order[int(term_id)]
-            docs = codec.decode_deltas(blob_doc).astype(np.int64)
-            pos_lists = codec.decode_positions(blob_pos, int(n_docs))
-            d = per_slot[slot]
-            for doc, plist in zip(docs, pos_lists):
-                d[doc] = plist.astype(np.int64)
-        if any(not d for d in per_slot):
-            return pd.DataFrame({"doc_id": [], "start": [], "end": []}).astype(
-                {"doc_id": "int64", "start": "int32", "end": "int32"})
-        cand = set(per_slot[0])
-        for d in per_slot[1:]:
-            cand &= set(d)
-        out_doc, out_start = [], []
-        for doc in sorted(cand):
-            starts = per_slot[0][doc]
-            for i in range(1, n_terms):
-                nxt = per_slot[i][doc]
-                starts = starts[np.isin(starts + i, nxt)]
-                if starts.size == 0:
-                    break
-            for s in starts:
-                out_doc.append(doc)
-                out_start.append(int(s))
-        return pd.DataFrame({
-            "doc_id": np.asarray(out_doc, dtype=np.int64),
-            "start": np.asarray(out_start, dtype=np.int32),
-            "end": (np.asarray(out_start, dtype=np.int32) + n_terms),
-        })
+            d, p = _decode_doc_positions(blob_doc, blob_tf, blob_pos)
+            slot_keys[slot].append((d << np.int64(21)) | p)
+        empty = pd.DataFrame({"doc_id": [], "start": [], "end": []}).astype(
+            {"doc_id": "int64", "start": "int32", "end": "int32"})
+        if any(not ks for ks in slot_keys):
+            return empty
+        keys = [np.sort(np.concatenate(ks)) for ks in slot_keys]
+        cand = keys[0]
+        for i in range(1, n_terms):
+            cand = cand[np.isin(cand + i, keys[i], assume_unique=True)]
+            if cand.size == 0:
+                return empty
+        doc = cand >> np.int64(21)
+        start = (cand & np.int64((1 << 21) - 1)).astype(np.int32)
+        return pd.DataFrame({"doc_id": doc, "start": start,
+                             "end": start + n_terms})
 
     return kernel
 
@@ -121,7 +137,7 @@ def phrase_via_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
         return phrase_via_tokens(index, terms)
     blocks = index.postings.filter(
         F.col("term_id").isin(list(term_order.keys())))
-    return (blocks.select("bucket", "term_id", "doc_ids", "n_docs", "positions")
+    return (blocks.select("bucket", "term_id", "doc_ids", "tfs", "positions")
             .groupBy("bucket")
             .applyInPandas(_phrase_kernel(term_order, n), HITS_SCHEMA)
             .orderBy("doc_id", "start"))
