@@ -43,12 +43,16 @@ def get_spark(app: str = "blacklab_spark", cores: int | None = None,
         # scale file volume yields far more splits than this minimum,
         # so the setting is inert there.
         .config("spark.sql.files.minPartitionNum", str(cores * 2))
-        # Shuffle/spill on tmpfs: the sandbox's virtio disk has high
-        # write-latency variance that swamps job timing; tmpfs models
-        # a real executor's local NVMe. Override with SPARK_LOCAL_DIRS.
-        .config("spark.local.dir",
-                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
+    # Shuffle/spill on tmpfs when available: the sandbox's virtio disk
+    # has high write-latency variance that swamps job timing; tmpfs
+    # models a real executor's local NVMe. Override with
+    # SPARK_LOCAL_DIRS; falls back to Spark's default otherwise.
+    local_dir = os.environ.get(
+        "SPARK_LOCAL_DIRS",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # make blacklab_spark importable on executors regardless of how the
