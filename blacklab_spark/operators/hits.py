@@ -70,7 +70,9 @@ def group_hits_by_context_word(index: InvertedIndex, hits: DataFrame,
     dm = index.doc_meta.select("doc_id", "tokens")
     j = hits.join(dm, "doc_id")
     idx = (F.col("end") + offset) if offset > 0 else (F.col("start") + 1 + offset)
-    word = F.try_element_at("tokens", idx.cast("int"))
+    # guard idx >= 1: negative element_at indexes from the array END
+    # (wraparound), which would silently mis-group edge hits.
+    word = F.when(idx >= 1, F.try_element_at("tokens", idx.cast("int")))
     return (j.select(word.alias("group_key"))
             .filter(F.col("group_key").isNotNull())
             .groupBy("group_key").agg(F.count("*").alias("count")))

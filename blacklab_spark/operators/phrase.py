@@ -47,7 +47,10 @@ def phrase_via_tokens(index: InvertedIndex, terms: list[str],
     dm = index.doc_meta
     if doc_filter is not None:
         dm = dm.filter(doc_filter)
-    # cheap pre-filter: every phrase term must occur in the doc
+    # cheap pre-filter: every phrase term must occur in the doc; docs
+    # shorter than the phrase can't match and would make F.sequence
+    # below descend (INVALID_PARAMETER_VALUE.START crash).
+    dm = dm.filter(F.size("tokens") >= n)
     for t in terms:
         dm = dm.filter(F.array_contains("tokens", t))
     phrase = F.array(*[F.lit(t) for t in terms])

@@ -47,8 +47,12 @@ def compile_property(key: str) -> Column:
             idx = F.col("start") - k + 1          # 1-based element_at
         else:
             idx = F.col("end") + k
-        return F.coalesce(F.try_element_at("tokens", idx.cast("int")),
-                          F.lit(""))
+        # idx < 1 means "off the left edge" — group under '' like the
+        # reference's empty context. Spark's negative element_at indexes
+        # from the array END, so it must never reach try_element_at.
+        return F.coalesce(
+            F.when(idx >= 1, F.try_element_at("tokens", idx.cast("int"))),
+            F.lit(""))
     if head == "field" and len(parts) > 1:
         return F.col(parts[1])
     if head in _DOC_FIELDS:

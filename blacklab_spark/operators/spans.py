@@ -41,8 +41,12 @@ def regex_terms(index: InvertedIndex, pattern: str) -> DataFrame:
     """Multi-term: regex → matching terms → OR of term hits
     (BLSpanMultiTermQueryWrapper.java:53 rewrite-to-OR). The term
     dictionary drives expansion; hits come from one array probe with
-    an OR-set membership filter, not |terms| separate scans."""
-    info = index.expand_regex(f"^(?:{pattern})$")
+    an OR-set membership filter, not |terms| separate scans.
+
+    The pattern is matched case-insensitively ((?i)) because the
+    insensitive term dictionary is lowercased — the reference likewise
+    desensitizes the pattern for @i matching (DesensitizeFilter)."""
+    info = index.expand_regex(f"(?i)^(?:{pattern})$")
     terms = list(info["term"])
     if not terms:
         return no_hits(index)
@@ -56,14 +60,18 @@ def regex_terms(index: InvertedIndex, pattern: str) -> DataFrame:
 
 
 def any_token(index: InvertedIndex, min_len: int = 1,
-              max_len: int = 1) -> DataFrame:
+              max_len: int | None = 1) -> DataFrame:
     """``[]{m,n}`` — every n-gram span (SpanQueryAnyToken.java:25,
     SpansNGrams.java:17). Generated from doc lengths, not stored.
+    ``max_len=None`` = unbounded, clamped to doc length.
     NOTE: the rewriter (plans/rewrite.py) eliminates this in favour of
     expansion whenever possible — materializing it is the expensive
     last resort, exactly as in the reference (§4.1 CCAnyExpansion)."""
-    dm = index.doc_meta.select("doc_id", "n_tokens")
-    lens = F.explode(F.sequence(F.lit(min_len), F.lit(max_len))).alias("w")
+    dm = index.doc_meta.select("doc_id", "n_tokens") \
+        .filter(F.col("n_tokens") >= max(min_len, 1))
+    hi = F.col("n_tokens") if max_len is None else \
+        F.least(F.lit(max_len), F.col("n_tokens"))
+    lens = F.explode(F.sequence(F.lit(min_len), hi)).alias("w")
     with_w = dm.select("doc_id", "n_tokens", lens)
     starts = F.explode(F.sequence(
         F.lit(0), F.col("n_tokens") - F.col("w"))).alias("start")
@@ -143,13 +151,22 @@ def sequence(a: DataFrame, b: DataFrame, min_gap: int = 0,
 
 
 def expand(index: InvertedIndex, clause: DataFrame, direction: str,
-           min_exp: int, max_exp: int) -> DataFrame:
+           min_exp: int, max_exp: int | None) -> DataFrame:
     """Stretch hits left/right by m..n tokens, one hit per amount,
     clamped to doc bounds (SpanQueryExpansion.java:36,
-    SpansExpansionRaw.java:33). No join — explode + clamp."""
+    SpansExpansionRaw.java:33). ``max_exp=None`` = unbounded (every
+    amount up to the doc edge). No join — explode + clamp."""
     dm = index.doc_meta.select("doc_id", "n_tokens")
     j = _h(clause).join(dm, "doc_id")
-    amt = F.explode(F.sequence(F.lit(min_exp), F.lit(max_exp))).alias("amt")
+    if max_exp is None:
+        # room to the doc edge in the expansion direction
+        room = F.col("start") if direction == "left" \
+            else F.col("n_tokens") - F.col("end")
+        j = j.filter(room >= min_exp)
+        amt = F.explode(F.sequence(F.lit(min_exp), room)).alias("amt")
+    else:
+        amt = F.explode(
+            F.sequence(F.lit(min_exp), F.lit(max_exp))).alias("amt")
     j = j.select("doc_id", "start", "end", "n_tokens", amt)
     if direction == "left":
         out = j.select("doc_id",
@@ -164,16 +181,40 @@ def expand(index: InvertedIndex, clause: DataFrame, direction: str,
                       F.col("end").cast("int"))
 
 
-def repetition(clause: DataFrame, min_rep: int, max_rep: int) -> DataFrame:
+def repetition(clause: DataFrame, min_rep: int,
+               max_rep: int | None) -> DataFrame:
     """A{m,n}: consecutive self-concatenation
-    (SpanQueryRepetition.java:25). Iterated self-join on
-    end == next.start; n is typically small so the join depth is
-    bounded (the rewriter collapses A{1,1} → A first)."""
+    (SpanQueryRepetition.java:25; unbounded = cql.jj:415
+    MAX_UNLIMITED). Bounded: iterated self-join on end == next.start.
+    Unbounded (``max_rep=None``): iterate the join to FIXPOINT — stop
+    when an iteration adds no rows (a run cannot exceed the longest
+    doc, so termination is guaranteed); each level is persisted so the
+    next join reads the cache, not the whole lineage."""
     assert min_rep >= 1
-    reps = {1: _h(clause).dropDuplicates(HIT_COLS)}
-    for i in range(2, max_rep + 1):
-        reps[i] = sequence(reps[i - 1], reps[1])
-    frames = [reps[i] for i in range(min_rep, max_rep + 1)]
+    base = _h(clause).dropDuplicates(HIT_COLS)
+    if max_rep is not None:
+        reps = {1: base}
+        for i in range(2, max_rep + 1):
+            reps[i] = sequence(reps[i - 1], reps[1])
+        frames = [reps[i] for i in range(min_rep, max_rep + 1)]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.dropDuplicates(HIT_COLS)
+    # unbounded: fixpoint iteration (driver loop, distributed joins)
+    base = base.persist()
+    levels = [base]
+    cur = base
+    while True:
+        nxt = sequence(cur, base).persist()
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        levels.append(nxt)
+        cur = nxt
+    frames = levels[min_rep - 1:]
+    if not frames:  # min_rep longer than any run present
+        return base.filter(F.lit(False))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

@@ -6,10 +6,14 @@ sequence:465, booleanQuery:443, repetitionAmount:415,
 containingWithinQuery:247; written from scratch as a recursive-descent
 parser, not a translation):
 
-    query        := seq (('within'|'containing') seq)?
-    seq          := boolean+
-    boolean      := unary (('|' | '&') unary)*
+    query        := boolean (('within'|'containing') boolean)*
+    boolean      := seq (('|' | '&') seq)*
+    seq          := unary+
     unary        := '!' unary | postfixed
+
+Precedence matches the reference grammar (cql.jj booleanQuery :=
+sequence [op booleanQuery]): adjacency binds tighter than ``|``/``&``,
+so ``a b | c d`` parses as ``Or(Seq(a,b), Seq(c,d))``.
     postfixed    := atom ('*' | '+' | '?' | '{m,n}' | '{m,}' | '{m}')*
     atom         := '"text"' | "'text'" | '[]' | '[word="re"]'
                     | '(' query ')' | name ':(' query ')' | '<turn/>'
@@ -81,32 +85,34 @@ class _Parser:
         self.i += 1
         return t
 
-    # query := seq (within|containing seq)?
+    # query := boolean (within|containing boolean)*
     def query(self) -> Pattern:
-        left = self.seq()
+        left = self.boolean()
         while self.peek() in ("within", "containing"):
             op = self.next()
-            right = self.seq()
+            right = self.boolean()
             left = PosFilter(left, right, op)
         return left
 
-    def seq(self) -> Pattern:
-        clauses = [self.boolean()]
-        while self.peek() is not None and self.peek() not in (
-                ")", "within", "containing"):
-            clauses.append(self.boolean())
-        return clauses[0] if len(clauses) == 1 else Seq(*clauses)
-
+    # boolean := seq (('|'|'&') seq)* — |/& bind LOOSER than adjacency
+    # (reference: cql.jj booleanQuery := sequence [op booleanQuery])
     def boolean(self) -> Pattern:
-        left = self.unary()
+        left = self.seq()
         while self.peek() in ("|", "&"):
             op = self.next()
-            right = self.unary()
+            right = self.seq()
             if op == "|":
                 left = Or(left, right)
             else:
                 left = And(left, right)
         return left
+
+    def seq(self) -> Pattern:
+        clauses = [self.unary()]
+        while self.peek() is not None and self.peek() not in (
+                ")", "within", "containing", "|", "&"):
+            clauses.append(self.unary())
+        return clauses[0] if len(clauses) == 1 else Seq(*clauses)
 
     def unary(self) -> Pattern:
         if self.peek() == "!":
@@ -120,10 +126,10 @@ class _Parser:
             t = self.peek()
             if t == "*":
                 self.next()
-                node = Rep(node, 0, 8)   # bounded star (see rewrite note)
+                node = Rep(node, 0, None)   # unbounded (cql.jj:415)
             elif t == "+":
                 self.next()
-                node = Rep(node, 1, 8)
+                node = Rep(node, 1, None)
             elif t == "?":
                 self.next()
                 node = Rep(node, 0, 1)
@@ -132,7 +138,8 @@ class _Parser:
                 inner = t[1:-1].strip()
                 if "," in inner:
                     lo, hi = inner.split(",")
-                    node = Rep(node, int(lo or 0), int(hi or 8))
+                    node = Rep(node, int(lo or 0),
+                               int(hi) if hi.strip() else None)
                 else:
                     node = Rep(node, int(inner), int(inner))
             else:

@@ -28,7 +28,7 @@ class Regex(Pattern):         # TextPatternRegex
 @dataclass(frozen=True)
 class AnyToken(Pattern):      # TextPatternAnyToken  []{min,max}
     min_len: int = 1
-    max_len: int = 1
+    max_len: int | None = 1   # None = unbounded (clamped to doc length)
 
 
 @dataclass(frozen=True)
@@ -64,7 +64,8 @@ class Not(Pattern):           # TextPatternNot (token complement)
 class Rep(Pattern):           # TextPatternRepetition  A{min,max}
     clause: Pattern
     min_rep: int
-    max_rep: int
+    max_rep: int | None       # None = unbounded (reference MAX_UNLIMITED,
+                              # cql.jj:415; executed as a fixpoint join)
 
 
 @dataclass(frozen=True)
@@ -72,7 +73,7 @@ class Expand(Pattern):        # TextPatternExpansion (rewrite product)
     clause: Pattern
     direction: str            # 'left' | 'right'
     min_exp: int
-    max_exp: int
+    max_exp: int | None       # None = unbounded (clamped to doc bounds)
 
 
 @dataclass(frozen=True)
@@ -95,6 +96,10 @@ class Turn(Pattern):
     reference's ``<u/>`` inline tag (turns are rows here, SURVEY §1.4)."""
 
 
+def _b(v: int | None) -> str:
+    return "inf" if v is None else str(v)
+
+
 def pattern_str(p: Pattern) -> str:
     """Stable printable form (used by explain())."""
     if isinstance(p, Term):
@@ -102,7 +107,7 @@ def pattern_str(p: Pattern) -> str:
     if isinstance(p, Regex):
         return f'/{p.pattern}/'
     if isinstance(p, AnyToken):
-        return f"[]{{{p.min_len},{p.max_len}}}"
+        return f"[]{{{p.min_len},{_b(p.max_len)}}}"
     if isinstance(p, Seq):
         return "SEQ(" + ", ".join(pattern_str(c) for c in p.clauses) + ")"
     if isinstance(p, Or):
@@ -112,10 +117,10 @@ def pattern_str(p: Pattern) -> str:
     if isinstance(p, Not):
         return f"NOT({pattern_str(p.clause)})"
     if isinstance(p, Rep):
-        return f"REP({pattern_str(p.clause)},{p.min_rep},{p.max_rep})"
+        return f"REP({pattern_str(p.clause)},{p.min_rep},{_b(p.max_rep)})"
     if isinstance(p, Expand):
         return (f"EXPAND({pattern_str(p.clause)},{p.direction},"
-                f"{p.min_exp},{p.max_exp})")
+                f"{p.min_exp},{_b(p.max_exp)})")
     if isinstance(p, PosFilter):
         inv = "NOT" if p.invert else ""
         return (f"{inv}{p.operation.upper()}({pattern_str(p.producer)}, "

@@ -22,6 +22,15 @@ from blacklab_spark.plans.query import (And, AnyToken, Capture, Expand, Not,
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
 
+def _mul(a: int | None, b: int | None) -> int | None:
+    """Bound arithmetic where None = unbounded."""
+    return None if a is None or b is None else a * b
+
+
+def _add(a: int | None, b: int | None) -> int | None:
+    return None if a is None or b is None else a + b
+
+
 def _map_children(p: Pattern, fn) -> Pattern:
     if isinstance(p, Seq):
         return Seq(*[fn(c) for c in p.clauses])
@@ -56,11 +65,11 @@ def _rewrite_once(p: Pattern) -> Pattern:
             return p.clause
         if isinstance(p.clause, AnyToken):
             return AnyToken(p.clause.min_len * p.min_rep,
-                            p.clause.max_len * p.max_rep)
+                            _mul(p.clause.max_len, p.max_rep))
         # nested repetition: (A{a,b}){c,d} → A{a·c, b·d} (consecutive)
         if isinstance(p.clause, Rep):
             return Rep(p.clause.clause, p.clause.min_rep * p.min_rep,
-                       p.clause.max_rep * p.max_rep)
+                       _mul(p.clause.max_rep, p.max_rep))
 
     # Flatten + Trivial Seq/Or/And
     if isinstance(p, Seq):
@@ -74,7 +83,7 @@ def _rewrite_once(p: Pattern) -> Pattern:
                     and isinstance(merged[-1], AnyToken)):
                 prev = merged.pop()
                 merged.append(AnyToken(prev.min_len + c.min_len,
-                                       prev.max_len + c.max_len))
+                                       _add(prev.max_len, c.max_len)))
             else:
                 merged.append(c)
         # CCAnyExpansion: A []{m,n} → EXPAND(A, right, m, n);

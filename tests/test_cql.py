@@ -166,3 +166,43 @@ def test_search_settings_caps(spark, tiny_index_dir):
     assert capped.count_hits('"the"') <= 7
     uncapped = SearchEngine(idx)
     assert uncapped.find('"the"').count() > 5
+
+
+# ---------------- round-2 regressions (ADVICE r01) ----------------
+def test_parse_precedence_adjacency_over_or():
+    """'a b | c d' must parse as OR(SEQ(a,b), SEQ(c,d)) — adjacency
+    binds tighter than |/& (reference cql.jj booleanQuery)."""
+    assert parse("a b | c d") == Q.Or(Q.Seq(Q.Term("a"), Q.Term("b")),
+                                      Q.Seq(Q.Term("c"), Q.Term("d")))
+    assert parse("a b & c") == Q.And(Q.Seq(Q.Term("a"), Q.Term("b")),
+                                     Q.Term("c"))
+
+
+def test_parse_unbounded_quantifiers():
+    assert parse("a*") == Q.Rep(Q.Term("a"), 0, None)
+    assert parse("a+") == Q.Rep(Q.Term("a"), 1, None)
+    assert parse("a{2,}") == Q.Rep(Q.Term("a"), 2, None)
+    assert parse("a{,3}") == Q.Rep(Q.Term("a"), 0, 3)
+
+
+def test_find_unbounded_repetition(idx, tiny_oracle):
+    """"the"+ — fixpoint self-join; all maximal-and-sub runs."""
+    got = hits_of(find(idx, '"the"+'))
+    expected = set()
+    for d, toks in otoks(tiny_oracle).items():
+        for s, t in enumerate(toks):
+            if t != "the":
+                continue
+            e = s
+            while e < len(toks) and toks[e] == "the":
+                e += 1
+                expected.add((d, s, e))
+    assert got == sorted(expected)
+
+
+def test_regex_case_insensitive(idx):
+    """Uppercase in a regex must still match the lowercased @i
+    dictionary (reference desensitizes the pattern)."""
+    lower = hits_of(find(idx, '[word="goo."]'))
+    upper = hits_of(find(idx, '[word="Goo."]'))
+    assert len(lower) > 0 and upper == lower

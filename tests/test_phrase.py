@@ -57,3 +57,31 @@ def test_term_hits(tiny_engine, tiny_oracle):
         for p in poss)
     got = _collect_hits(tiny_engine.term_hits("visa"))
     assert got == expected
+
+
+def test_phrase_shorter_doc_no_crash(spark, tmp_path):
+    """Regression (ADVICE r01): a doc with fewer tokens than the phrase
+    passing the array_contains prefilter crashed phrase_via_tokens with
+    a descending F.sequence. 'the the' falls back to the tokens path
+    and doc 'the' (1 token) must simply not match."""
+    import pandas as pd
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user", "assistant", "user"],
+        "text": ["the", "the the end", "empty words"],
+        "tool": [None, None, None],
+        "ts": pd.to_datetime(["2024-01-01"] * 3),
+    })
+    out = str(tmp_path / "shortdoc")
+    build_index(spark, spark.createDataFrame(pdf), out,
+                BuildConfig(block_size=8, bucket_size=8, num_partitions=2))
+    eng = SearchEngine.open(spark, out)
+    hits = sorted((r["doc_id"], r["start"], r["end"])
+                  for r in eng.phrase_hits(["the", "the"]).collect())
+    assert hits == [(1, 0, 2)]
+    # filtered phrase query takes the tokens path too
+    assert eng.phrase_hits(["the", "the"], role="user").count() == 0

@@ -89,3 +89,34 @@ def test_length_and_unknown_key(idx):
     assert len(rows) == 1 and rows[0]["key_0"] == 2
     with pytest.raises(ValueError):
         P.compile_property("bogus:key")
+
+
+def test_before_context_no_wraparound(tiny_engine):
+    """Regression (ADVICE r01): before:word:i:2 for hits within 2
+    tokens of doc start must group under '' — not wrap to the doc's
+    LAST tokens (Spark negative element_at indexes from the end)."""
+    from pyspark.sql import functions as F
+    from blacklab_spark.operators.properties import (_with_meta,
+                                                     compile_property)
+    idx = tiny_engine.index
+    # hits at position 0 of every doc: before:word:i:2 → idx = -1
+    hits = idx.doc_meta.filter(F.col("n_tokens") >= 3).select(
+        "doc_id", F.lit(0).cast("int").alias("start"),
+        F.lit(1).cast("int").alias("end"))
+    frame = _with_meta(idx, hits)
+    vals = [r[0] for r in
+            frame.select(compile_property("before:word:i:2")).collect()]
+    assert vals and all(v == "" for v in vals)
+
+
+def test_group_by_context_word_no_wraparound(tiny_engine):
+    """Same wraparound in group_hits_by_context_word for offset<=-2:
+    hits at doc start must be dropped (NULL group), not grouped under
+    end-of-doc tokens."""
+    from pyspark.sql import functions as F
+    idx = tiny_engine.index
+    hits = idx.doc_meta.filter(F.col("n_tokens") >= 3).select(
+        "doc_id", F.lit(0).cast("int").alias("start"),
+        F.lit(1).cast("int").alias("end"))
+    out = tiny_engine.group_hits_by_context_word(hits, offset=-2)
+    assert out.count() == 0
