@@ -42,6 +42,60 @@ def term_hits(index: InvertedIndex, term: str,
                     (F.col("start") + 1).cast("int").alias("end")))
 
 
+def hits_for_term_ids(index: InvertedIndex,
+                      term_ids: list[int]) -> DataFrame:
+    """Positions of a set of term_ids decoded from POSTING BLOCKS —
+    the postings-backed leaf (≙ Lucene reading a term's postings
+    instead of walking the forward index). Touches only the terms'
+    blocks: for a hapax term this reads a few KB, where the
+    token-array probe would scan the whole corpus. No shuffle, no
+    groupBy — each block row decodes independently (mapInArrow).
+
+    Reference analog: BLSpanTermQuery over Lucene postings
+    (search/lucene/BLSpanTermQuery.java:52); dual physical path to
+    :func:`term_hits` like SpansFiSeq vs postings sequences
+    (SURVEY.md §4.4)."""
+    import pyarrow as pa
+    from blacklab_spark.operators.phrase import _decode_doc_positions
+
+    if not term_ids:
+        return index.spark.createDataFrame(
+            [], "doc_id long, start int, end int")
+    if not index.cfg.store_positions:
+        raise ValueError("index built without positions")
+    blocks = (index.postings
+              .filter(F.col("term_id").isin([int(t) for t in term_ids]))
+              .select("doc_ids", "tfs", "positions"))
+
+    def gen(batches):
+        import numpy as np
+        for batch in batches:
+            docs_out, pos_out = [], []
+            col_d, col_tf, col_p = (batch.column(i) for i in range(3))
+            for i in range(batch.num_rows):       # per BLOCK, not per hit
+                d, p = _decode_doc_positions(
+                    col_d[i].as_py(), col_tf[i].as_py(), col_p[i].as_py())
+                docs_out.append(d)
+                pos_out.append(p)
+            if not docs_out:
+                continue
+            doc = np.concatenate(docs_out)
+            start = np.concatenate(pos_out).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc, pa.int64()), pa.array(start, pa.int32()),
+                 pa.array(start + 1, pa.int32())],
+                ["doc_id", "start", "end"])
+
+    return blocks.mapInArrow(gen, "doc_id long, start int, end int")
+
+
+def term_hits_via_postings(index: InvertedIndex, term: str) -> DataFrame:
+    """Single-term postings leaf (insensitive layer — postings are
+    built over @i tokens)."""
+    info = index.lookup_terms([term])
+    return hits_for_term_ids(index, [int(t) for t in info["term_id"]])
+
+
 def kwic(index: InvertedIndex, hits: DataFrame,
          context: int = DEFAULT_CONTEXT) -> DataFrame:
     """Keyword-in-context: left/match/right token windows
@@ -143,9 +197,17 @@ def sample_hits(hits: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
 
 def window_hits(hits: DataFrame, first: int, size: int,
                 order_cols: list[str] = ("doc_id", "start")) -> DataFrame:
-    """Paging window with deterministic order (HitsAbstract.java:157-204)."""
+    """Paging window with deterministic order (HitsAbstract.java:157-204).
+
+    Scale shape: ``orderBy(...).limit(first+size)`` compiles to
+    TakeOrderedAndProject (per-partition top-(first+size), merged on
+    the driver) — no global sort, no single-partition window over the
+    full hit set. The row_number window then runs over ≤ first+size
+    rows (one tiny partition, like finish_topk's post-limit rank)."""
     from pyspark.sql import Window as W
-    w = W.orderBy(*[F.col(c) for c in order_cols])
-    return (hits.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > first) & (F.col("_rn") <= first + size))
+    cols = [F.col(c) for c in order_cols]
+    head = hits.orderBy(*cols).limit(first + size)
+    w = W.orderBy(*cols)
+    return (head.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > first)
             .drop("_rn"))

@@ -48,13 +48,24 @@ LOCAL_TOPK_SCHEMA = T.StructType([
 
 
 def _seed_threshold(blocks: DataFrame, k: int) -> float:
-    """k-th largest block max_score within a single term → lower bound
-    on the k-th best total score (see module docstring §1)."""
-    w = Window.partitionBy("term_id").orderBy(F.desc("max_score"))
-    kth = (blocks.select("term_id", "max_score")
+    """k-th largest per-BUCKET max_score within a single term → lower
+    bound on the k-th best total score (see module docstring §1).
+
+    Buckets are doc-disjoint, so k buckets above the bound certify k
+    distinct docs scoring ≥ it — a valid (slightly weaker) bound vs
+    the per-block k-th. The pre-aggregation matters for skew: for a
+    stopword at 10^12 turns the per-term window would funnel ~10^9
+    block-metadata rows through ONE window partition; the
+    groupBy(term_id, bucket) max runs with map-side partial
+    aggregation first, shrinking the window input by the
+    blocks-per-bucket factor and keeping it shuffle-balanced."""
+    per_bucket = (blocks.groupBy("term_id", "bucket")
+                  .agg(F.max("max_score").alias("bucket_max")))
+    w = Window.partitionBy("term_id").orderBy(F.desc("bucket_max"))
+    kth = (per_bucket
            .withColumn("rn", F.row_number().over(w))
            .filter(F.col("rn") == k)
-           .agg(F.max("max_score").alias("t0"))
+           .agg(F.max("bucket_max").alias("t0"))
            .collect()[0]["t0"])
     return float(kth) if kth is not None else 0.0
 

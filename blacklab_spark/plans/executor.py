@@ -5,6 +5,22 @@ BLSpanQuery → BLSpans, SURVEY.md §3.1 steps 4-7), except the physical
 side is a Catalyst plan: each AST node maps to one operators.spans
 function, and Catalyst then handles join strategy, pushdown and AQE.
 
+Physical leaf strategy (round 2): Term/Regex leaves decode POSTING
+BLOCKS (hits_for_term_ids) instead of scanning the corpus's token
+arrays — a hapax-term CQL query now reads a few KB of blocks, not
+every doc. Sequences of width-1 leaves pick between three plans from
+term statistics, mirroring the reference's cost-based
+ClauseCombinerNfa decision (optimize/ClauseCombinerNfa.java:38-200,
+threshold :67):
+
+* all-Term phrase → vectorized postings intersection
+  (phrase_via_postings);
+* rare anchor + ≫cf neighbours → FiSeq: decode only the anchor's
+  postings, push the anchor's doc ids into the doc_meta parquet scan
+  (row-group pruning) and verify neighbours by probing token arrays
+  (SpanQueryFiSeq.java:26 / SpansFiSeq analog);
+* otherwise → pairwise positional joins over postings-backed leaves.
+
 ``find()`` = parse → rewrite → execute; ``explain()`` returns the
 original and rewritten pattern plus the op mapping (≙
 BlackLabIndex.explain → QueryExplanation,
@@ -16,16 +32,94 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from blacklab_spark.index import InvertedIndex
+from blacklab_spark.operators import phrase as P
 from blacklab_spark.operators import spans as S
 from blacklab_spark.plans import query as Q
 from blacklab_spark.plans.parser import parse
 from blacklab_spark.plans.rewrite import rewrite
 
+# Cost-ratio threshold for the forward-index (FiSeq) strategy —
+# the reference's search.fiMatchFactor default
+# (optimize/ClauseCombinerNfa.java:67).
+FI_MATCH_FACTOR = 900
+# Anchor doc-set size we are willing to collect to the driver for
+# parquet-filter pushdown (doc_id IN (...) → row-group pruning).
+FISEQ_MAX_ANCHOR_DOCS = 65536
+
+
+def _leaf_info(index: InvertedIndex, c: Q.Pattern):
+    """(cf, df, term_ids) for a width-1 leaf, from the terms table."""
+    if isinstance(c, Q.Term):
+        info = index.lookup_terms([c.text])
+    else:
+        info = index.expand_regex(f"(?i)^(?:{c.pattern})$")
+    return (int(info["cf"].sum()), int(info["df"].sum()),
+            [int(t) for t in info["term_id"]])
+
+
+def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
+    """Anchor-and-verify: decode the rare clause's postings, probe the
+    other clauses against the token-array forward index of ONLY the
+    anchor's docs (doc_id IN-list pushed to the parquet scan)."""
+    from blacklab_spark.operators.hits import hits_for_term_ids
+    n = len(clauses)
+    anchor = hits_for_term_ids(index, stats[a][2]).persist()
+    ids = [r[0] for r in anchor.select("doc_id").distinct()
+           .limit(FISEQ_MAX_ANCHOR_DOCS + 1).collect()]
+    dm = index.doc_meta.select("doc_id", "tokens", "n_tokens")
+    if len(ids) <= FISEQ_MAX_ANCHOR_DOCS:
+        dm = dm.filter(F.col("doc_id").isin(ids))
+    j = anchor.join(dm, "doc_id")
+    start0 = F.col("start") - a
+    j = j.filter((start0 >= 0) & (start0 + n <= F.col("n_tokens")))
+    for i, c in enumerate(clauses):
+        if i == a:
+            continue
+        tok = F.try_element_at("tokens", (start0 + i + 1).cast("int"))
+        if isinstance(c, Q.Term):
+            j = j.filter(tok == c.text)
+        else:
+            j = j.filter(tok.rlike(f"(?i)^(?:{c.pattern})$"))
+    return (j.select("doc_id", start0.cast("int").alias("start"),
+                     (start0 + n).cast("int").alias("end"))
+            .dropDuplicates(["doc_id", "start", "end"]))
+
+
+def _seq_strategy(index: InvertedIndex, clauses) -> DataFrame | None:
+    """Cost-based physical choice for a sequence of width-1 leaves.
+    Returns None when the generic pairwise-join path should run."""
+    if not index.cfg.store_positions:
+        return None
+    if not all(isinstance(c, (Q.Term, Q.Regex)) for c in clauses):
+        return None
+    stats = [_leaf_info(index, c) for c in clauses]
+    if any(not s[2] for s in stats):
+        return S.no_hits(index)
+    a = min(range(len(clauses)), key=lambda i: stats[i][0])
+    cf_anchor, df_anchor = stats[a][0], stats[a][1]
+    cf_others = sum(s[0] for i, s in enumerate(stats) if i != a)
+    if (cf_anchor * FI_MATCH_FACTOR < cf_others
+            and df_anchor <= FISEQ_MAX_ANCHOR_DOCS):
+        return _fiseq(index, clauses, stats, a)
+    if all(isinstance(c, Q.Term) for c in clauses):
+        return P.phrase_via_postings(index, [c.text for c in clauses])
+    return None
+
 
 def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
     if isinstance(p, Q.Term):
+        if index.cfg.store_positions:
+            from blacklab_spark.operators.hits import hits_for_term_ids
+            info = index.lookup_terms([p.text])
+            return hits_for_term_ids(index,
+                                     [int(t) for t in info["term_id"]])
         return S.term(index, p.text)
     if isinstance(p, Q.Regex):
+        if index.cfg.store_positions:
+            from blacklab_spark.operators.hits import hits_for_term_ids
+            info = index.expand_regex(f"(?i)^(?:{p.pattern})$")
+            return hits_for_term_ids(index,
+                                     [int(t) for t in info["term_id"]])
         return S.regex_terms(index, p.pattern)
     if isinstance(p, Q.AnyToken):
         return S.any_token(index, p.min_len, p.max_len)
@@ -39,6 +133,9 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             for c in p.clauses[1:]:
                 out = S.sequence_keep_info(out, _exec(index, c))
             return out
+        chosen = _seq_strategy(index, p.clauses)
+        if chosen is not None:
+            return chosen
         out = _exec(index, p.clauses[0])
         for c in p.clauses[1:]:
             out = S.sequence(out, _exec(index, c))

@@ -206,3 +206,48 @@ def test_regex_case_insensitive(idx):
     lower = hits_of(find(idx, '[word="goo."]'))
     upper = hits_of(find(idx, '[word="Goo."]'))
     assert len(lower) > 0 and upper == lower
+
+
+# ---------------- round-2: postings-backed leaves + cost choice ------
+def test_term_leaf_uses_postings_not_corpus_scan(idx):
+    """A rare-term CQL query's physical plan must read posting blocks
+    only — never scan doc_meta's token arrays (VERDICT r01 #1)."""
+    df = find(idx, '"visa"')
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "postings" in plan
+    assert "doc_meta" not in plan
+
+
+def test_postings_leaf_equals_probe_leaf(idx):
+    """Dual physical path: postings-decoded term hits ≡ token-array
+    probe hits (≙ reference _FI1/_FI2 equality)."""
+    from blacklab_spark.operators.hits import (term_hits,
+                                               term_hits_via_postings)
+    for t in ["visa", "the", "good"]:
+        probe = sorted(map(tuple, term_hits(idx, t).collect()))
+        post = sorted(map(tuple, term_hits_via_postings(idx, t).collect()))
+        assert probe == post and probe
+
+
+def test_fiseq_equals_generic_join(idx, monkeypatch):
+    """FiSeq (anchor postings + forward-index verify) must produce the
+    same hits as the generic positional-join plan for the same query
+    (cost threshold forced each way)."""
+    from blacklab_spark.plans import executor as E
+    q = '"visa" [word="applicatio."]'
+    monkeypatch.setattr(E, "FI_MATCH_FACTOR", 0)          # always FiSeq
+    fiseq = sorted(map(tuple, find(idx, q).collect()))
+    monkeypatch.setattr(E, "FI_MATCH_FACTOR", 10 ** 18)   # never FiSeq
+    generic = sorted(map(tuple, find(idx, q).collect()))
+    assert fiseq == generic and fiseq
+
+
+def test_fiseq_regex_anchor(idx, monkeypatch):
+    """FiSeq with the REGEX clause as the rare anchor side."""
+    from blacklab_spark.plans import executor as E
+    q = '[word="vis."] "application"'
+    monkeypatch.setattr(E, "FI_MATCH_FACTOR", 0)
+    fiseq = sorted(map(tuple, find(idx, q).collect()))
+    monkeypatch.setattr(E, "FI_MATCH_FACTOR", 10 ** 18)
+    generic = sorted(map(tuple, find(idx, q).collect()))
+    assert fiseq == generic and fiseq
