@@ -104,8 +104,8 @@ def gate_topk_docs(eng: SearchEngine, terms: list[str], k: int,
 
 
 def gate_topk_micro(eng: SearchEngine, terms: list[str], k: int,
-                    **filt) -> DataFrame:
-    fetched = eng.topk(terms, k=max(200, 4 * k), mode="exhaustive",
+                    mode: str = "exhaustive", **filt) -> DataFrame:
+    fetched = eng.topk(terms, k=max(200, 4 * k), mode=mode,
                        **filt).drop("rank")
     return _rounded_rank_cut(fetched, k).select(
         "rank", "conv_id", "turn_idx",
@@ -425,6 +425,17 @@ def gate_queries() -> dict:
         return gate_topk_micro(micro_engine(spark), ["visa"], 5,
                                role="assistant")
 
+    def bm25_filtered_role_wand(spark, sf_dir):
+        """Filtered WAND dual path: same oracle as the exhaustive
+        role-filtered gate, through the filter-then-score pruning plan
+        (VERDICT r01 #3)."""
+        return gate_topk_micro(micro_engine(spark), ["visa"], 5,
+                               mode="wand", role="assistant")
+
+    def bm25_filtered_lang_wand(spark, sf_dir):
+        return gate_topk_docs(docs_engine(spark, sf_dir), ["spark"], 10,
+                              mode="wand", role="en")
+
     def transcript_phrase_within(spark, sf_dir):
         eng = micro_engine(spark)
         hits = eng.phrase_hits(["very", "good"], path="tokens",
@@ -451,6 +462,8 @@ def gate_queries() -> dict:
         "kwic_spark_ctx3": kwic_spark,
         "hits_window_page2": hits_page2,
         "transcript_topk_role_filtered": transcript_topk_role,
+        "bm25_topk_filtered_role_wand": bm25_filtered_role_wand,
+        "bm25_topk_filtered_lang_wand": bm25_filtered_lang_wand,
         "transcript_phrase_within_conv": transcript_phrase_within,
     }
 
@@ -476,6 +489,10 @@ def gate_oracles() -> dict[str, str]:
         "hits_window_page2": window_sql("vector", 10, 10),
         "transcript_topk_role_filtered": bm25_micro_sql(["visa"], 5,
                                                         role="assistant"),
+        "bm25_topk_filtered_role_wand": bm25_micro_sql(["visa"], 5,
+                                                       role="assistant"),
+        "bm25_topk_filtered_lang_wand": bm25_docs_sql(["spark"], 10,
+                                                      lang="en"),
         "transcript_phrase_within_conv": phrase_micro_within_sql(
             "very", "good", "conv00001"),
     }

@@ -3,8 +3,10 @@
 
 Routes queries to physical strategies the way the reference's
 optimizer does (SURVEY.md §4.4): unfiltered top-k → block-max WAND;
-filtered top-k → exhaustive scoring (metadata threshold is only valid
-unfiltered); phrase → postings-intersection or forward-index probe.
+filtered top-k → filter-then-score WAND (allowed-bucket semi-join
+prune + threshold seeded from filtered candidates); exhaustive
+scoring kept as the dual verification path; phrase →
+postings-intersection or forward-index probe.
 ``explain()`` reports the chosen plan, mirroring
 BlackLabIndex.explain (BlackLabIndex.java:230).
 """
@@ -30,7 +32,7 @@ class SearchSettings:
 from blacklab_spark.operators import hits as H
 from blacklab_spark.operators import phrase as P
 from blacklab_spark.operators.scoring import topk_exhaustive, doc_scores, finish_topk
-from blacklab_spark.operators.wand import topk_wand
+from blacklab_spark.operators.wand import topk_wand, topk_wand_filtered
 from blacklab_spark.tokenizer import py_tokens_insensitive
 
 
@@ -77,12 +79,14 @@ class SearchEngine:
         terms = self._terms(query)
         filt = self._doc_filter(role, tool, conv_id, where)
         if mode == "auto":
-            mode = "exhaustive" if filt is not None else "wand"
+            mode = "wand"
         if mode == "wand":
             if filt is not None:
-                raise ValueError("WAND path does not support doc filters; "
-                                 "use mode='exhaustive' (threshold bound "
-                                 "is only certified unfiltered)")
+                # filter-then-score plan: allowed buckets pruned before
+                # decode, threshold seeded from filtered candidates
+                # (topk_wand_filtered docstring; the unfiltered metadata
+                # bound would not be valid here).
+                return topk_wand_filtered(self.index, terms, filt, k)
             return topk_wand(self.index, terms, k)
         return topk_exhaustive(self.index, terms, k, doc_filter=filt)
 
@@ -158,7 +162,10 @@ class SearchEngine:
         terms = self._terms(query)
         filt = self._doc_filter(**filters)
         info = self.index.lookup_terms(terms)
+        strat = ("filtered block-max WAND (bucket semi-join prune + "
+                 "seeded threshold)" if filt is not None
+                 else "block-max WAND")
         lines = [f"query terms: {terms}",
                  f"resolved: {info.to_dict('records')}",
-                 f"strategy: {'exhaustive (filtered)' if filt is not None else 'block-max WAND'}"]
+                 f"strategy: {strat}"]
         return "\n".join(lines)

@@ -87,6 +87,59 @@ def score_bucket_kernel(idf_by_term: dict[int, float], k1: float, b: float,
     return kernel
 
 
+def score_bucket_kernel_filtered(idf_by_term: dict[int, float], k1: float,
+                                 b: float, avgdl: float,
+                                 local_k: int | None = None):
+    """Cogrouped variant of :func:`score_bucket_kernel`: the right
+    side carries the ALLOWED doc ids of this bucket (from the
+    metadata filter); only allowed docs are decoded into the sum.
+    Same canonical (doc_id, term_id)-ordered summation, so scores are
+    bit-identical to the unfiltered kernel for the surviving docs."""
+    def kernel(key, blocks_pdf: pd.DataFrame,
+               allowed_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if blocks_pdf.empty or allowed_pdf.empty:
+            return empty
+        allowed = np.sort(allowed_pdf["doc_id"].to_numpy(np.int64))
+        docs_out, tids_out, contribs_out = [], [], []
+        for term_id, blob_doc, blob_tf, blob_dl in zip(
+                blocks_pdf["term_id"], blocks_pdf["doc_ids"],
+                blocks_pdf["tfs"], blocks_pdf["dls"]):
+            doc = codec.decode_deltas(blob_doc).astype(np.int64)
+            keep = np.isin(doc, allowed, assume_unique=False)
+            if not keep.any():
+                continue
+            tf = codec.decode_varints(blob_tf).astype(np.float64)[keep]
+            dl = codec.decode_varints(blob_dl).astype(np.float64)[keep]
+            doc = doc[keep]
+            idf = idf_by_term[int(term_id)]
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl))
+            docs_out.append(doc)
+            tids_out.append(np.full(doc.size, int(term_id), dtype=np.int64))
+            contribs_out.append(contrib)
+        if not docs_out:
+            return empty
+        d = np.concatenate(docs_out)
+        t = np.concatenate(tids_out)
+        c = np.concatenate(contribs_out)
+        order = np.lexsort((t, d))  # doc asc, then term_id asc
+        d, c = d[order], c[order]
+        starts = np.empty(d.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = d[1:] != d[:-1]
+        s_idx = np.nonzero(starts)[0]
+        uniq = d[s_idx]
+        sums = np.add.reduceat(c, s_idx)
+        if local_k is not None and uniq.size > local_k:
+            top = np.lexsort((uniq, -sums))[:local_k]
+            uniq, sums = uniq[top], sums[top]
+        return pd.DataFrame({"doc_id": uniq, "score": sums})
+
+    return kernel
+
+
 def doc_scores(index: InvertedIndex, terms: list[str],
                doc_filter: Column | None = None) -> DataFrame:
     """Full BM25 score per candidate doc (no top-k cut). Empty-safe."""

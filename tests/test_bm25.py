@@ -93,3 +93,34 @@ def test_filtered_topk_conv(small_engine, small_oracle):
                           predicate=lambda m: m["conv_id"] == "conv00001")
     got = small_engine.topk(["good"], k=10, conv_id="conv00001").collect()
     _assert_rank_identical([(r["doc_id"], r["score"]) for r in got], expected)
+
+
+def test_filtered_wand_equals_filtered_exhaustive(small_engine):
+    """Round-2 dual path: filter-then-score WAND (bucket prune +
+    seeded threshold) must be rank- and score-identical to
+    exhaustive-then-filter (VERDICT r01 #3)."""
+    cases = [((["visa"],), {"role": "assistant"}),
+             ((["visa", "application"],), {"role": "user"}),
+             ((["the"],), {"tool": True}),
+             ((["good"],), {"conv_id": "conv00001"})]
+    for (terms,), filt in cases:
+        a = small_engine.topk(terms, k=10, mode="wand", **filt).collect()
+        b = small_engine.topk(terms, k=10, mode="exhaustive",
+                              **filt).collect()
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+        for x, y in zip(a, b):
+            assert x["score"] == pytest.approx(y["score"], abs=1e-9)
+
+
+def test_filtered_wand_seeds_threshold_and_prunes(small_engine):
+    """The filtered path must seed a nonzero threshold from filtered
+    candidates and prune buckets whose upper bound falls below it."""
+    from pyspark.sql import functions as F
+    from blacklab_spark.operators.wand import topk_wand_filtered
+    dbg = {}
+    df = topk_wand_filtered(small_engine.index, ["visa"],
+                            F.col("role") == "assistant", k=3, _debug=dbg)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert dbg["t0"] > 0.0
+    assert dbg["blocks_after_prune"] < dbg["blocks_total"]
