@@ -67,10 +67,14 @@ def pipeline_queries() -> dict:
 
     def embedding_topk_ivf(spark, sf_dir):
         return S.ivf_topk(_emb(spark, sf_dir), EMB_QUERY_ID, k=10,
-                          stride=64, nprobe=2)
+                          k_centroids=16, nprobe=2)
 
     def embedding_near_pairs(spark, sf_dir):
         return D.embedding_near_pairs(_emb(spark, sf_dir), NEAR_COS_T)
+
+    def embedding_near_pairs_lsh(spark, sf_dir):
+        return D.embedding_near_pairs_lsh(_emb(spark, sf_dir), NEAR_COS_T,
+                                          dim=64, n_planes=32, bands=8)
 
     def langid(spark, sf_dir):
         return X.language_id(_docs(spark, sf_dir))
@@ -96,6 +100,7 @@ def pipeline_queries() -> dict:
         "embedding_cosine_topk": embedding_topk,
         "embedding_cosine_topk_ivf": embedding_topk_ivf,
         "embedding_near_pairs": embedding_near_pairs,
+        "embedding_near_pairs_lsh": embedding_near_pairs_lsh,
         "text_language_id": langid,
         "text_quality_score": quality,
         "text_token_stats": tokstats,
@@ -135,10 +140,13 @@ SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank,
 """
 
 
-def _emb_ivf_sql(query_id: int, k: int, stride: int, nprobe: int) -> str:
+def _emb_ivf_sql(query_id: int, k: int, k_centroids: int,
+                 nprobe: int) -> str:
     return f"""
 WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cid, v AS cv FROM ed WHERE vec_id % {stride} = 0),
+cents AS (SELECT vec_id AS cid, v AS cv FROM ed
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {k_centroids}),
 assign_all AS (
   SELECT e.vec_id AS id, e.v, c.cid,
          round({_cos_expr('e.v', 'c.cv')}, 6) AS sim,
@@ -158,6 +166,38 @@ scored AS (SELECT c.id AS vec_id, round({_cos_expr('c.v', 'q.v')}, 4) AS cosine
 topk AS (SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT {k})
 SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank,
        vec_id, cosine FROM topk
+"""
+
+
+def _emb_lsh_pairs_sql(threshold: float, dim: int, n_planes: int,
+                       bands: int) -> str:
+    """Re-runs the identical hyperplane-LSH algorithm (md5-derived
+    ±1 planes, banding, exact verify) — the candidate set itself is
+    deterministic and value-checked, like the IVF oracle."""
+    rows = n_planes // bands
+    cos = _cos_expr("ea.v", "eb.v")
+    return f"""
+WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+  SELECT pp.p,
+         list_transform(generate_series(1, {dim}), d ->
+           CASE WHEN (('0x' || substr(md5('ep' || pp.p || '|' || d), 1, 15))::BIGINT
+                      & 1) = 1 THEN 1.0 ELSE -1.0 END) AS r
+  FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) pp),
+sigs AS (SELECT e.vec_id, p.p,
+                CASE WHEN list_inner_product(e.v, p.r) >= 0
+                     THEN 1 ELSE 0 END AS bit
+         FROM ed e CROSS JOIN planes p),
+bandkeys AS (SELECT vec_id, p // {rows} AS band,
+                    string_agg(bit::VARCHAR, '' ORDER BY p) AS key
+             FROM sigs GROUP BY vec_id, p // {rows}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bandkeys a JOIN bandkeys b
+           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b, round({cos}, 4) AS cosine
+FROM cand c JOIN ed ea ON ea.vec_id = c.id_a
+            JOIN ed eb ON eb.vec_id = c.id_b
+WHERE round({cos}, 4) >= {threshold}
 """
 
 
@@ -194,7 +234,8 @@ FROM base a JOIN base b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_T}
 """,
         "embedding_cosine_topk": _emb_topk_sql(EMB_QUERY_ID, 10),
-        "embedding_cosine_topk_ivf": _emb_ivf_sql(EMB_QUERY_ID, 10, 64, 2),
+        "embedding_cosine_topk_ivf": _emb_ivf_sql(EMB_QUERY_ID, 10, 16, 2),
+        "embedding_near_pairs_lsh": _emb_lsh_pairs_sql(NEAR_COS_T, 64, 32, 8),
         "embedding_near_pairs": f"""
 WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

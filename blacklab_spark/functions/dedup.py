@@ -171,15 +171,13 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     return base.mapInPandas(simhash_kernel, schema)
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
-                       id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-
-    Scale path: block on 4 16-bit chunks (a pair within distance ≤3
-    shares at least one exact chunk — pigeonhole); here the corpus is
-    small enough to verify all pairs, so we self-join on a single
-    constant key only at test scale. Output: (id_a, id_b, hamming)."""
+def simhash_near_pairs_bruteforce(df: DataFrame, max_hamming: int = 8,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> DataFrame:
+    """All-pairs SimHash Hamming ≤ max_hamming — O(n²) nested-loop
+    join, ORACLE/verification scale only (like
+    jaccard_pairs_bruteforce). The production path is
+    :func:`simhash_near_pairs`."""
     sh = simhash(df, id_col, text_col)
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -189,13 +187,58 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
             .filter(F.col("hamming") <= max_hamming))
 
 
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 8,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_chunks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming ≤ max_hamming — BLOCKED
+    (pigeonhole banding, the 10^9-doc path).
+
+    Split the 60-bit simhash into ``n_chunks`` equal bit-chunks with
+    ``n_chunks > max_hamming``: a pair within Hamming distance h can
+    differ in at most h chunks, so with h < n_chunks at least one
+    chunk matches EXACTLY (pigeonhole) — candidate generation is an
+    equi-join on (chunk_index, chunk_value), a uniform shuffle key.
+    Candidates are then verified with the exact 60-bit distance, so
+    the output is identical to the brute-force all-pairs join
+    (proved, not sampled — tested blocked ≡ brute).
+
+    Default n_chunks = smallest divisor of 60 that exceeds
+    max_hamming (e.g. max_hamming=4 → 5 chunks × 12 bits)."""
+    if n_chunks is None:
+        n_chunks = next(c for c in (2, 3, 4, 5, 6, 10, 12, 15, 20, 30, 60)
+                        if c > max_hamming)
+    if not (n_chunks > max_hamming and SIMHASH_BITS % n_chunks == 0):
+        raise ValueError("n_chunks must divide 60 and exceed max_hamming")
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sh = simhash(df, id_col, text_col)
+    entries = [F.struct(
+        F.lit(i).alias("chunk"),
+        F.shiftrightunsigned("simhash", i * chunk_bits)
+         .bitwiseAND(F.lit(mask)).alias("key"))
+        for i in range(n_chunks)]
+    banded = (sh.select("id", "simhash",
+                        F.explode(F.array(*entries)).alias("c"))
+              .select("id", "simhash", "c.chunk", "c.key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("ha"),
+                    F.col("b.simhash").alias("hb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def embedding_near_pairs(emb: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold.
-
-    Exact pairwise at verification scale; the LSH-bucketed scale path
-    lives in functions/similarity.py (ivf assignment reuse)."""
+    """Near-duplicate pairs by embedding cosine ≥ threshold —
+    all-pairs ORACLE path (O(n²), verification scale only). The
+    production path is :func:`embedding_near_pairs_lsh`."""
     d = emb.select(F.col(id_col).alias("id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
     a, b = d.alias("a"), d.alias("b")
@@ -209,4 +252,78 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.95,
     return (a.join(b, F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — exactly re-derivable in
+    SQL (``md5('ep{p}|{d}')`` low bit), so the LSH path is
+    algorithm-checkable cross-engine like the IVF ANN gate."""
+    import hashlib
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(1, dim + 1):
+            h = int(hashlib.md5(f"ep{p}|{d}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if (h & 1) == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def embedding_near_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
+                             dim: int = 64, n_planes: int = 32,
+                             bands: int = 8, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold — LSH-BUCKETED
+    (random-hyperplane signatures, the 10^9-vector path).
+
+    Sign of ⟨v, r_p⟩ for ``n_planes`` deterministic ±1 hyperplanes →
+    bit signature; signatures band into ``bands`` groups of
+    ``n_planes/bands`` bits; pairs sharing any band bucket become
+    candidates (equi-join on (band, key) — uniform shuffle key, no
+    all-pairs join); candidates verify with the exact cosine.
+    Precision is exact; recall is the standard hyperplane-LSH
+    tradeoff, high for the near-dup regime (cos ≥ 0.9 → bit-match
+    p≈0.86, miss ≈ (1-p^4)^8 < 1%% at the defaults, vanishing with
+    more bands). All arithmetic is sequential-fold double — the
+    DuckDB oracle re-runs the identical algorithm and must hash-match
+    (precision AND the candidate set are deterministic)."""
+    rows = n_planes // bands
+    assert rows * bands == n_planes
+    d = emb.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    planes = rademacher_planes(n_planes, dim)
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row])
+                           for row in planes])
+    bits = F.transform(
+        planes_lit,
+        lambda r: F.when(
+            F.aggregate(F.zip_with("v", r, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x) >= 0,
+            F.lit(1)).otherwise(F.lit(0)))
+    sig = d.select("id", "v", bits.alias("bits"))
+    banded = sig.select(
+        "id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("", *[
+                         F.element_at("bits", b * rows + r + 1).cast("string")
+                         for r in range(rows)]).alias("key"))
+            for b in range(bands)])).alias("bk"))
+    banded = banded.select("id", "v", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.round(dot / (na * nb), 4)
+    return (cand.select("id_a", "id_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))

@@ -79,7 +79,7 @@ def test_cosine_topk_self_consistency(spark, emb):
     exact = [(r["vec_id"], r["cosine"]) for r in
              S.cosine_topk(emb, 7, k=10).collect()]
     ivf = [(r["vec_id"], r["cosine"]) for r in
-           S.ivf_topk(emb, 7, k=10, stride=64, nprobe=2).collect()]
+           S.ivf_topk(emb, 7, k=10, k_centroids=16, nprobe=2).collect()]
     assert len(exact) == 10 and len(ivf) == 10
     exact_scores = dict(exact)
     # ivf results carry the same cosine values where ids overlap
@@ -110,3 +110,60 @@ def test_frame_sample_plan(spark):
     out = sorted(r["frame_ts_ms"] for r in
                  M.frame_sample_plan(df, every_ms=1000).collect())
     assert out == [0, 1000, 2000, 3000]
+
+
+def test_simhash_blocked_equals_bruteforce(spark, docs):
+    """Pigeonhole-banded SimHash pairs must equal the all-pairs join
+    exactly (the blocking is a proof, not a heuristic)."""
+    for t in (2, 4, 8):
+        brute = sorted(map(tuple,
+                           D.simhash_near_pairs_bruteforce(docs, t).collect()))
+        blocked = sorted(map(tuple, D.simhash_near_pairs(docs, t).collect()))
+        assert blocked == brute
+    assert len(D.simhash_near_pairs(docs, 4).collect()) > 0
+
+
+def test_simhash_blocked_rejects_bad_chunking(spark, docs):
+    with pytest.raises(ValueError):
+        D.simhash_near_pairs(docs, max_hamming=6, n_chunks=5)
+
+
+def test_embedding_lsh_pairs_subset_and_precision(spark, emb):
+    """LSH-bucketed pairs ⊆ brute-force pairs (exact verify ⇒ 100%
+    precision); on the fixture at the gate threshold the candidate
+    join must surface a non-trivial share of the true pairs."""
+    brute = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in D.embedding_near_pairs(emb, 0.45).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in D.embedding_near_pairs_lsh(emb, 0.45, dim=64).collect()}
+    assert set(lsh) <= set(brute)
+    for pair, cos in lsh.items():
+        assert cos == brute[pair]
+    assert len(lsh) > 0
+
+
+def test_embedding_lsh_full_recall_on_high_threshold(spark):
+    """Planted near-identical vectors (cos ≥ 0.99 — the actual
+    near-dup regime) must ALL be found by the banded path."""
+    import pandas as pd
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant 5 near-dups of vectors 0-4 with tiny perturbation
+    for j in range(5):
+        v = base[j] + rng.randn(64) * 0.01
+        rows.append((100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["vec_id", "embedding"]))
+    got = {(r["id_a"], r["id_b"])
+           for r in D.embedding_near_pairs_lsh(df, 0.99, dim=64).collect()}
+    assert {(j, 100 + j) for j in range(5)} <= got
+
+
+def test_ivf_centroids_fixed_k(spark, emb):
+    """Centroid count is k regardless of corpus size (bounded
+    broadcast — VERDICT r01 IVF fix)."""
+    assert S.centroids(emb, 16).count() == 16
+    assert S.centroids(emb.limit(100), 16).count() == 16
