@@ -403,6 +403,15 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_constraint_samewords(spark, sf_dir):
+        """Global constraint ``A:[] B:[] :: A.word = B.word`` —
+        adjacent duplicate words (SpanQueryConstrained analog)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, "A:[] B:[] :: A.word = B.word")
+        return with_conv(eng, hits.drop("match_info")).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def kwic_spark(spark, sf_dir):
         eng = docs_engine(spark, sf_dir)
         k = eng.kwic(eng.term_hits("spark"), context=3)
@@ -459,6 +468,7 @@ def gate_queries() -> dict:
         "cql_gap_phrase": cql_gap_phrase,
         "cql_term_postings": cql_term_postings,
         "cql_regex_postings": cql_regex_postings,
+        "cql_constraint_samewords": cql_constraint_samewords,
         "kwic_spark_ctx3": kwic_spark,
         "hits_window_page2": hits_page2,
         "transcript_topk_role_filtered": transcript_topk_role,
@@ -485,6 +495,12 @@ def gate_oracles() -> dict[str, str]:
         "cql_gap_phrase": cql_gap_sql("the", "table"),
         "cql_term_postings": term_positions_sql("vector"),
         "cql_regex_postings": regex_positions_sql("tabl.*"),
+        "cql_constraint_samewords": f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.tok = b.tok
+""",
         "kwic_spark_ctx3": kwic_sql("spark", 3),
         "hits_window_page2": window_sql("vector", 10, 10),
         "transcript_topk_role_filtered": bm25_micro_sql(["visa"], 5,

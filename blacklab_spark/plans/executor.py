@@ -163,6 +163,21 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         return S.containing(prod, filt, p.invert)
     if isinstance(p, Q.Capture):
         return S.capture(_exec(index, p.clause), p.name)
+    if isinstance(p, Q.Constrained):
+        hits = _exec(index, p.clause)
+        if "match_info" not in hits.columns:
+            raise ValueError(
+                "global constraint references captures but the clause "
+                f"defines none: {Q.pattern_str(p)}")
+        for side in (p.lhs, p.rhs):
+            if side[1] not in ("word",):
+                raise ValueError(
+                    f"unknown annotation {side[1]!r} in constraint "
+                    "(supported: word)")
+        lhs = S.capture_token(p.lhs[0])
+        rhs = S.capture_token(p.rhs[0])
+        pred = (lhs == rhs) if p.op == "=" else (lhs != rhs)
+        return S.constrained(index, hits, pred)
     raise ValueError(f"unsupported pattern node: {p!r}")
 
 

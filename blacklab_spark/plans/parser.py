@@ -28,9 +28,9 @@ from __future__ import annotations
 
 import re
 
-from blacklab_spark.plans.query import (And, AnyToken, Capture, Not, Or,
-                                        Pattern, PosFilter, Regex, Rep, Seq,
-                                        Term, Turn)
+from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
+                                        Not, Or, Pattern, PosFilter, Regex,
+                                        Rep, Seq, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -40,7 +40,10 @@ _TOKEN_RE = re.compile(r"""
         \[\s*\]                    |  # []
         <turn/>                    |
         \{\s*\d*\s*(?:,\s*\d*\s*)?\} |  # {m}, {m,}, {m,n}, {,n}
-        [A-Za-z_][A-Za-z0-9_]*:\(  |  # capture open
+        ::                         |  # global-constraint separator
+        [A-Za-z_][A-Za-z0-9_]*:\(  |  # capture open (parenthesized)
+        [A-Za-z_][A-Za-z0-9_]*:    |  # capture of the next atom
+        !=                         |  # constraint inequality
         \(|\)|\||&|!|\*|\+|\?      |
         within|containing          |
         [^\s()\[\]{}|&!*+?:'"]+        # bare word / regex (no quotes)
@@ -85,14 +88,41 @@ class _Parser:
         self.i += 1
         return t
 
-    # query := boolean (within|containing boolean)*
+    # query := constrained
+    # constrained := posfiltered ('::' constraint)?   (cql.jj:157)
     def query(self) -> Pattern:
+        left = self.posfiltered()
+        if self.peek() == "::":
+            self.next()
+            left = Constrained(left, *self.constraint())
+        return left
+
+    # posfiltered := boolean (within|containing boolean)*
+    def posfiltered(self) -> Pattern:
         left = self.boolean()
         while self.peek() in ("within", "containing"):
             op = self.next()
             right = self.boolean()
             left = PosFilter(left, right, op)
         return left
+
+    # constraint := name '.' annot ('='|'!=') name '.' annot
+    def constraint(self):
+        lhs = self._operand()
+        op_tok = self.next()
+        if op_tok not in ("=", "!="):
+            raise ParseError(f"expected '=' or '!=' in constraint, "
+                             f"got {op_tok!r}")
+        rhs = self._operand()
+        return lhs, op_tok, rhs
+
+    def _operand(self) -> tuple[str, str]:
+        t = self.next()
+        if "." not in t:
+            raise ParseError(f"constraint operand must be name.annotation, "
+                             f"got {t!r}")
+        name, annot = t.split(".", 1)
+        return (name, annot)
 
     # boolean := seq (('|'|'&') seq)* — |/& bind LOOSER than adjacency
     # (reference: cql.jj booleanQuery := sequence [op booleanQuery])
@@ -110,7 +140,7 @@ class _Parser:
     def seq(self) -> Pattern:
         clauses = [self.unary()]
         while self.peek() is not None and self.peek() not in (
-                ")", "within", "containing", "|", "&"):
+                ")", "within", "containing", "|", "&", "::"):
             clauses.append(self.unary())
         return clauses[0] if len(clauses) == 1 else Seq(*clauses)
 
@@ -167,10 +197,14 @@ class _Parser:
             return node
         if t.endswith(":("):
             name = t[:-2]
-            node = self.query()
+            node = self.posfiltered()
             if self.next() != ")":
                 raise ParseError("expected )")
             return Capture(node, name)
+        if t.endswith(":") and len(t) > 1 and t != "::":
+            # bare capture of the next atom: A:[] / A:"word" (cql.jj
+            # captureQuery) — no parentheses required
+            return Capture(self.atom(), t[:-1])
         if t in (")", "|", "&", "!", "*", "+", "?"):
             raise ParseError(f"unexpected {t!r}")
         return _word_pattern(t)

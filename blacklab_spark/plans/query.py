@@ -91,6 +91,17 @@ class Capture(Pattern):       # TextPatternCaptureGroup  name:(...)
 
 
 @dataclass(frozen=True)
+class Constrained(Pattern):   # TextPatternConstrained  A:[] B:[] :: A.word = B.word
+    """Global constraint over captured groups (reference:
+    SpanQueryConstrained.java:25; grammar cql.jj:157 constrainedQuery;
+    MatchFilter AST ≙ one Catalyst comparison here)."""
+    clause: Pattern
+    lhs: tuple               # (capture_name, annotation)
+    op: str                  # '=' | '!='
+    rhs: tuple
+
+
+@dataclass(frozen=True)
 class Turn(Pattern):
     """Whole-turn span ``<turn/>`` — the structural analog of the
     reference's ``<u/>`` inline tag (turns are rows here, SURVEY §1.4)."""
@@ -127,6 +138,9 @@ def pattern_str(p: Pattern) -> str:
                 f"{pattern_str(p.filter)})")
     if isinstance(p, Capture):
         return f"{p.name}:({pattern_str(p.clause)})"
+    if isinstance(p, Constrained):
+        return (f"CONSTRAINED({pattern_str(p.clause)} :: "
+                f"{p.lhs[0]}.{p.lhs[1]} {p.op} {p.rhs[0]}.{p.rhs[1]})")
     if isinstance(p, Turn):
         return "<turn/>"
     return repr(p)

@@ -15,9 +15,9 @@ from __future__ import annotations
 
 import re
 
-from blacklab_spark.plans.query import (And, AnyToken, Capture, Expand, Not,
-                                        Or, Pattern, PosFilter, Regex, Rep,
-                                        Seq, Term, Turn)
+from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
+                                        Expand, Not, Or, Pattern, PosFilter,
+                                        Regex, Rep, Seq, Term, Turn)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
@@ -48,6 +48,8 @@ def _map_children(p: Pattern, fn) -> Pattern:
         return PosFilter(fn(p.producer), fn(p.filter), p.operation, p.invert)
     if isinstance(p, Capture):
         return Capture(fn(p.clause), p.name)
+    if isinstance(p, Constrained):
+        return Constrained(fn(p.clause), p.lhs, p.op, p.rhs)
     return p
 
 

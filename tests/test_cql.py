@@ -251,3 +251,40 @@ def test_fiseq_regex_anchor(idx, monkeypatch):
     monkeypatch.setattr(E, "FI_MATCH_FACTOR", 10 ** 18)
     generic = sorted(map(tuple, find(idx, q).collect()))
     assert fiseq == generic and fiseq
+
+
+# ---------------- round-2: global constraint syntax ------------------
+def test_parse_constraint():
+    p = parse("A:[] B:[] :: A.word = B.word")
+    assert isinstance(p, Q.Constrained)
+    assert p.lhs == ("A", "word") and p.op == "=" and p.rhs == ("B", "word")
+    p2 = parse('x:"the" y:[] :: x.word != y.word')
+    assert p2.op == "!="
+
+
+def test_find_constraint_equal(idx, tiny_oracle):
+    """A:[] B:[] :: A.word = B.word — adjacent duplicate words."""
+    got = hits_of(find(idx, "A:[] B:[] :: A.word = B.word"))
+    expected = []
+    for d, toks in otoks(tiny_oracle).items():
+        for p in range(len(toks) - 1):
+            if toks[p] == toks[p + 1]:
+                expected.append((d, p, p + 2))
+    assert got == sorted(expected) and got
+
+
+def test_find_constraint_not_equal(idx, tiny_oracle):
+    got = hits_of(find(idx, 'A:"the" B:[] :: A.word != B.word'))
+    expected = []
+    for d, toks in otoks(tiny_oracle).items():
+        for p in range(len(toks) - 1):
+            if toks[p] == "the" and toks[p + 1] != "the":
+                expected.append((d, p, p + 2))
+    assert got == sorted(expected) and got
+
+
+def test_constraint_errors(idx):
+    with pytest.raises(ValueError):
+        find(idx, '"the" "cat" :: A.word = B.word')   # no captures
+    with pytest.raises(ValueError):
+        find(idx, "A:[] B:[] :: A.pos = B.pos")       # unknown annotation
