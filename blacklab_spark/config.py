@@ -16,16 +16,54 @@ from dataclasses import dataclass, field, asdict
 K1: float = 1.2
 B: float = 0.75
 
-# Frozen tokenizer v1: lowercase + ascii alnum runs. Chosen so the
-# exact same tokenization is expressible in Spark SQL
-# (regexp_extract_all), DuckDB (oracle SQL) and pure Python (re) —
-# the rank-identity gate depends on all three agreeing.
-TOKEN_RE_INSENSITIVE: str = "[a-z0-9]+"
-TOKEN_RE_SENSITIVE: str = "[A-Za-z0-9]+"
-TOKENIZER_VERSION: str = "v1-ascii-alnum-lower"
+# Frozen tokenizer v2 (Unicode): a token is a maximal run of Unicode
+# letter/mark/number characters (general categories L*, M*, N*); the
+# insensitive (@i) layer additionally lowercases and accent-folds —
+# exactly BlackLab's BLStandardAnalyzer @i treatment (reference:
+# engine/src/main/java/nl/inl/blacklab/analysis/BLStandardAnalyzer.java:30-33,
+# DesensitizeFilter.java). Chosen so the IDENTICAL tokenization is
+# expressible in Spark SQL (Java regex \p{L}), DuckDB (RE2 \p{L}) and
+# pure Python (unicodedata category runs) — the rank-identity gate
+# depends on all three agreeing. For pure-ASCII text v2 tokenizes
+# identically to round-1's v1 ([a-z0-9]+ on lowered text).
+TOKEN_RE_INSENSITIVE: str = "[\\p{L}\\p{M}\\p{N}]+"
+TOKEN_RE_SENSITIVE: str = "[\\p{L}\\p{M}\\p{N}]+"
+TOKENIZER_VERSION: str = "v2-unicode-fold"
+
+
+def _build_fold_table() -> tuple[str, str]:
+    """Accent-fold as a fixed translate table: single accented Latin
+    letters → their NFD base letter; combining marks (U+0300-U+036F)
+    deleted (translate with a shorter replacement string deletes — the
+    same semantics in Spark, DuckDB and Python str.translate). The
+    table is generated from unicodedata at import, so it is one
+    deterministic artifact shared by all three engines. Multi-char
+    folds (ß→ss, œ→oe) are NOT applied — they cannot be expressed as
+    a 1:1 translate and are left as-is, documented."""
+    import unicodedata
+    src, dst = [], []
+    for cp in range(0x00C0, 0x0250):          # Latin-1 Sup + Ext-A/B head
+        ch = chr(cp)
+        if not unicodedata.category(ch).startswith("L"):
+            continue
+        d = unicodedata.normalize("NFD", ch)
+        base = d[0]
+        if base != ch and len(base) == 1 and base.isascii() \
+                and base.isalpha():
+            src.append(ch)
+            dst.append(base)
+    for s, t in {"ø": "o", "Ø": "O", "đ": "d", "Đ": "D",
+                 "ħ": "h", "Ħ": "H", "ł": "l", "Ł": "L"}.items():
+        src.append(s)
+        dst.append(t)
+    marks = "".join(chr(c) for c in range(0x0300, 0x0370))
+    return "".join(src) + marks, "".join(dst)
+
+
+FOLD_SRC, FOLD_DST = _build_fold_table()
 
 # Storage schema version for the index artifacts.
-INDEX_FORMAT_VERSION: int = 2
+INDEX_FORMAT_VERSION: int = 3
 
 
 @dataclass(frozen=True)

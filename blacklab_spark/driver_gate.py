@@ -25,7 +25,8 @@ from blacklab_spark.config import BuildConfig
 from blacklab_spark.engine import SearchEngine
 from blacklab_spark.shipping import ship as ensure_shipped
 from blacklab_spark.sources.documents import documents_as_transcripts
-from blacklab_spark.sources.transcripts import gen_transcripts_pandas
+from blacklab_spark.sources.transcripts import (gen_multilingual_pandas,
+                                                gen_transcripts_pandas)
 
 K1, B = 1.2, 0.75
 
@@ -63,6 +64,19 @@ def micro_engine(spark: SparkSession) -> SearchEngine:
     if key not in _ENGINES:
         out = os.path.join(_idx_root(), "micro")
         pdf = gen_transcripts_pandas("micro", seed=42)
+        cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
+        build_index(spark, spark.createDataFrame(pdf), out, cfg, resume=True)
+        _ENGINES[key] = SearchEngine.open(spark, out)
+    return _ENGINES[key]
+
+
+def multi_engine(spark: SparkSession) -> SearchEngine:
+    """Multilingual fixture engine — the tokenizer-v2 gate corpus."""
+    ensure_shipped(spark)
+    key = "__multi__"
+    if key not in _ENGINES:
+        out = os.path.join(_idx_root(), "multi")
+        pdf = gen_multilingual_pandas(seed=42)
         cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
         build_index(spark, spark.createDataFrame(pdf), out, cfg, resume=True)
         _ENGINES[key] = SearchEngine.open(spark, out)
@@ -120,8 +134,10 @@ def with_conv(engine: SearchEngine, hits: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------
 # DuckDB oracle SQL builders
 # --------------------------------------------------------------------
-_DOC_TOKS = ("toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
-             "'[a-z0-9]+') AS ts FROM documents)")
+from blacklab_spark.tokenizer import duckdb_tokens_i
+
+_DOC_TOKS = (f"toks AS (SELECT doc_id, {duckdb_tokens_i('text')} AS ts "
+             "FROM documents)")
 _DOC_POS = (_DOC_TOKS + ",\npos AS (SELECT doc_id, unnest(ts) AS tok, "
             "generate_subscripts(ts, 1) - 1 AS p FROM toks)")
 
@@ -158,8 +174,18 @@ FROM topk t JOIN documents d USING (doc_id)
 def micro_cte() -> str:
     """The micro transcript fixture as a VALUES CTE + dense doc ids
     (row_number over (conv_id, turn_idx) — the engine's id contract)."""
-    pdf = gen_transcripts_pandas("micro", seed=42) \
-        .sort_values(["conv_id", "turn_idx"])
+    return _transcript_cte(
+        gen_transcripts_pandas("micro", seed=42))
+
+
+def multi_cte() -> str:
+    """The multilingual fixture as a VALUES CTE — non-ASCII text rides
+    in plain UTF-8 string literals."""
+    return _transcript_cte(gen_multilingual_pandas(seed=42))
+
+
+def _transcript_cte(pdf) -> str:
+    pdf = pdf.sort_values(["conv_id", "turn_idx"])
     vals = []
     for r in pdf.to_dict("records"):
         tool = f"'{r['tool']}'" if r["tool"] else "NULL"
@@ -170,16 +196,17 @@ def micro_cte() -> str:
         + ",\n  ".join(vals) + "),\n"
         "tdocs AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, "
         "conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool FROM transcripts),\n"
-        "ttoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM tdocs),\n"
+        f"ttoks AS (SELECT doc_id, {duckdb_tokens_i('text')} AS ts FROM tdocs),\n"
         "tpos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS p FROM ttoks)"
     )
 
 
-def bm25_micro_sql(terms: list[str], k: int = 10, role: str | None = None) -> str:
+def bm25_micro_sql(terms: list[str], k: int = 10, role: str | None = None,
+                   cte: str | None = None) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     filt = f"AND d.role = '{role}'" if role else ""
     return f"""
-WITH {micro_cte()},
+WITH {cte or micro_cte()},
 dl AS (SELECT doc_id, len(ts) AS dl FROM ttoks),
 stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
 tf AS (SELECT doc_id, tok AS term, count(*) AS tf
@@ -445,6 +472,20 @@ def gate_queries() -> dict:
         return gate_topk_docs(docs_engine(spark, sf_dir), ["spark"], 10,
                               mode="wand", role="en")
 
+    def unicode_term_frequencies(spark, sf_dir):
+        """Tokenizer v2 gate: corpus-wide term frequencies over the
+        multilingual fixture — Café/café/CAFE must fold into one term,
+        Cyrillic/Greek lowercase, CJK runs survive."""
+        eng = multi_engine(spark)
+        return (eng.term_frequencies()
+                .orderBy(F.desc("count"), F.asc("term")))
+
+    def unicode_bm25_topk(spark, sf_dir):
+        """BM25 over folded multilingual tokens: query 'Café' must
+        match cafe/café/Café occurrences identically cross-engine."""
+        return gate_topk_micro(multi_engine(spark), ["Café"], 5,
+                               mode="wand")
+
     def transcript_phrase_within(spark, sf_dir):
         eng = micro_engine(spark)
         hits = eng.phrase_hits(["very", "good"], path="tokens",
@@ -475,6 +516,8 @@ def gate_queries() -> dict:
         "bm25_topk_filtered_role_wand": bm25_filtered_role_wand,
         "bm25_topk_filtered_lang_wand": bm25_filtered_lang_wand,
         "transcript_phrase_within_conv": transcript_phrase_within,
+        "unicode_term_frequencies": unicode_term_frequencies,
+        "unicode_bm25_topk": unicode_bm25_topk,
     }
 
 
@@ -511,4 +554,10 @@ FROM pos a JOIN pos b
                                                       lang="en"),
         "transcript_phrase_within_conv": phrase_micro_within_sql(
             "very", "good", "conv00001"),
+        "unicode_term_frequencies": f"""
+WITH {multi_cte()}
+SELECT tok AS term, count(*) AS "count" FROM tpos
+GROUP BY 1 ORDER BY count(*) DESC, tok
+""",
+        "unicode_bm25_topk": bm25_micro_sql(["cafe"], 5, cte=multi_cte()),
     }

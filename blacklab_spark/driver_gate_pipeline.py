@@ -25,14 +25,16 @@ def R4(num: str, den: str) -> str:
     return (f"(((20000 * ({num}) + ({den})) // (2 * ({den})))::DOUBLE"
             f" / 10000.0)")
 
+from blacklab_spark.tokenizer import duckdb_tokens_i
+
 _SHINGLES = (
-    "stoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "
+    f"stoks AS (SELECT doc_id, {duckdb_tokens_i('text')} "
     "AS ts FROM documents),\n"
     "tsets AS (SELECT doc_id, list_distinct(list_transform("
     "generate_series(1, greatest(0, len(ts) - 2)), "
     "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM stoks)")
-_TOKS = ("toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
-         "'[a-z0-9]+') AS ts FROM documents)")
+_TOKS = (f"toks AS (SELECT doc_id, {duckdb_tokens_i('text')} AS ts "
+         "FROM documents)")
 
 JACCARD_T = 0.5   # planted near-dup pairs sit at 0.9-0.99; next-highest < 0.1
 SIMHASH_T = 4

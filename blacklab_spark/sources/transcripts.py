@@ -129,6 +129,32 @@ def gen_conv(conv_index: int, seed: int, vocab: list[str], probs: np.ndarray,
     return rows
 
 
+# Multilingual vocabulary for the tokenizer-v2 gate fixture: Latin
+# accents (folded by @i), Cyrillic, Greek, CJK — all single-quote-free
+# so the table embeds in a VALUES CTE (driver_gate.multi_cte).
+MULTI_VOCAB = [
+    "Café", "café", "cafe", "Über", "über", "uber", "naïve", "naive",
+    "ÉLAN", "élan", "très", "bon", "łódź", "Łódź", "São", "Paulo",
+    "Ästhetik", "asthetik", "привет", "мир", "Привет", "спасибо",
+    "ελληνικά", "καλά", "Ελληνικά", "日本語", "東京", "visa",
+    "application", "very", "good", "the", "and", "data", "Visum",
+]
+
+
+def gen_multilingual_pandas(seed: int = 42) -> pd.DataFrame:
+    """Deterministic multilingual transcript fixture (3 convs × 6
+    turns) over MULTI_VOCAB — exercises tokenizer v2: case folding
+    across scripts, Latin accent folding, CJK runs. Same row contract
+    as the other fixtures."""
+    probs = np.full(len(MULTI_VOCAB), 1.0 / len(MULTI_VOCAB))
+    rows = []
+    for c in range(3):
+        rows.extend(gen_conv(c, seed, MULTI_VOCAB, probs, [6, 6, 6]))
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
 def gen_transcripts_pandas(fixture: str = "tiny", seed: int = 42) -> pd.DataFrame:
     """Driver-side generation (tests / oracle). Deterministic."""
     n_convs, turns_spec, vocab_size = FIXTURES[fixture]

@@ -3,53 +3,93 @@
 BlackLab's default analyzer lowercases + accent-folds for the
 insensitive ("@i") layer and keeps the raw token for the sensitive
 ("@s") layer (reference:
-engine/src/main/java/nl/inl/blacklab/analysis/BLStandardAnalyzer.java:20,
-SURVEY.md §2.C). We mirror the two-sensitivity model with two derived
-token columns. Tokenizer v1 is ASCII-alnum so that the *identical*
-tokenization is expressible in Spark SQL, DuckDB (the driver's oracle)
-and pure Python — rank-identical BM25 requires all three to agree.
+engine/src/main/java/nl/inl/blacklab/analysis/BLStandardAnalyzer.java:20,30-33,
+DesensitizeFilter.java; SURVEY.md §2.C). We mirror the two-sensitivity
+model with two derived token columns.
 
-All Spark paths are JVM-side column expressions (regexp_extract_all)
-— no Python in the hot path. The pure-Python variant exists only for
-the oracle (FIXTURES.md §4).
+Tokenizer v2 (round 2): Unicode — a token is a maximal run of Unicode
+letter/mark/number characters; the insensitive layer is
+``accent_fold(lower(text))`` (fixed translate table, config.FOLD_*).
+The *identical* tokenization is expressible in Spark SQL
+(``regexp_extract_all`` with Java ``\\p{L}``), DuckDB (RE2 ``\\p{L}``)
+and pure Python (``unicodedata`` category runs) — rank-identical BM25
+requires all three to agree. ASCII text tokenizes exactly as v1 did.
+
+All Spark paths are JVM-side column expressions — no Python in the
+hot path. The pure-Python variant exists only for the oracle
+(FIXTURES.md §4).
 """
 
 from __future__ import annotations
 
-import re
+import unicodedata
 
 from pyspark.sql import Column, functions as F
 
-from blacklab_spark.config import TOKEN_RE_INSENSITIVE, TOKEN_RE_SENSITIVE
+from blacklab_spark.config import (FOLD_DST, FOLD_SRC,
+                                   TOKEN_RE_INSENSITIVE, TOKEN_RE_SENSITIVE)
 
-_PY_RE_I = re.compile(TOKEN_RE_INSENSITIVE)
-_PY_RE_S = re.compile(TOKEN_RE_SENSITIVE)
+_PY_FOLD = {ord(s): d for s, d in zip(FOLD_SRC, FOLD_DST)}
+for _ch in FOLD_SRC[len(FOLD_DST):]:          # combining marks → delete
+    _PY_FOLD[ord(_ch)] = None
+
+
+def _col(text: Column | str) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+def fold_insensitive(text: Column | str) -> Column:
+    """lower + accent-fold (JVM expr) — the @i desensitizer."""
+    return F.translate(F.lower(_col(text)), FOLD_SRC, FOLD_DST)
 
 
 def tokens_insensitive(text: Column | str) -> Column:
-    """Insensitive token layer: lowercase, ascii alnum runs (JVM expr)."""
-    col = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE_INSENSITIVE), 0)
+    """Insensitive token layer: fold(lower) then unicode-word runs."""
+    return F.regexp_extract_all(fold_insensitive(text),
+                                F.lit(TOKEN_RE_INSENSITIVE), 0)
 
 
 def tokens_sensitive(text: Column | str) -> Column:
-    """Sensitive token layer: original case, ascii alnum runs (JVM expr)."""
-    col = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(col, F.lit(TOKEN_RE_SENSITIVE), 0)
+    """Sensitive token layer: original case/accents, unicode runs."""
+    return F.regexp_extract_all(_col(text), F.lit(TOKEN_RE_SENSITIVE), 0)
+
+
+def py_fold_insensitive(text: str) -> str:
+    return text.lower().translate(_PY_FOLD)
+
+
+def _py_runs(text: str) -> list[str]:
+    """Maximal runs of Unicode L/M/N chars — the category-run
+    definition of ``[\\p{L}\\p{M}\\p{N}]+`` without regex, identical
+    across engines by Unicode general category."""
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in text:
+        if unicodedata.category(ch)[0] in ("L", "M", "N"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def py_tokens_insensitive(text: str) -> list[str]:
     """Pure-Python mirror of :func:`tokens_insensitive` (oracle only)."""
-    return _PY_RE_I.findall(text.lower()) if text else []
+    return _py_runs(py_fold_insensitive(text)) if text else []
 
 
 def py_tokens_sensitive(text: str) -> list[str]:
-    return _PY_RE_S.findall(text) if text else []
+    return _py_runs(text) if text else []
 
 
 # DuckDB SQL fragment producing the identical token array for a text
-# expression — used when composing oracle SQL.
-DUCKDB_TOKENS_I = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
+# expression — used when composing oracle SQL. The fold table chars
+# are embedded as plain string literals (no quotes occur in them).
+DUCKDB_TOKENS_I = ("regexp_extract_all(translate(lower({col}), "
+                   "'" + FOLD_SRC + "', '" + FOLD_DST + "'), "
+                   "'[\\p{{L}}\\p{{M}}\\p{{N}}]+')")
 
 
 def duckdb_tokens_i(col: str) -> str:
