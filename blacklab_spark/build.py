@@ -189,13 +189,17 @@ class IndexBuilder:
             # SURVEY.md §1.1): `tokens` = lowercased (drives postings +
             # BM25), `tokens_s` = original case (sensitive searches
             # probe it directly — the forward-index physical path)
+            from blacklab_spark.annotations import tokens_pos
             doc_meta = (with_ids
                         .withColumn("tokens", tokens_insensitive("text"))
                         .withColumn("tokens_s", tokens_sensitive("text"))
+                        # derived annotation layer (pos) — position-
+                        # aligned with the word layers (annotations.py)
+                        .withColumn("tokens_pos", tokens_pos("tokens"))
                         .withColumn("n_tokens", F.size("tokens").cast("int"))
                         .select("doc_id", "conv_id", "turn_idx", "role",
                                 "tool", "ts", "n_tokens", "tokens",
-                                "tokens_s", "text"))
+                                "tokens_s", "tokens_pos", "text"))
             # with_ids is already range-partitioned by (conv_id, turn_idx)
             # = doc_id order, rows sorted within partitions by the
             # row_number window → files hold disjoint sorted doc_id

@@ -63,7 +63,7 @@ def _build_fold_table() -> tuple[str, str]:
 FOLD_SRC, FOLD_DST = _build_fold_table()
 
 # Storage schema version for the index artifacts.
-INDEX_FORMAT_VERSION: int = 3
+INDEX_FORMAT_VERSION: int = 4
 
 
 @dataclass(frozen=True)

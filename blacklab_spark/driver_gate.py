@@ -321,6 +321,31 @@ WHERE rn > {first} AND rn <= {first + size}
 """
 
 
+def pos_layer_sql(tag: str) -> str:
+    from blacklab_spark.annotations import duckdb_pos_tags
+    return f"""
+WITH {_DOC_TOKS},
+posl AS (SELECT doc_id, {duckdb_pos_tags('ts')} AS ps FROM toks),
+ppos AS (SELECT doc_id, unnest(ps) AS tag,
+                generate_subscripts(ps, 1) - 1 AS p FROM posl)
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM ppos WHERE tag = '{tag}'
+"""
+
+
+def pos_word_seq_sql(tag: str, word: str) -> str:
+    from blacklab_spark.annotations import duckdb_pos_tags
+    return f"""
+WITH {_DOC_POS},
+posl AS (SELECT doc_id, {duckdb_pos_tags('ts')} AS ps FROM toks),
+ppos AS (SELECT doc_id, unnest(ps) AS tag,
+                generate_subscripts(ps, 1) - 1 AS p FROM posl)
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
+FROM ppos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.tag = '{tag}' AND b.tok = '{word}'
+"""
+
+
 def term_positions_sql(term: str) -> str:
     return f"""
 WITH {_DOC_POS}
@@ -430,6 +455,24 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_pos_layer(spark, sf_dir):
+        """Non-word annotation layer: [pos="func"] positions via the
+        derived pos token layer (Annotation.java:9 analog)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '[pos="func"]')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_pos_word_sequence(spark, sf_dir):
+        """Mixed-layer sequence [pos="func"] "table" — pos leaf
+        joined with a word-layer postings leaf."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '[pos="func"] "table"')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_constraint_samewords(spark, sf_dir):
         """Global constraint ``A:[] B:[] :: A.word = B.word`` —
         adjacent duplicate words (SpanQueryConstrained analog)."""
@@ -510,6 +553,8 @@ def gate_queries() -> dict:
         "cql_term_postings": cql_term_postings,
         "cql_regex_postings": cql_regex_postings,
         "cql_constraint_samewords": cql_constraint_samewords,
+        "cql_pos_layer": cql_pos_layer,
+        "cql_pos_word_sequence": cql_pos_word_sequence,
         "kwic_spark_ctx3": kwic_spark,
         "hits_window_page2": hits_page2,
         "transcript_topk_role_filtered": transcript_topk_role,
@@ -544,6 +589,8 @@ SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
 FROM pos a JOIN pos b
   ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.tok = b.tok
 """,
+        "cql_pos_layer": pos_layer_sql("func"),
+        "cql_pos_word_sequence": pos_word_seq_sql("func", "table"),
         "kwic_spark_ctx3": kwic_sql("spark", 3),
         "hits_window_page2": window_sql("vector", 10, 10),
         "transcript_topk_role_filtered": bm25_micro_sql(["visa"], 5,

@@ -30,6 +30,38 @@ def _h(df: DataFrame) -> DataFrame:
 
 
 # -- leaves -----------------------------------------------------------
+def annot_term(index: InvertedIndex, layer: str, text: str) -> DataFrame:
+    """All positions where a non-word annotation layer equals
+    ``text`` (≙ [pos="verb"]; reference TextPatternAnnotation /
+    cql.jj:631). Non-word layers have no postings (low-cardinality
+    derived columns) — forward-index probe of the layer's token-array
+    column."""
+    from blacklab_spark.annotations import ANNOTATION_COLUMNS
+    if layer not in ANNOTATION_COLUMNS:
+        raise ValueError(f"unknown annotation layer {layer!r} "
+                         f"(have: {sorted(ANNOTATION_COLUMNS)})")
+    col = ANNOTATION_COLUMNS[layer]
+    dm = index.doc_meta
+    return (dm.filter(F.array_contains(col, text))
+            .select("doc_id", F.posexplode(col).alias("start", "tok"))
+            .filter(F.col("tok") == text)
+            .select("doc_id", F.col("start").cast("int"),
+                    (F.col("start") + 1).cast("int").alias("end")))
+
+
+def annot_regex(index: InvertedIndex, layer: str, pattern: str) -> DataFrame:
+    from blacklab_spark.annotations import ANNOTATION_COLUMNS
+    if layer not in ANNOTATION_COLUMNS:
+        raise ValueError(f"unknown annotation layer {layer!r} "
+                         f"(have: {sorted(ANNOTATION_COLUMNS)})")
+    col = ANNOTATION_COLUMNS[layer]
+    dm = index.doc_meta
+    return (dm.select("doc_id", F.posexplode(col).alias("start", "tok"))
+            .filter(F.col("tok").rlike(f"^(?:{pattern})$"))
+            .select("doc_id", F.col("start").cast("int"),
+                    (F.col("start") + 1).cast("int").alias("end")))
+
+
 def term(index: InvertedIndex, t: str, sensitivity: str = "i") -> DataFrame:
     """All positions of a term (BLSpanTermQuery.java:52); sensitivity
     "i"/"s" selects the annotation layer (SURVEY §1.1)."""
@@ -341,21 +373,25 @@ def capture_noop(clause: DataFrame) -> DataFrame:
 
 
 def constrained(index: InvertedIndex, clause: DataFrame,
-                predicate: Column) -> DataFrame:
+                predicate: Column,
+                columns: tuple[str, ...] = ("tokens",)) -> DataFrame:
     """Global constraint over captured groups, e.g.
     ``tokens[A.start] == tokens[B.start]``
     (SpanQueryConstrained.java:25; MatchFilter AST ≙ a plain Catalyst
     expression over match_info + the token-array forward index —
     Catalyst evaluates what the reference needed a custom NFA/forward-
-    index machinery for)."""
-    dm = index.doc_meta.select("doc_id", "tokens")
+    index machinery for). ``columns`` lists the annotation-layer
+    arrays the predicate reads."""
+    dm = index.doc_meta.select("doc_id", *columns)
     return (clause.join(dm, "doc_id").filter(predicate)
             .select(*HIT_COLS, "match_info"))
 
 
-def capture_token(name: str, offset: int = 0) -> Column:
-    """Column expr: the token at ``match_info[name].s + offset``
+def capture_token(name: str, offset: int = 0,
+                  column: str = "tokens") -> Column:
+    """Column expr: the annotation value at
+    ``match_info[name].s + offset`` in layer array ``column``
     (1-based element_at; NULL off-edge)."""
     return F.try_element_at(
-        "tokens",
+        column,
         (F.col("match_info")[name]["s"] + offset + 1).cast("int"))

@@ -47,8 +47,16 @@ FI_MATCH_FACTOR = 900
 FISEQ_MAX_ANCHOR_DOCS = 65536
 
 
+_NO_STATS = 1 << 60   # non-word layers have no dictionary stats
+
+
 def _leaf_info(index: InvertedIndex, c: Q.Pattern):
-    """(cf, df, term_ids) for a width-1 leaf, from the terms table."""
+    """(cf, df, term_ids) for a width-1 leaf, from the terms table.
+    Non-word annotation layers carry no postings/stats → effectively
+    infinite cost, so they are never picked as the FiSeq anchor but
+    CAN be verified by the forward-index probe."""
+    if getattr(c, "layer", "word") != "word":
+        return (_NO_STATS, _NO_STATS, None)
     if isinstance(c, Q.Term):
         info = index.lookup_terms([c.text])
     else:
@@ -61,12 +69,15 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
     """Anchor-and-verify: decode the rare clause's postings, probe the
     other clauses against the token-array forward index of ONLY the
     anchor's docs (doc_id IN-list pushed to the parquet scan)."""
+    from blacklab_spark.annotations import ANNOTATION_COLUMNS
     from blacklab_spark.operators.hits import hits_for_term_ids
     n = len(clauses)
     anchor = hits_for_term_ids(index, stats[a][2]).persist()
     ids = [r[0] for r in anchor.select("doc_id").distinct()
            .limit(FISEQ_MAX_ANCHOR_DOCS + 1).collect()]
-    dm = index.doc_meta.select("doc_id", "tokens", "n_tokens")
+    layers = {ANNOTATION_COLUMNS[getattr(c, "layer", "word")]
+              for i, c in enumerate(clauses) if i != a}
+    dm = index.doc_meta.select("doc_id", "n_tokens", *sorted(layers))
     if len(ids) <= FISEQ_MAX_ANCHOR_DOCS:
         dm = dm.filter(F.col("doc_id").isin(ids))
     j = anchor.join(dm, "doc_id")
@@ -75,7 +86,8 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
     for i, c in enumerate(clauses):
         if i == a:
             continue
-        tok = F.try_element_at("tokens", (start0 + i + 1).cast("int"))
+        col = ANNOTATION_COLUMNS[getattr(c, "layer", "word")]
+        tok = F.try_element_at(col, (start0 + i + 1).cast("int"))
         if isinstance(c, Q.Term):
             j = j.filter(tok == c.text)
         else:
@@ -93,21 +105,25 @@ def _seq_strategy(index: InvertedIndex, clauses) -> DataFrame | None:
     if not all(isinstance(c, (Q.Term, Q.Regex)) for c in clauses):
         return None
     stats = [_leaf_info(index, c) for c in clauses]
-    if any(not s[2] for s in stats):
-        return S.no_hits(index)
+    if any(s[2] is not None and not s[2] for s in stats):
+        return S.no_hits(index)   # a word-layer leaf matches no term
     a = min(range(len(clauses)), key=lambda i: stats[i][0])
+    if stats[a][2] is None:
+        return None               # no word-layer anchor available
     cf_anchor, df_anchor = stats[a][0], stats[a][1]
     cf_others = sum(s[0] for i, s in enumerate(stats) if i != a)
     if (cf_anchor * FI_MATCH_FACTOR < cf_others
             and df_anchor <= FISEQ_MAX_ANCHOR_DOCS):
         return _fiseq(index, clauses, stats, a)
-    if all(isinstance(c, Q.Term) for c in clauses):
+    if all(isinstance(c, Q.Term) and c.layer == "word" for c in clauses):
         return P.phrase_via_postings(index, [c.text for c in clauses])
     return None
 
 
 def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
     if isinstance(p, Q.Term):
+        if p.layer != "word":
+            return S.annot_term(index, p.layer, p.text)
         if index.cfg.store_positions:
             from blacklab_spark.operators.hits import hits_for_term_ids
             info = index.lookup_terms([p.text])
@@ -115,6 +131,8 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                                      [int(t) for t in info["term_id"]])
         return S.term(index, p.text)
     if isinstance(p, Q.Regex):
+        if p.layer != "word":
+            return S.annot_regex(index, p.layer, p.pattern)
         if index.cfg.store_positions:
             from blacklab_spark.operators.hits import hits_for_term_ids
             info = index.expand_regex(f"(?i)^(?:{p.pattern})$")
@@ -169,15 +187,19 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             raise ValueError(
                 "global constraint references captures but the clause "
                 f"defines none: {Q.pattern_str(p)}")
+        from blacklab_spark.annotations import ANNOTATION_COLUMNS
         for side in (p.lhs, p.rhs):
-            if side[1] not in ("word",):
+            if side[1] not in ANNOTATION_COLUMNS:
                 raise ValueError(
                     f"unknown annotation {side[1]!r} in constraint "
-                    "(supported: word)")
-        lhs = S.capture_token(p.lhs[0])
-        rhs = S.capture_token(p.rhs[0])
+                    f"(supported: {sorted(ANNOTATION_COLUMNS)})")
+        lcol = ANNOTATION_COLUMNS[p.lhs[1]]
+        rcol = ANNOTATION_COLUMNS[p.rhs[1]]
+        lhs = S.capture_token(p.lhs[0], column=lcol)
+        rhs = S.capture_token(p.rhs[0], column=rcol)
         pred = (lhs == rhs) if p.op == "=" else (lhs != rhs)
-        return S.constrained(index, hits, pred)
+        return S.constrained(index, hits, pred,
+                             columns=tuple(sorted({lcol, rcol})))
     raise ValueError(f"unsupported pattern node: {p!r}")
 
 

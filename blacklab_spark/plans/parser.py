@@ -36,7 +36,7 @@ _TOKEN_RE = re.compile(r"""
     \s*(
         "(?:[^"\\]|\\.)*"          |  # double-quoted
         '(?:[^'\\]|\\.)*'          |  # single-quoted
-        \[\s*word\s*=\s*"[^"]*"\s*\] |  # [word="..."]
+        \[\s*[A-Za-z_][A-Za-z0-9_]*\s*=\s*"[^"]*"\s*\] |  # [annot="..."]
         \[\s*\]                    |  # []
         <turn/>                    |
         \{\s*\d*\s*(?:,\s*\d*\s*)?\} |  # {m}, {m,}, {m,n}, {,n}
@@ -185,9 +185,16 @@ class _Parser:
             return _word_pattern(body)
         if t == "[]":
             return AnyToken(1, 1)
-        if t.startswith("[") and "word" in t:
-            m = re.match(r'\[\s*word\s*=\s*"([^"]*)"\s*\]', t)
-            return _word_pattern(m.group(1))
+        if t.startswith("[") and "=" in t:
+            m = re.match(r'\[\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"([^"]*)"\s*\]',
+                         t)
+            layer, val = m.group(1), m.group(2)
+            if layer == "word":
+                return _word_pattern(val)
+            # non-word annotation layer ([pos="..."], cql.jj:631
+            # attValuePair): values are layer-literal (no folding)
+            return Regex(val, layer) if _META.search(val) \
+                else Term(val, layer)
         if t == "<turn/>":
             return Turn()
         if t == "(":

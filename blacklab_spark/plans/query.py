@@ -18,11 +18,13 @@ class Pattern:
 @dataclass(frozen=True)
 class Term(Pattern):          # TextPatternTerm
     text: str
+    layer: str = "word"       # annotation layer (TextPatternAnnotation)
 
 
 @dataclass(frozen=True)
 class Regex(Pattern):         # TextPatternRegex
     pattern: str
+    layer: str = "word"
 
 
 @dataclass(frozen=True)
@@ -114,9 +116,11 @@ def _b(v: int | None) -> str:
 def pattern_str(p: Pattern) -> str:
     """Stable printable form (used by explain())."""
     if isinstance(p, Term):
-        return f'"{p.text}"'
+        return f'"{p.text}"' if p.layer == "word" else \
+            f'[{p.layer}="{p.text}"]'
     if isinstance(p, Regex):
-        return f'/{p.pattern}/'
+        return f'/{p.pattern}/' if p.layer == "word" else \
+            f'[{p.layer}=/{p.pattern}/]'
     if isinstance(p, AnyToken):
         return f"[]{{{p.min_len},{_b(p.max_len)}}}"
     if isinstance(p, Seq):

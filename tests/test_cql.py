@@ -287,4 +287,69 @@ def test_constraint_errors(idx):
     with pytest.raises(ValueError):
         find(idx, '"the" "cat" :: A.word = B.word')   # no captures
     with pytest.raises(ValueError):
-        find(idx, "A:[] B:[] :: A.pos = B.pos")       # unknown annotation
+        find(idx, "A:[] B:[] :: A.lemma = B.lemma")   # unknown annotation
+
+
+# ---------------- round-2: annotation layers (pos) -------------------
+def _py_pos_layer(toks):
+    from blacklab_spark.annotations import py_pos_tag
+    return [py_pos_tag(t) for t in toks]
+
+
+def test_parse_annotation_layer():
+    assert parse('[pos="verb"]') == Q.Term("verb", "pos")
+    assert parse('[pos="ver."]') == Q.Regex("ver.", "pos")
+    assert parse('[word="the"]') == Q.Term("the")
+
+
+def test_find_pos_term(idx, tiny_oracle):
+    """[pos="func"] — every function-word position via the derived
+    annotation layer."""
+    got = hits_of(find(idx, '[pos="func"]'))
+    expected = []
+    for d, toks in otoks(tiny_oracle).items():
+        for p, tag in enumerate(_py_pos_layer(toks)):
+            if tag == "func":
+                expected.append((d, p, p + 1))
+    assert got == sorted(expected) and got
+
+
+def test_find_mixed_layer_sequence(idx, tiny_oracle):
+    """[pos="func"] "visa" — pos leaf + word leaf positional join."""
+    got = hits_of(find(idx, '[pos="func"] "visa"'))
+    expected = []
+    for d, toks in otoks(tiny_oracle).items():
+        tags = _py_pos_layer(toks)
+        for p in range(len(toks) - 1):
+            if tags[p] == "func" and toks[p + 1] == "visa":
+                expected.append((d, p, p + 2))
+    assert got == sorted(expected) and got
+
+
+def test_fiseq_verifies_pos_layer(idx, tiny_oracle, monkeypatch):
+    """FiSeq with a pos-layer neighbour: anchor on the rare word,
+    verify the pos tag by probing tokens_pos."""
+    from blacklab_spark.plans import executor as E
+    q = '"visa" [pos="noun"]'
+    monkeypatch.setattr(E, "FI_MATCH_FACTOR", 0)
+    fiseq = hits_of(find(idx, q))
+    monkeypatch.setattr(E, "FI_MATCH_FACTOR", 10 ** 18)
+    generic = hits_of(find(idx, q))
+    assert fiseq == generic and fiseq
+
+
+def test_constraint_on_pos_layer(idx, tiny_oracle):
+    """A:[] B:[] :: A.pos = B.pos — adjacent same-POS pairs."""
+    got = hits_of(find(idx, "A:[] B:[] :: A.pos = B.pos"))
+    expected = []
+    for d, toks in otoks(tiny_oracle).items():
+        tags = _py_pos_layer(toks)
+        for p in range(len(toks) - 1):
+            if tags[p] == tags[p + 1]:
+                expected.append((d, p, p + 2))
+    assert got == sorted(expected) and got
+
+
+def test_unknown_layer_raises(idx):
+    with pytest.raises(ValueError):
+        find(idx, '[lemma="run"]')
