@@ -482,6 +482,99 @@ def gate_queries() -> dict:
         return with_conv(eng, hits.drop("match_info")).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_or_terms(spark, sf_dir):
+        """OR of two term leaves (BLSpanOrQuery union)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '"spark" | "table"')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_not_token(spark, sf_dir):
+        """Token complement !"the" (SpanQueryNot) — every single-token
+        position not covered by a 'the' hit."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '!"the"')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_repetition_unbounded(spark, sf_dir):
+        """"the"+ — unbounded repetition via the fixpoint join,
+        checked against a recursive-CTE oracle (VERDICT r01 #5)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '"the"+')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_capture_group(spark, sf_dir):
+        """Named capture x:("the") "table" — match_info surfaces the
+        captured span as columns."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, 'x:("the") "table"')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"),
+            F.col("match_info")["x"]["s"].alias("x_start"),
+            F.col("match_info")["x"]["e"].alias("x_end"))
+
+    def spans_edge_trailing(spark, sf_dir):
+        """Trailing edge of term hits (SpanQueryEdge)."""
+        from blacklab_spark.operators import spans as SP
+        from blacklab_spark.operators.hits import term_hits_via_postings
+        eng = docs_engine(spark, sf_dir)
+        hits = SP.edge(term_hits_via_postings(eng.index, "spark"),
+                       trailing=True)
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def spans_overlapping_grams(spark, sf_dir):
+        """Overlap regions of 'the'-anchored and 'table'-anchored
+        2-gram spans (SpanQueryOverlapping)."""
+        from blacklab_spark.operators import spans as SP
+        from blacklab_spark.operators.hits import term_hits_via_postings
+        eng = docs_engine(spark, sf_dir)
+        a = SP.expand(eng.index, term_hits_via_postings(eng.index, "the"),
+                      "right", 1, 1)
+        b = SP.expand(eng.index, term_hits_via_postings(eng.index, "table"),
+                      "right", 1, 1)
+        return with_conv(eng, SP.overlapping(a, b)).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def facets_by_lang(spark, sf_dir):
+        """Facet doc counts over docs containing a term
+        (Facets.java:9-31) — lang rides in the role slot."""
+        from blacklab_spark.operators.properties import facets
+        eng = docs_engine(spark, sf_dir)
+        docs = eng.index.doc_meta.filter(
+            F.array_contains("tokens", "spark"))
+        return facets(eng.index, docs, ["role"])["role"] \
+            .select(F.col("value").alias("lang"), "count")
+
+    def sort_hits_property_dsl(spark, sf_dir):
+        """Property-DSL sort: hits of 'table' by
+        (after:word:i:1, doc, hitposition) with explicit ranks —
+        order is part of the checked value."""
+        from blacklab_spark.operators.properties import (_with_meta,
+                                                         compile_property)
+        from pyspark.sql import Window
+        eng = docs_engine(spark, sf_dir)
+        frame = _with_meta(eng.index, eng.term_hits("table"))
+        keys = [compile_property("after:word:i:1"),
+                F.col("doc_id"), F.col("start")]
+        w = Window.orderBy(*keys)
+        return (frame.withColumn("rank", F.row_number().over(w).cast("int"))
+                .select("rank", _orig_doc_id(), F.col("start"),
+                        F.col("end")))
+
+    def hits_to_docs(spark, sf_dir):
+        """hits→docs with per-doc counts (DocResults.fromHits)."""
+        eng = docs_engine(spark, sf_dir)
+        out = eng.docs_from_hits(eng.term_hits("spark"))
+        return with_conv(eng, out).select(
+            _orig_doc_id(), F.col("n_hits"))
+
     def kwic_spark(spark, sf_dir):
         eng = docs_engine(spark, sf_dir)
         k = eng.kwic(eng.term_hits("spark"), context=3)
@@ -555,6 +648,15 @@ def gate_queries() -> dict:
         "cql_constraint_samewords": cql_constraint_samewords,
         "cql_pos_layer": cql_pos_layer,
         "cql_pos_word_sequence": cql_pos_word_sequence,
+        "cql_or_terms": cql_or_terms,
+        "cql_not_token": cql_not_token,
+        "cql_repetition_unbounded": cql_repetition_unbounded,
+        "cql_capture_group": cql_capture_group,
+        "spans_edge_trailing": spans_edge_trailing,
+        "spans_overlapping_grams": spans_overlapping_grams,
+        "facets_by_lang": facets_by_lang,
+        "sort_hits_property_dsl": sort_hits_property_dsl,
+        "hits_to_docs": hits_to_docs,
         "kwic_spark_ctx3": kwic_spark,
         "hits_window_page2": hits_page2,
         "transcript_topk_role_filtered": transcript_topk_role,
@@ -591,6 +693,73 @@ FROM pos a JOIN pos b
 """,
         "cql_pos_layer": pos_layer_sql("func"),
         "cql_pos_word_sequence": pos_word_seq_sql("func", "table"),
+        "cql_or_terms": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos WHERE tok IN ('spark', 'table')
+""",
+        "cql_not_token": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos WHERE tok != 'the'
+""",
+        "cql_repetition_unbounded": f"""
+WITH RECURSIVE {_DOC_POS},
+runs AS (
+  SELECT doc_id, p AS s, p + 1 AS e FROM pos WHERE tok = 'the'
+  UNION ALL
+  SELECT r.doc_id, r.s, r.e + 1
+  FROM runs r JOIN pos q ON q.doc_id = r.doc_id AND q.p = r.e
+  WHERE q.tok = 'the')
+SELECT doc_id, CAST(s AS INT) AS start, CAST(e AS INT) AS "end" FROM runs
+""",
+        "cql_capture_group": f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end",
+       CAST(a.p AS INT) AS x_start, CAST(a.p + 1 AS INT) AS x_end
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.tok = 'the' AND b.tok = 'table'
+""",
+        "spans_edge_trailing": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p + 1 AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos WHERE tok = 'spark'
+""",
+        "spans_overlapping_grams": f"""
+WITH {_DOC_POS},
+dl AS (SELECT doc_id, len(ts) AS n FROM toks),
+a AS (SELECT pos.doc_id, p AS s, p + 2 AS e FROM pos JOIN dl USING (doc_id)
+      WHERE tok = 'the' AND p + 2 <= dl.n),
+b AS (SELECT pos.doc_id, p AS s, p + 2 AS e FROM pos JOIN dl USING (doc_id)
+      WHERE tok = 'table' AND p + 2 <= dl.n)
+SELECT DISTINCT a.doc_id,
+       CAST(greatest(a.s, b.s) AS INT) AS start,
+       CAST(least(a.e, b.e) AS INT) AS "end"
+FROM a JOIN b ON a.doc_id = b.doc_id AND a.s < b.e AND b.s < a.e
+""",
+        "facets_by_lang": f"""
+WITH {_DOC_TOKS}
+SELECT d.lang, count(*) AS "count"
+FROM documents d JOIN toks USING (doc_id)
+WHERE list_contains(toks.ts, 'spark')
+GROUP BY 1
+""",
+        "sort_hits_property_dsl": f"""
+WITH {_DOC_POS},
+t2 AS (SELECT doc_id, ts FROM toks),
+h AS (SELECT p.doc_id, CAST(p.p AS INT) AS start,
+             CAST(p.p + 1 AS INT) AS "end",
+             coalesce(ts[p.p + 2], '') AS nxt
+      FROM pos p JOIN t2 USING (doc_id) WHERE p.tok = 'table')
+SELECT CAST(row_number() OVER (ORDER BY nxt, doc_id, start) AS INT) AS rank,
+       doc_id, start, "end"
+FROM h
+""",
+        "hits_to_docs": f"""
+WITH {_DOC_POS}
+SELECT doc_id, count(*) AS n_hits FROM pos
+WHERE tok = 'spark' GROUP BY 1
+""",
         "kwic_spark_ctx3": kwic_sql("spark", 3),
         "hits_window_page2": window_sql("vector", 10, 10),
         "transcript_topk_role_filtered": bm25_micro_sql(["visa"], 5,
