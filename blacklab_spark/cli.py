@@ -67,6 +67,27 @@ def _query(args) -> int:
     return 0
 
 
+def _delete(args) -> int:
+    from blacklab_spark.delete import delete_docs
+    from blacklab_spark.index import open_index
+    from blacklab_spark.session import get_spark
+    spark = get_spark("blacklab-delete")
+    n = delete_docs(open_index(spark, args.index), args.where)
+    print(json.dumps({"index": args.index, "deleted": n}))
+    return 0
+
+
+def _compact(args) -> int:
+    from blacklab_spark.delete import compact
+    from blacklab_spark.session import get_spark
+    spark = get_spark("blacklab-compact")
+    t0 = time.time()
+    idx = compact(spark, args.index, args.out)
+    print(json.dumps({"out": args.out, "n_docs": idx.n_docs,
+                      "seconds": round(time.time() - t0, 2)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blacklab_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -92,6 +113,21 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--conv-id", dest="conv_id")
     q.add_argument("--json", action="store_true")
     q.set_defaults(fn=_query)
+
+    d = sub.add_parser("delete",
+                       help="tombstone docs matching a SQL predicate "
+                            "(IndexTool delete analog)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--where", required=True,
+                   help="SQL predicate over doc_meta columns, e.g. "
+                        "\"conv_id = 'conv00003'\"")
+    d.set_defaults(fn=_delete)
+
+    c = sub.add_parser("compact",
+                       help="rebuild the index without tombstoned docs")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

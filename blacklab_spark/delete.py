@@ -1,0 +1,50 @@
+"""Document delete / retract — the engine's ``IndexTool delete``
+(reference: tools/src/main/java/nl/inl/blacklab/tools/IndexTool.java:65;
+Lucene tombstones).
+
+Tombstone model, exactly like Lucene: ``delete_docs`` appends the
+matching doc_ids to ``<index>/_deletes/`` (idempotent — re-deleting is
+a no-op on results); every query path anti-joins the tombstones so
+deleted docs are invisible, while corpus statistics (df/idf/avgdl/N)
+stay stale until ``compact`` rebuilds the index from the surviving
+docs (≙ Lucene segment merge expunging deletes). ``compact`` output is
+identical to a fresh build of the surviving corpus — dense doc ids
+reassigned by (conv_id, turn_idx), postings bit-identical (tested).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from blacklab_spark.config import BuildConfig
+from blacklab_spark.index import InvertedIndex, open_index
+
+SOURCE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def delete_docs(index: InvertedIndex, condition: Column | str) -> int:
+    """Tombstone every doc matching ``condition`` (a metadata
+    predicate over doc_meta columns). Returns the number of NEWLY
+    deleted docs. Distributed end-to-end: the matching doc_ids are
+    written as a parquet append, never collected."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    victims = index.doc_meta.filter(cond).select("doc_id")
+    n = victims.count()
+    if n:
+        victims.write.mode("append").parquet(index.deletes_path)
+    return n
+
+
+def compact(spark: SparkSession, index_dir: str, out_dir: str,
+            cfg: BuildConfig | None = None) -> InvertedIndex:
+    """Rebuild the index from surviving docs — expunges tombstones and
+    refreshes all statistics (≙ Lucene forceMerge after deletes). The
+    source columns round-trip through doc_meta (the content store), so
+    no original input table is needed."""
+    from blacklab_spark.build import build_index
+    idx = open_index(spark, index_dir)
+    src = idx.doc_meta.select(*SOURCE_COLUMNS)
+    build_index(spark, src, out_dir, cfg or idx.cfg)
+    return open_index(spark, out_dir)

@@ -36,11 +36,46 @@ class InvertedIndex:
 
     @property
     def doc_meta(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "doc_meta"))
+        """Doc rows minus tombstoned docs (Lucene-tombstone model:
+        deleted docs are invisible to results, corpus statistics stay
+        stale until compaction — reference: IndexTool delete /
+        Lucene deletes, tools/.../IndexTool.java:65)."""
+        dm = self.spark.read.parquet(os.path.join(self.path, "doc_meta"))
+        return self.without_deleted(dm)
 
     @property
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    # -- deletes (tombstones) ------------------------------------------
+    @property
+    def deletes_path(self) -> str:
+        return os.path.join(self.path, "_deletes")
+
+    @property
+    def has_deletes(self) -> bool:
+        p = self.deletes_path
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p))
+
+    @property
+    def deleted_doc_ids(self) -> DataFrame | None:
+        if not self.has_deletes:
+            return None
+        return (self.spark.read.parquet(self.deletes_path)
+                .select("doc_id").distinct())
+
+    def without_deleted(self, df: DataFrame) -> DataFrame:
+        """Anti-join a (doc_id, ...) frame against the tombstones —
+        no-op (and no plan change) when the index has no deletes.
+        Postings-only paths (block decode kernels) must route through
+        this; doc_meta applies it automatically."""
+        d = self.deleted_doc_ids
+        if d is None:
+            return df
+        # plain left_anti: AQE broadcasts when the tombstone set is
+        # small, falls back to shuffle join for mass deletions.
+        return df.join(d, "doc_id", "left_anti")
 
     # Term planning (driver-side; the terms dict is tiny vs the corpus;
     # mirrors Lucene's rewrite of multi-term queries to term ORs,

@@ -86,7 +86,8 @@ def hits_for_term_ids(index: InvertedIndex,
                  pa.array(start + 1, pa.int32())],
                 ["doc_id", "start", "end"])
 
-    return blocks.mapInArrow(gen, "doc_id long, start int, end int")
+    out = blocks.mapInArrow(gen, "doc_id long, start int, end int")
+    return index.without_deleted(out)
 
 
 def term_hits_via_postings(index: InvertedIndex, term: str) -> DataFrame:

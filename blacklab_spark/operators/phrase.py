@@ -140,7 +140,7 @@ def phrase_via_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
         return phrase_via_tokens(index, terms)
     blocks = index.postings.filter(
         F.col("term_id").isin(list(term_order.keys())))
-    return (blocks.select("bucket", "term_id", "doc_ids", "tfs", "positions")
-            .groupBy("bucket")
-            .applyInPandas(_phrase_kernel(term_order, n), HITS_SCHEMA)
-            .orderBy("doc_id", "start"))
+    out = (blocks.select("bucket", "term_id", "doc_ids", "tfs", "positions")
+           .groupBy("bucket")
+           .applyInPandas(_phrase_kernel(term_order, n), HITS_SCHEMA))
+    return index.without_deleted(out).orderBy("doc_id", "start")

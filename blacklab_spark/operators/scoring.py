@@ -156,6 +156,7 @@ def doc_scores(index: InvertedIndex, terms: list[str],
                   score_bucket_kernel(idf_map, index.cfg.k1, index.cfg.b,
                                       index.avgdl),
                   SCORE_SCHEMA))
+    scores = index.without_deleted(scores)
     if doc_filter is not None:
         allowed = index.doc_meta.filter(doc_filter).select("doc_id")
         scores = scores.join(allowed, "doc_id", "left_semi")

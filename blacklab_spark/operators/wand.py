@@ -75,10 +75,14 @@ def _seed_threshold(blocks: DataFrame, k: int) -> float:
 def topk_wand(index: InvertedIndex, terms: list[str], k: int = 10) -> DataFrame:
     """Block-max-pruned BM25 top-k (unfiltered queries).
 
-    Filtered queries (role/tool/...) go through the exhaustive path:
+    Filtered queries (role/tool/...) go through topk_wand_filtered:
     the metadata threshold certifies the *unfiltered* k-th score, which
-    is not a valid bound once candidates are removed.
+    is not a valid bound once candidates are removed — the same reason
+    an index with delete-tombstones reroutes below (a deleted doc
+    could otherwise certify a threshold that prunes real results).
     """
+    if index.has_deletes:
+        return topk_wand_filtered(index, terms, F.lit(True), k)
     info = index.lookup_terms(terms)
     spark = index.spark
     if info.empty:

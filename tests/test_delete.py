@@ -1,0 +1,90 @@
+"""Document delete (tombstones) + compaction — IndexTool delete
+analog (reference: tools/.../IndexTool.java:65, Lucene tombstones)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blacklab_spark.build import build_index
+from blacklab_spark.config import BuildConfig
+from blacklab_spark.delete import compact, delete_docs
+from blacklab_spark.engine import SearchEngine
+from blacklab_spark.sources.transcripts import gen_transcripts_pandas
+
+
+@pytest.fixture(scope="module")
+def del_engine(spark, tmp_path_factory):
+    """A private tiny index (deletes mutate state — never share the
+    session-scoped fixtures)."""
+    out = str(tmp_path_factory.mktemp("idx") / "deletable")
+    pdf = gen_transcripts_pandas("tiny", seed=42)
+    cfg = BuildConfig(block_size=8, bucket_size=16, num_partitions=4)
+    build_index(spark, spark.createDataFrame(pdf), out, cfg)
+    return SearchEngine.open(spark, out)
+
+
+def test_delete_hides_docs_everywhere(del_engine):
+    eng = del_engine
+    idx = eng.index
+    before_docs = idx.doc_meta.count()
+    pre = {r["doc_id"]: r["score"]
+           for r in eng.scores(["visa"]).collect()}
+
+    victims = {r["doc_id"] for r in
+               idx.doc_meta.filter(F.col("conv_id") == "conv00001")
+               .select("doc_id").collect()}
+    n = delete_docs(idx, "conv_id = 'conv00001'")
+    assert n == len(victims) > 0
+    assert idx.doc_meta.count() == before_docs - n
+
+    # BM25 (both paths), postings term hits, phrase, CQL — no victims
+    for df in (eng.topk(["visa"], k=50, mode="wand"),
+               eng.topk(["visa"], k=50, mode="exhaustive"),
+               eng.find('"visa"'),
+               eng.phrase_hits(["very", "good"], path="postings"),
+               eng.find('"very" "good"')):
+        got = {r["doc_id"] for r in df.collect()}
+        assert not (got & victims)
+
+    # dual-path identity holds under deletes
+    a = [(r["doc_id"], r["score"]) for r in
+         eng.topk(["visa"], k=20, mode="wand").collect()]
+    b = [(r["doc_id"], r["score"]) for r in
+         eng.topk(["visa"], k=20, mode="exhaustive").collect()]
+    assert [x[0] for x in a] == [x[0] for x in b]
+    for x, y in zip(a, b):
+        assert x[1] == pytest.approx(y[1], abs=1e-12)
+
+    # Lucene-tombstone semantics: surviving docs keep their PRE-delete
+    # scores (stats stay stale until compaction)
+    post = {r["doc_id"]: r["score"]
+            for r in eng.scores(["visa"]).collect()}
+    for d, s in post.items():
+        assert s == pytest.approx(pre[d], abs=1e-12)
+
+    # idempotent: re-deleting adds nothing
+    assert delete_docs(idx, "conv_id = 'conv00001'") == 0
+
+
+def test_compact_equals_fresh_build(spark, tmp_path, del_engine):
+    """compact(expunge tombstones) ≡ building from the surviving
+    corpus: same stats, rank/score-identical queries."""
+    eng = del_engine
+    out = str(tmp_path / "compacted")
+    cidx = compact(spark, eng.index.path, out)
+    ceng = SearchEngine(cidx)
+
+    fresh_out = str(tmp_path / "fresh")
+    pdf = gen_transcripts_pandas("tiny", seed=42)
+    surv = spark.createDataFrame(pdf).filter(F.col("conv_id") != "conv00001")
+    build_index(spark, surv, fresh_out, cidx.cfg)
+    feng = SearchEngine.open(spark, fresh_out)
+
+    assert cidx.n_docs == feng.index.n_docs
+    assert cidx.avgdl == pytest.approx(feng.index.avgdl, abs=1e-12)
+    a = [(r["conv_id"], r["turn_idx"], r["score"]) for r in
+         ceng.topk(["visa", "good"], k=20).collect()]
+    b = [(r["conv_id"], r["turn_idx"], r["score"]) for r in
+         feng.topk(["visa", "good"], k=20).collect()]
+    assert a == b and a
