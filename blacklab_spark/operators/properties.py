@@ -13,11 +13,20 @@ Supported keys (single annotation 'word', insensitive corpus):
     before[:word[:i][:k]] k-th token before the hit (default 1)
     after[:word[:i][:k]]  k-th token after the hit (default 1)
     left / right          aliases of before/after
+    capture:<name>        text of a named capture group (match_info)
     field:<name>          doc metadata column (role, tool, conv_id, …)
+    decade[:ts]           decade of the doc timestamp
+                          (HitPropertyDocumentDecade analog)
     doc / docid           doc_id
     hitposition           start offset
     length                hit length in tokens
 Prefix ``-`` → descending. Multi-key: comma-separated.
+
+Collation: textual sort keys order by ``(accent_fold(v), v)`` — the
+fold is the same fixed table the @i analyzer uses, approximating the
+reference's ICU-collated term sort positions (Terms.java:34-69,
+integrated.md:144-149) at primary strength with a deterministic
+raw-string tie-break, identically expressible in the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -53,8 +62,19 @@ def compile_property(key: str) -> Column:
         return F.coalesce(
             F.when(idx >= 1, F.try_element_at("tokens", idx.cast("int"))),
             F.lit(""))
+    if head == "capture" and len(parts) > 1:
+        # text of the captured span (HitPropertyCaptureGroup analog)
+        name = parts[1]
+        s = F.col("match_info")[name]["s"]
+        e = F.col("match_info")[name]["e"]
+        return F.coalesce(
+            F.concat_ws(" ", F.slice("tokens", (s + 1).cast("int"),
+                                     (e - s).cast("int"))), F.lit(""))
     if head == "field" and len(parts) > 1:
         return F.col(parts[1])
+    if head == "decade":
+        field = parts[1] if len(parts) > 1 else "ts"
+        return (F.floor(F.year(field) / 10) * 10).cast("int")
     if head in _DOC_FIELDS:
         return F.col(head)
     if head in ("doc", "docid"):
@@ -64,6 +84,20 @@ def compile_property(key: str) -> Column:
     if head == "length":
         return F.col("end") - F.col("start")
     raise ValueError(f"unknown property key: {key!r}")
+
+
+_TEXTUAL_HEADS = {"hit", "before", "left", "after", "right", "capture"}
+
+
+def _is_textual(key: str) -> bool:
+    return key.split(":")[0] in _TEXTUAL_HEADS
+
+
+def collation_key(c: Column) -> Column:
+    """Primary-strength collation surrogate: accent-folded string
+    (see module docstring)."""
+    from blacklab_spark.tokenizer import fold_insensitive
+    return fold_insensitive(c)
 
 
 def _parse_keys(spec: str) -> list[tuple[str, bool]]:
@@ -76,19 +110,25 @@ def _parse_keys(spec: str) -> list[tuple[str, bool]]:
 
 
 def _with_meta(index: InvertedIndex, hits: DataFrame) -> DataFrame:
-    meta_cols = ["doc_id", "conv_id", "turn_idx", "role", "tool",
+    meta_cols = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                  "n_tokens", "tokens"]
     return hits.join(index.doc_meta.select(*meta_cols), "doc_id")
 
 
 def sort_hits(index: InvertedIndex, hits: DataFrame, spec: str) -> DataFrame:
     """Sort hits by a property spec, e.g. ``field:conv_id,hitposition``
-    or ``-after:word:i:1`` (HitsAbstract.sort analog)."""
+    or ``-after:word:i:1`` (HitsAbstract.sort analog). Textual keys
+    sort collated: (folded, raw) — see module docstring."""
     frame = _with_meta(index, hits)
     cols = []
     for key, desc in _parse_keys(spec):
         c = compile_property(key)
-        cols.append(c.desc() if desc else c.asc())
+        if _is_textual(key):
+            ck = collation_key(c)
+            cols.extend([ck.desc() if desc else ck.asc(),
+                         c.desc() if desc else c.asc()])
+        else:
+            cols.append(c.desc() if desc else c.asc())
     return frame.orderBy(*cols).select("doc_id", "start", "end")
 
 

@@ -214,6 +214,10 @@ class _Parser:
             return Capture(self.atom(), t[:-1])
         if t in (")", "|", "&", "!", "*", "+", "?"):
             raise ParseError(f"unexpected {t!r}")
+        if t == "_":
+            # default value (reference TextPatternDefaultValue,
+            # SpanQueryDefaultValue.java:21): any token here
+            return AnyToken(1, 1)
         return _word_pattern(t)
 
 

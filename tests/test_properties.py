@@ -120,3 +120,53 @@ def test_group_by_context_word_no_wraparound(tiny_engine):
         F.lit(1).cast("int").alias("end"))
     out = tiny_engine.group_hits_by_context_word(hits, offset=-2)
     assert out.count() == 0
+
+
+def test_decade_and_capture_keys(tiny_engine):
+    """Round-2 property keys: decade (DocumentDecade) and capture:
+    (HitPropertyCaptureGroup)."""
+    from pyspark.sql import functions as F
+    import blacklab_spark.operators.properties as P
+    idx = tiny_engine.index
+    frame = P._with_meta(idx, tiny_engine.term_hits("visa"))
+    decades = {r[0] for r in
+               frame.select(P.compile_property("decade")).collect()}
+    assert decades == {2020}
+    hits = tiny_engine.find('x:("visa")')
+    f2 = P._with_meta(idx, hits.select("doc_id", "start", "end",
+                                       "match_info"))
+    caps = {r[0] for r in
+            f2.select(P.compile_property("capture:x")).collect()}
+    assert caps == {"visa"}
+
+
+def test_collated_sort_folds_accents(spark, tmp_path):
+    """Sort by hit text must use the folded collation key: 'étude'
+    sorts with 'etude', not after 'zebra' (binary UTF-8 would)."""
+    import pandas as pd
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    import blacklab_spark.operators.properties as P
+    pdf = pd.DataFrame({
+        "conv_id": ["c1"] * 3, "turn_idx": [0, 1, 2],
+        "role": ["user"] * 3,
+        "text": ["zebra word", "étude word", "apple word"],
+        "tool": [None] * 3,
+        "ts": pd.to_datetime(["2024-01-01"] * 3),
+    })
+    out = str(tmp_path / "coll")
+    build_index(spark, spark.createDataFrame(pdf), out,
+                BuildConfig(block_size=8, bucket_size=8, num_partitions=1))
+    eng = SearchEngine.open(spark, out)
+    # hits = first token of each turn; @s layer keeps the accent
+    from pyspark.sql import functions as F
+    frame = eng.index.doc_meta.select(
+        "doc_id", F.lit(0).cast("int").alias("start"),
+        F.lit(1).cast("int").alias("end"),
+        F.col("tokens_s").alias("tokens"))
+    key = P.compile_property("hit")
+    ordered = [r[0] for r in
+               frame.orderBy(P.collation_key(key).asc(), key.asc())
+               .select(key).collect()]
+    assert ordered == ["apple", "étude", "zebra"]
