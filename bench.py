@@ -147,6 +147,15 @@ def main() -> None:
         "q09_term_frequencies": lambda: eng.term_frequencies().count(),
         "q10_group_next_word": lambda: eng.group_hits_by_context_word(
             eng.term_hits("a"), offset=1).count(),
+        # round-2 plans
+        "q12_cql_term_postings": lambda: eng.find('"visa"').count(),
+        "q13_cql_regex_postings": lambda: eng.find('[word="vis."]').count(),
+        "q14_filtered_wand": lambda: eng.topk(
+            ["visa", "application"], k=10, mode="wand",
+            role="user").collect(),
+        "q15_unbounded_repetition": lambda: eng.find('"the"+').count(),
+        "q16_constraint_samewords": lambda: eng.find(
+            'A:"the" B:[] :: A.word = B.word').count(),
     }
     for name, fn in qdefs.items():
         fn()  # warm (JIT, file listing)

@@ -35,10 +35,12 @@ ANNOTATION_COLUMNS = {
 
 
 def pos_tag(tok: Column) -> Column:
-    """Synthetic POS tag of one (insensitive) token — JVM expr."""
+    """Synthetic POS tag of one (insensitive) token — JVM expr.
+    Suffix checks use endswith (plain string ops) rather than a regex;
+    identical semantics in DuckDB (LIKE '%ing') and Python."""
     return (F.when(tok.isin(*POS_FUNC_WORDS), F.lit("func"))
-            .when(tok.rlike("^\\p{N}"), F.lit("num"))
-            .when(tok.rlike("(ing|ed)$"), F.lit("verb"))
+            .when(F.substring(tok, 1, 1).rlike("\\p{N}"), F.lit("num"))
+            .when(tok.endswith("ing") | tok.endswith("ed"), F.lit("verb"))
             .otherwise(F.lit("noun")))
 
 
@@ -65,6 +67,6 @@ def duckdb_pos_tags(ts: str) -> str:
     fw = ", ".join(f"'{w}'" for w in POS_FUNC_WORDS)
     return (f"list_transform({ts}, t -> "
             f"CASE WHEN t IN ({fw}) THEN 'func' "
-            "WHEN regexp_matches(t, '^\\p{N}') THEN 'num' "
-            "WHEN regexp_matches(t, '(ing|ed)$') THEN 'verb' "
+            "WHEN regexp_matches(substr(t, 1, 1), '\\p{N}') THEN 'num' "
+            "WHEN t LIKE '%ing' OR t LIKE '%ed' THEN 'verb' "
             "ELSE 'noun' END)")

@@ -193,13 +193,17 @@ class IndexBuilder:
             doc_meta = (with_ids
                         .withColumn("tokens", tokens_insensitive("text"))
                         .withColumn("tokens_s", tokens_sensitive("text"))
-                        # derived annotation layer (pos) — position-
-                        # aligned with the word layers (annotations.py)
-                        .withColumn("tokens_pos", tokens_pos("tokens"))
-                        .withColumn("n_tokens", F.size("tokens").cast("int"))
-                        .select("doc_id", "conv_id", "turn_idx", "role",
-                                "tool", "ts", "n_tokens", "tokens",
-                                "tokens_s", "tokens_pos", "text"))
+                        .withColumn("n_tokens", F.size("tokens").cast("int")))
+            extra = []
+            if "pos" in (cfg.annotations or ()):
+                # derived annotation layer (pos) — position-aligned
+                # with the word layers (annotations.py)
+                doc_meta = doc_meta.withColumn("tokens_pos",
+                                               tokens_pos("tokens"))
+                extra = ["tokens_pos"]
+            doc_meta = doc_meta.select(
+                "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                "n_tokens", "tokens", "tokens_s", *extra, "text")
             # with_ids is already range-partitioned by (conv_id, turn_idx)
             # = doc_id order, rows sorted within partitions by the
             # row_number window → files hold disjoint sorted doc_id

@@ -27,8 +27,9 @@ def _build(args) -> int:
     from blacklab_spark.build import build_index
     from blacklab_spark.config import BuildConfig
     from blacklab_spark.session import get_spark
+    from blacklab_spark.sources.files import read_transcripts
     spark = get_spark("blacklab-build")
-    df = spark.read.parquet(args.input)
+    df = read_transcripts(spark, args.input, args.format)
     cfg = BuildConfig(block_size=args.block_size,
                       bucket_size=args.bucket_size,
                       store_positions=not args.no_positions)
@@ -94,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("build", help="build an index from transcripts parquet")
     b.add_argument("--input", required=True)
+    b.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl", "csv"])
     b.add_argument("--out", required=True)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--block-size", type=int, default=128)

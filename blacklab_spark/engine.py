@@ -79,7 +79,15 @@ class SearchEngine:
         terms = self._terms(query)
         filt = self._doc_filter(role, tool, conv_id, where)
         if mode == "auto":
-            mode = "wand"
+            # cost-based (≙ ClauseCombinerNfa-style statistics choice):
+            # the filtered-WAND plan adds a fixed number of extra jobs
+            # (seed pass, bucket upper-bound prune) that pay off only
+            # when block-decode volume dominates; below ~1M docs the
+            # single-pass exhaustive scorer + semi-join is cheaper.
+            if filt is not None and self.index.n_docs < 1_000_000:
+                mode = "exhaustive"
+            else:
+                mode = "wand"
         if mode == "wand":
             if filt is not None:
                 # filter-then-score plan: allowed buckets pruned before
@@ -153,9 +161,9 @@ class SearchEngine:
             return hits.limit(cap).count()
         return hits.count()
 
-    def explain_cql(self, cql: str) -> str:
+    def explain_cql(self, cql: str, physical: bool = True) -> str:
         from blacklab_spark.plans.executor import explain as _explain
-        return _explain(cql)
+        return _explain(cql, self.index if physical else None)
 
     # -- introspection --------------------------------------------------
     def explain(self, query: str | list[str], k: int = 10, **filters) -> str:

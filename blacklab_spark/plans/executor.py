@@ -97,25 +97,38 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
             .dropDuplicates(["doc_id", "start", "end"]))
 
 
-def _seq_strategy(index: InvertedIndex, clauses) -> DataFrame | None:
-    """Cost-based physical choice for a sequence of width-1 leaves.
-    Returns None when the generic pairwise-join path should run."""
+def _seq_choice(index: InvertedIndex, clauses):
+    """Cost-based physical decision for a sequence of width-1 leaves:
+    ('fiseq', anchor_idx, stats) | ('phrase',) | ('empty',) |
+    ('generic',). Shared by execution and explain()."""
     if not index.cfg.store_positions:
-        return None
+        return ("generic",)
     if not all(isinstance(c, (Q.Term, Q.Regex)) for c in clauses):
-        return None
+        return ("generic",)
     stats = [_leaf_info(index, c) for c in clauses]
     if any(s[2] is not None and not s[2] for s in stats):
-        return S.no_hits(index)   # a word-layer leaf matches no term
+        return ("empty",)         # a word-layer leaf matches no term
     a = min(range(len(clauses)), key=lambda i: stats[i][0])
     if stats[a][2] is None:
-        return None               # no word-layer anchor available
+        return ("generic",)       # no word-layer anchor available
     cf_anchor, df_anchor = stats[a][0], stats[a][1]
     cf_others = sum(s[0] for i, s in enumerate(stats) if i != a)
     if (cf_anchor * FI_MATCH_FACTOR < cf_others
             and df_anchor <= FISEQ_MAX_ANCHOR_DOCS):
-        return _fiseq(index, clauses, stats, a)
+        return ("fiseq", a, stats)
     if all(isinstance(c, Q.Term) and c.layer == "word" for c in clauses):
+        return ("phrase",)
+    return ("generic",)
+
+
+def _seq_strategy(index: InvertedIndex, clauses) -> DataFrame | None:
+    """Execute the cost-based choice; None → generic pairwise joins."""
+    choice = _seq_choice(index, clauses)
+    if choice[0] == "empty":
+        return S.no_hits(index)
+    if choice[0] == "fiseq":
+        return _fiseq(index, clauses, choice[2], choice[1])
+    if choice[0] == "phrase":
         return P.phrase_via_postings(index, [c.text for c in clauses])
     return None
 
@@ -220,8 +233,49 @@ def find(index: InvertedIndex, cql: str) -> DataFrame:
     return _exec(index, ast)
 
 
-def explain(cql: str) -> str:
+def explain(cql: str, index: InvertedIndex | None = None) -> str:
+    """Original + rewritten pattern; with an index also the cost-based
+    physical choices (≙ QueryExplanation + the reference's optimize()
+    trace)."""
     original = parse(cql)
     rewritten = rewrite(original)
-    return (f"original : {Q.pattern_str(original)}\n"
-            f"rewritten: {Q.pattern_str(rewritten)}")
+    lines = [f"original : {Q.pattern_str(original)}",
+             f"rewritten: {Q.pattern_str(rewritten)}"]
+    if index is not None:
+        for node in _walk(rewritten):
+            if isinstance(node, Q.Seq) and not any(
+                    _has_capture(c) for c in node.clauses):
+                choice = _seq_choice(index, node.clauses)
+                desc = {"fiseq": "FiSeq (anchor postings + forward-"
+                                 "index verify)",
+                        "phrase": "postings position-intersection",
+                        "empty": "no-hits (term absent)",
+                        "generic": "pairwise positional joins over "
+                                   "postings leaves"}[choice[0]]
+                extra = ""
+                if choice[0] == "fiseq":
+                    a = choice[1]
+                    extra = (f" [anchor clause {a}: "
+                             f"cf={choice[2][a][0]}, df={choice[2][a][1]}]")
+                lines.append(
+                    f"seq {Q.pattern_str(node)} -> {desc}{extra}")
+            elif isinstance(node, (Q.Term, Q.Regex)):
+                layer = getattr(node, "layer", "word")
+                strat = ("postings block decode" if
+                         layer == "word" and index.cfg.store_positions
+                         else f"forward-index probe ({layer} layer)")
+                lines.append(f"leaf {Q.pattern_str(node)} -> {strat}")
+    return "\n".join(lines)
+
+
+def _walk(p: Q.Pattern):
+    yield p
+    for attr in ("clauses",):
+        if hasattr(p, attr):
+            for c in getattr(p, attr):
+                yield from _walk(c)
+    if hasattr(p, "clause"):
+        yield from _walk(p.clause)
+    if hasattr(p, "producer"):
+        yield from _walk(p.producer)
+        yield from _walk(p.filter)

@@ -44,7 +44,11 @@ def fold_insensitive(text: Column | str) -> Column:
 
 
 def tokens_insensitive(text: Column | str) -> Column:
-    """Insensitive token layer: fold(lower) then unicode-word runs."""
+    """Insensitive token layer: fold(lower(text)) then unicode-word
+    runs. (Measured note: deriving this per-token from the sensitive
+    run-split — transform(lower∘translate) — is 2× SLOWER than the
+    second whole-text regex pass; per-element expression eval overhead
+    dominates. Keep the two-pass form.)"""
     return F.regexp_extract_all(fold_insensitive(text),
                                 F.lit(TOKEN_RE_INSENSITIVE), 0)
 
