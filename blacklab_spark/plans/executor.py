@@ -133,6 +133,63 @@ def _seq_strategy(index: InvertedIndex, clauses) -> DataFrame | None:
     return None
 
 
+def _fixed_width(p: Q.Pattern) -> int | None:
+    """Token width of a pattern if constant, else None."""
+    if isinstance(p, (Q.Term, Q.Regex)):
+        return 1
+    if isinstance(p, Q.AnyToken):
+        return p.min_len if p.min_len == p.max_len else None
+    if isinstance(p, Q.Capture):
+        return _fixed_width(p.clause)
+    if isinstance(p, Q.Rep):
+        if p.max_rep is not None and p.min_rep == p.max_rep:
+            w = _fixed_width(p.clause)
+            return None if w is None else w * p.min_rep
+    if isinstance(p, Q.Seq):
+        ws = [_fixed_width(c) for c in p.clauses]
+        return None if any(w is None for w in ws) else sum(ws)
+    return None
+
+
+def _seq_captures_arithmetic(index: InvertedIndex,
+                             clauses) -> DataFrame | None:
+    """Captured sequence fast path: when every clause has FIXED width
+    and captures sit at clause top level, each capture's span is pure
+    arithmetic on the match start — so execute the STRIPPED sequence
+    (which gets the rewriter's any-token elimination and the
+    cost-based strategies) and attach match_info as column arithmetic,
+    instead of the N-way keep-info join that materializes every
+    clause's hit set (e.g. ``A:[] B:[]`` no longer self-joins the
+    all-token relation).
+
+    Reference analog: SpanQueryCaptureGroup over fixed-length clauses
+    has statically-known spans (SpanGuarantees hitsAllSameLength,
+    SURVEY.md §4.2)."""
+    offs = []
+    stripped = []
+    pos = 0
+    for c in clauses:
+        inner = c.clause if isinstance(c, Q.Capture) else c
+        if _has_capture(inner):
+            return None            # nested captures → generic path
+        w = _fixed_width(inner)
+        if w is None:
+            return None
+        if isinstance(c, Q.Capture):
+            offs.append((c.name, pos, pos + w))
+        stripped.append(inner)
+        pos += w
+    hits = _exec(index, rewrite(Q.Seq(*stripped)))
+    entries = []
+    for name, s0, e0 in offs:
+        entries.extend([
+            F.lit(name),
+            F.struct((F.col("start") + s0).cast("int").alias("s"),
+                     (F.col("start") + e0).cast("int").alias("e"))])
+    return hits.select("doc_id", "start", "end",
+                       F.create_map(*entries).alias("match_info"))
+
+
 def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
     if isinstance(p, Q.Term):
         if p.layer != "word":
@@ -160,6 +217,9 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                         F.col("n_tokens").cast("int").alias("end")))
     if isinstance(p, Q.Seq):
         if any(_has_capture(c) for c in p.clauses):
+            arith = _seq_captures_arithmetic(index, p.clauses)
+            if arith is not None:
+                return arith
             out = S.capture_noop(_exec(index, p.clauses[0]))
             for c in p.clauses[1:]:
                 out = S.sequence_keep_info(out, _exec(index, c))
