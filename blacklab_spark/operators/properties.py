@@ -62,6 +62,14 @@ def compile_property(key: str) -> Column:
         return F.coalesce(
             F.when(idx >= 1, F.try_element_at("tokens", idx.cast("int"))),
             F.lit(""))
+    if head == "context" and len(parts) > 1 and parts[-1].isdigit():
+        # full ±k context window text (HitPropertyContextPart analog)
+        k = int(parts[-1])
+        lo = F.greatest(F.lit(0), F.col("start") - k)
+        return F.coalesce(
+            F.concat_ws(" ", F.slice(
+                "tokens", (lo + 1).cast("int"),
+                (F.col("end") + k - lo).cast("int"))), F.lit(""))
     if head == "capture" and len(parts) > 1:
         # text of the captured span (HitPropertyCaptureGroup analog)
         name = parts[1]
@@ -86,7 +94,8 @@ def compile_property(key: str) -> Column:
     raise ValueError(f"unknown property key: {key!r}")
 
 
-_TEXTUAL_HEADS = {"hit", "before", "left", "after", "right", "capture"}
+_TEXTUAL_HEADS = {"hit", "before", "left", "after", "right", "capture",
+                  "context"}
 
 
 def _is_textual(key: str) -> bool:

@@ -304,6 +304,17 @@ def overlapping(a: DataFrame, b: DataFrame) -> DataFrame:
             .dropDuplicates(HIT_COLS))
 
 
+def filter_ngrams(index: InvertedIndex, clause: DataFrame, direction: str,
+                  min_len: int, max_len: int | None) -> DataFrame:
+    """N-grams positioned relative to anchor hits
+    (SpanQueryFilterNGrams.java:18): each anchor hit expands
+    ``direction``-ward by min..max tokens, deduplicated — the
+    reference's operator IS an optimization of expand+unique
+    (query rewriting.md FilterNGrams), which is exactly this
+    composition here."""
+    return unique(expand(index, clause, direction, min_len, max_len))
+
+
 # -- unary shapes -----------------------------------------------------
 def edge(clause: DataFrame, trailing: bool = False) -> DataFrame:
     """Zero-length leading/trailing edge (SpanQueryEdge.java:23)."""

@@ -170,3 +170,18 @@ def test_collated_sort_folds_accents(spark, tmp_path):
                frame.orderBy(P.collation_key(key).asc(), key.asc())
                .select(key).collect()]
     assert ordered == ["apple", "étude", "zebra"]
+
+
+def test_context_property_key(tiny_engine, tiny_oracle):
+    """context:word:i:k — full ±k window text (ContextPart analog)."""
+    import blacklab_spark.operators.properties as P
+    idx = tiny_engine.index
+    frame = P._with_meta(idx, tiny_engine.term_hits("visa"))
+    got = {(r["doc_id"], r["start"]): r["ctx"] for r in
+           frame.select("doc_id", "start",
+                        P.compile_property("context:word:i:2").alias("ctx"))
+           .collect()}
+    for (d, s), ctx in got.items():
+        toks = tiny_oracle.tokens[d]
+        lo = max(0, s - 2)
+        assert ctx == " ".join(toks[lo:s + 1 + 2])

@@ -219,3 +219,21 @@ def test_sensitivity_layers(spark, tmp_path):
     assert sens == [(0, 0, 1), (1, 1, 2)]
     assert hits_of(S.term(idx, "VISA", sensitivity="s")) == [(0, 2, 3)]
     assert hits_of(S.term(idx, "visa", sensitivity="s")) == [(0, 1, 2)]
+
+
+def test_filter_ngrams(tiny_engine, tiny_oracle):
+    """filter_ngrams ≡ distinct right-expansions of the anchor
+    (SpanQueryFilterNGrams as expand+unique)."""
+    from blacklab_spark.operators import spans as S
+    idx = tiny_engine.index
+    anchor = tiny_engine.term_hits("visa")
+    got = sorted(map(tuple, S.filter_ngrams(idx, anchor, "right", 1, 2)
+                     .collect()))
+    expected = set()
+    for d, poss in tiny_oracle.postings["visa"].items():
+        n = len(tiny_oracle.tokens[d])
+        for p in poss:
+            for w in (1, 2):
+                if p + 1 + w <= n:
+                    expected.add((d, p, p + 1 + w))
+    assert got == sorted(expected) and got
