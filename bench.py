@@ -162,6 +162,22 @@ def main() -> None:
         queries[name] = round(median_of(fn, reps=3), 3)
         log(f"{name}: {queries[name]}s")
 
+    # p50/p95 for the headline top-k queries (driver north metric
+    # names them explicitly): 9 timed reps each, already warm.
+    latency = {}
+    for name in ("q01_topk_wand_rare", "q02_topk_wand_multi",
+                 "q05_topk_filtered_role"):
+        fn = qdefs[name]
+        times = []
+        for _ in range(9):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        times.sort()
+        latency[name] = {"p50": round(times[4], 3),
+                         "p95": round(times[8], 3)}
+        log(f"{name}: p50={latency[name]['p50']} p95={latency[name]['p95']}")
+
     # -- documents-table query at SF_DIR ------------------------------
     from blacklab_spark.driver_gate import docs_engine, fmt_topk_docs
     t0 = time.time()
@@ -215,6 +231,7 @@ def main() -> None:
         "value": round(time.time() - t_all, 2),
         "unit": "sec",
         "queries": queries,
+        "topk_latency_p50_p95": latency,
         "sf": sf,
         "build": build,
         "scaling": scaling,

@@ -96,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="build an index from transcripts parquet")
     b.add_argument("--input", required=True)
     b.add_argument("--format", default="parquet",
-                   choices=["parquet", "jsonl", "csv"])
+                   choices=["parquet", "jsonl", "csv", "iceberg"])
     b.add_argument("--out", required=True)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--block-size", type=int, default=128)

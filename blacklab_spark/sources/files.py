@@ -53,7 +53,20 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
         .csv(path))
 
 
-READERS = {"parquet": read_parquet, "jsonl": read_jsonl, "csv": read_csv}
+def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg catalog table (the production input per
+    BASELINE.json.input_hint): ``spark.read.table`` against a
+    configured Iceberg catalog — filter/partition pruning and
+    snapshot pinning come from the Iceberg source. The sandbox has no
+    Iceberg runtime jar, so this path is exercised on a real cluster
+    (`--packages org.apache.iceberg:iceberg-spark-runtime-...`); the
+    engine is source-agnostic past this point (build_index takes any
+    DataFrame with the declared schema)."""
+    return _canonicalize(spark.read.table(table))
+
+
+READERS = {"parquet": read_parquet, "jsonl": read_jsonl, "csv": read_csv,
+           "iceberg": read_iceberg}
 
 
 def read_transcripts(spark: SparkSession, path: str,
