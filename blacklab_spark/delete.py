@@ -10,6 +10,12 @@ stay stale until ``compact`` rebuilds the index from the surviving
 docs (≙ Lucene segment merge expunging deletes). ``compact`` output is
 identical to a fresh build of the surviving corpus — dense doc ids
 reassigned by (conv_id, turn_idx), postings bit-identical (tested).
+
+Scope: tombstones apply to ONE index directory. A streaming
+DeltaSearchEngine (streaming/ingest.py) merges several part-indexes,
+each with its own ``_deletes``; delete against the part that holds the
+doc, or compact the merged view. Deleting from the base part is the
+common case (retract old data while deltas append).
 """
 
 from __future__ import annotations

@@ -83,10 +83,13 @@ def append_delta(spark: SparkSession, main_dir: str, batch: DataFrame,
 
 
 def union_corpus(spark: SparkSession, main_dir: str) -> DataFrame:
-    """All turns of main + deltas as one transcript DataFrame."""
+    """All SURVIVING turns of main + deltas as one transcript
+    DataFrame (per-part delete tombstones are honored, so compaction
+    expunges them — ≙ Lucene merge dropping deleted docs)."""
+    from blacklab_spark.index import open_index
     dfs = []
     for p in [main_dir] + _delta_dirs(main_dir):
-        dm = spark.read.parquet(os.path.join(p, "doc_meta"))
+        dm = open_index(spark, p).doc_meta
         dfs.append(dm.select("conv_id", "turn_idx", "role", "text",
                              "tool", "ts"))
     out = dfs[0]
@@ -145,15 +148,16 @@ class DeltaSearchEngine:
                        for t, tid in zip(info["term"], info["term_id"])}
             blocks = p.postings.filter(
                 F.col("term_id").isin([int(t) for t in info["term_id"]]))
-            part_scores = (blocks
-                           .select("bucket", "term_id", "doc_ids", "tfs", "dls")
-                           .groupBy("bucket")
-                           .applyInPandas(
-                               score_bucket_kernel(idf_map, p.cfg.k1, p.cfg.b,
-                                                   self.avgdl),
-                               SCORE_SCHEMA)
-                           .select((F.col("doc_id") + off).alias("doc_id"),
-                                   "score"))
+            local = (blocks
+                     .select("bucket", "term_id", "doc_ids", "tfs", "dls")
+                     .groupBy("bucket")
+                     .applyInPandas(
+                         score_bucket_kernel(idf_map, p.cfg.k1, p.cfg.b,
+                                             self.avgdl),
+                         SCORE_SCHEMA))
+            # per-part delete tombstones (local doc ids) before offset
+            part_scores = p.without_deleted(local).select(
+                (F.col("doc_id") + off).alias("doc_id"), "score")
             scores = part_scores if scores is None else \
                 scores.unionByName(part_scores)
         if scores is None:

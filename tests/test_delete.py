@@ -88,3 +88,37 @@ def test_compact_equals_fresh_build(spark, tmp_path, del_engine):
     b = [(r["conv_id"], r["turn_idx"], r["score"]) for r in
          feng.topk(["visa", "good"], k=20).collect()]
     assert a == b and a
+
+
+def test_delete_visible_through_delta_engine(spark, tmp_path):
+    """Tombstones on a part are honored by the delta-merged engine and
+    expunged by streaming compaction."""
+    from blacklab_spark.streaming.ingest import (DeltaSearchEngine,
+                                                 append_delta, compact as
+                                                 stream_compact)
+    from blacklab_spark.index import open_index
+    main = str(tmp_path / "main")
+    pdf = gen_transcripts_pandas("micro", seed=42)
+    cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
+    sdf = spark.createDataFrame(pdf)
+    build_index(spark, sdf.filter(F.col("conv_id") != "conv00002"),
+                main, cfg)
+    append_delta(spark, main,
+                 sdf.filter(F.col("conv_id") == "conv00002"), cfg)
+    idx = open_index(spark, main)
+    victims = {r["doc_id"] for r in
+               idx.doc_meta.filter(F.col("conv_id") == "conv00000")
+               .select("doc_id").collect()}
+    assert delete_docs(idx, "conv_id = 'conv00000'") == len(victims) > 0
+
+    deng = DeltaSearchEngine(spark, main)
+    got = {r["doc_id"] for r in deng.topk(["visa"], k=50).collect()}
+    assert not (got & victims)
+
+    out = str(tmp_path / "compacted_stream")
+    stream_compact(spark, main, out, cfg)
+    ceng = SearchEngine.open(spark, out)
+    assert ceng.index.doc_meta.filter(
+        F.col("conv_id") == "conv00000").count() == 0
+    assert ceng.index.doc_meta.filter(
+        F.col("conv_id") == "conv00002").count() > 0
