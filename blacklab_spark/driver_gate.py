@@ -70,6 +70,26 @@ def micro_engine(spark: SparkSession) -> SearchEngine:
     return _ENGINES[key]
 
 
+def micro_delete_engine(spark: SparkSession) -> SearchEngine:
+    """Micro fixture with one conversation tombstoned — the delete-
+    visibility gate corpus (idempotent: re-deleting adds nothing).
+    Tombstone semantics: results exclude the deleted docs but BM25
+    stats stay the FULL corpus's until compaction (Lucene model) —
+    the paired oracle filters only the final candidate set."""
+    ensure_shipped(spark)
+    key = "__micro_del__"
+    if key not in _ENGINES:
+        out = os.path.join(_idx_root(), "micro_del")
+        pdf = gen_transcripts_pandas("micro", seed=42)
+        cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
+        build_index(spark, spark.createDataFrame(pdf), out, cfg, resume=True)
+        eng = SearchEngine.open(spark, out)
+        from blacklab_spark.delete import delete_docs
+        delete_docs(eng.index, "conv_id = 'conv00000'")
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
 def multi_engine(spark: SparkSession) -> SearchEngine:
     """Multilingual fixture engine — the tokenizer-v2 gate corpus."""
     ensure_shipped(spark)
@@ -202,9 +222,11 @@ def _transcript_cte(pdf) -> str:
 
 
 def bm25_micro_sql(terms: list[str], k: int = 10, role: str | None = None,
-                   cte: str | None = None) -> str:
+                   cte: str | None = None,
+                   extra_where: str = "") -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     filt = f"AND d.role = '{role}'" if role else ""
+    filt += f" {extra_where}" if extra_where else ""
     return f"""
 WITH {cte or micro_cte()},
 dl AS (SELECT doc_id, len(ts) AS dl FROM ttoks),
@@ -608,6 +630,12 @@ def gate_queries() -> dict:
         return gate_topk_docs(docs_engine(spark, sf_dir), ["spark"], 10,
                               mode="wand", role="en")
 
+    def delete_tombstone_visibility(spark, sf_dir):
+        """BM25 top-k over an index with a tombstoned conversation —
+        deleted docs invisible, stats stale (Lucene delete model)."""
+        return gate_topk_micro(micro_delete_engine(spark), ["visa"], 5,
+                               mode="wand")
+
     def unicode_term_frequencies(spark, sf_dir):
         """Tokenizer v2 gate: corpus-wide term frequencies over the
         multilingual fixture — Café/café/CAFE must fold into one term,
@@ -663,6 +691,7 @@ def gate_queries() -> dict:
         "bm25_topk_filtered_role_wand": bm25_filtered_role_wand,
         "bm25_topk_filtered_lang_wand": bm25_filtered_lang_wand,
         "transcript_phrase_within_conv": transcript_phrase_within,
+        "delete_tombstone_visibility": delete_tombstone_visibility,
         "unicode_term_frequencies": unicode_term_frequencies,
         "unicode_bm25_topk": unicode_bm25_topk,
     }
@@ -776,4 +805,6 @@ SELECT tok AS term, count(*) AS "count" FROM tpos
 GROUP BY 1 ORDER BY count(*) DESC, tok
 """,
         "unicode_bm25_topk": bm25_micro_sql(["cafe"], 5, cte=multi_cte()),
+        "delete_tombstone_visibility": bm25_micro_sql(
+            ["visa"], 5, extra_where="AND d.conv_id != 'conv00000'"),
     }
