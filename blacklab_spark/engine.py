@@ -170,9 +170,16 @@ class SearchEngine:
         terms = self._terms(query)
         filt = self._doc_filter(**filters)
         info = self.index.lookup_terms(terms)
-        strat = ("filtered block-max WAND (bucket semi-join prune + "
-                 "seeded threshold)" if filt is not None
-                 else "block-max WAND")
+        # mirror topk()'s auto cost rule exactly
+        if filt is not None and self.index.n_docs < 1_000_000:
+            strat = ("exhaustive-then-filter (cost-based: below ~1M docs "
+                     "the single-pass scorer beats the pruning plan's "
+                     "fixed job overhead)")
+        elif filt is not None:
+            strat = ("filtered block-max WAND (bucket semi-join prune + "
+                     "seeded threshold)")
+        else:
+            strat = "block-max WAND"
         lines = [f"query terms: {terms}",
                  f"resolved: {info.to_dict('records')}",
                  f"strategy: {strat}"]

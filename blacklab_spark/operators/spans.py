@@ -42,6 +42,10 @@ def annot_term(index: InvertedIndex, layer: str, text: str) -> DataFrame:
                          f"(have: {sorted(ANNOTATION_COLUMNS)})")
     col = ANNOTATION_COLUMNS[layer]
     dm = index.doc_meta
+    if col not in dm.columns:
+        raise ValueError(
+            f"annotation layer {layer!r} was not materialized in this "
+            f"index (built with annotations={index.cfg.annotations!r})")
     return (dm.filter(F.array_contains(col, text))
             .select("doc_id", F.posexplode(col).alias("start", "tok"))
             .filter(F.col("tok") == text)
@@ -56,6 +60,10 @@ def annot_regex(index: InvertedIndex, layer: str, pattern: str) -> DataFrame:
                          f"(have: {sorted(ANNOTATION_COLUMNS)})")
     col = ANNOTATION_COLUMNS[layer]
     dm = index.doc_meta
+    if col not in dm.columns:
+        raise ValueError(
+            f"annotation layer {layer!r} was not materialized in this "
+            f"index (built with annotations={index.cfg.annotations!r})")
     return (dm.select("doc_id", F.posexplode(col).alias("start", "tok"))
             .filter(F.col("tok").rlike(f"^(?:{pattern})$"))
             .select("doc_id", F.col("start").cast("int"),
@@ -75,10 +83,11 @@ def regex_terms(index: InvertedIndex, pattern: str) -> DataFrame:
     dictionary drives expansion; hits come from one array probe with
     an OR-set membership filter, not |terms| separate scans.
 
-    The pattern is matched case-insensitively ((?i)) because the
+    The pattern is matched case-insensitively with Unicode case
+    folding ((?iu) — Java's bare (?i) is ASCII-only) because the
     insensitive term dictionary is lowercased — the reference likewise
     desensitizes the pattern for @i matching (DesensitizeFilter)."""
-    info = index.expand_regex(f"(?i)^(?:{pattern})$")
+    info = index.expand_regex(f"(?iu)^(?:{pattern})$")
     terms = list(info["term"])
     if not terms:
         return no_hits(index)
@@ -233,24 +242,31 @@ def repetition(clause: DataFrame, min_rep: int,
         for f in frames[1:]:
             out = out.unionByName(f)
         return out.dropDuplicates(HIT_COLS)
-    # unbounded: fixpoint iteration (driver loop, distributed joins)
-    base = base.persist()
-    levels = [base]
-    cur = base
+    # unbounded: fixpoint iteration (driver loop, distributed joins).
+    # Zero-width spans (end == start) would self-concatenate into
+    # themselves forever (A^k = A), so they are excluded from the
+    # iteration and re-unioned into the result unchanged.
+    zero = base.filter(F.col("end") == F.col("start"))
+    pos = base.filter(F.col("end") > F.col("start")).persist()
+    levels = [pos]
+    cur = pos
     while True:
-        nxt = sequence(cur, base).persist()
+        nxt = sequence(cur, pos).persist()
         if nxt.limit(1).count() == 0:
             nxt.unpersist()
             break
         levels.append(nxt)
         cur = nxt
-    frames = levels[min_rep - 1:]
-    if not frames:  # min_rep longer than any run present
-        return base.filter(F.lit(False))
-    out = frames[0]
-    for f in frames[1:]:
+    frames = levels[min_rep - 1:] if min_rep <= len(levels) else []
+    out = zero  # A^k of a zero-width span is the span itself, any k
+    for f in frames:
         out = out.unionByName(f)
-    return out.dropDuplicates(HIT_COLS)
+    out = out.dropDuplicates(HIT_COLS)
+    # release iteration caches: downstream actions recompute the (small)
+    # join lineage instead of pinning executor storage per query
+    for f in levels:
+        f.unpersist()
+    return out
 
 
 # -- position filters (SpanQueryPositionFilter.java:24, ops enum

@@ -169,14 +169,15 @@ def topk_wand_filtered(index: InvertedIndex, terms: list[str],
     term_ids = [int(t) for t in info["term_id"]]
     idf_map = {int(t): float(i) for t, i in zip(info["term_id"], info["idf"])}
     bs = index.cfg.bucket_size
+    # no persist: each reuse recomputes a pushdown-pruned parquet scan
+    # (cheap), and cached frames would otherwise accumulate per query
+    # in a long-lived engine.
     allowed = (index.doc_meta.filter(doc_filter)
                .select("doc_id",
-                       F.expr(f"doc_id div {bs}").alias("bucket"))
-               .persist())
+                       F.expr(f"doc_id div {bs}").alias("bucket")))
     abuckets = allowed.select("bucket").distinct()
     blocks = (index.postings.filter(F.col("term_id").isin(term_ids))
-              .join(abuckets, "bucket", "left_semi")
-              .persist())
+              .join(abuckets, "bucket", "left_semi"))
 
     # seed pass: exact partial scores of allowed docs in the top
     # metadata blocks (tiny: seed_blocks blocks through the kernel)

@@ -60,7 +60,7 @@ def _leaf_info(index: InvertedIndex, c: Q.Pattern):
     if isinstance(c, Q.Term):
         info = index.lookup_terms([c.text])
     else:
-        info = index.expand_regex(f"(?i)^(?:{c.pattern})$")
+        info = index.expand_regex(f"(?iu)^(?:{c.pattern})$")
     return (int(info["cf"].sum()), int(info["df"].sum()),
             [int(t) for t in info["term_id"]])
 
@@ -72,9 +72,12 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
     from blacklab_spark.annotations import ANNOTATION_COLUMNS
     from blacklab_spark.operators.hits import hits_for_term_ids
     n = len(clauses)
-    anchor = hits_for_term_ids(index, stats[a][2]).persist()
+    anchor = hits_for_term_ids(index, stats[a][2])
     ids = [r[0] for r in anchor.select("doc_id").distinct()
            .limit(FISEQ_MAX_ANCHOR_DOCS + 1).collect()]
+    # anchor is re-decoded by the verify join below instead of being
+    # persisted — the rare term's blocks are small, and per-query
+    # caches would leak in a long-lived engine.
     layers = {ANNOTATION_COLUMNS[getattr(c, "layer", "word")]
               for i, c in enumerate(clauses) if i != a}
     dm = index.doc_meta.select("doc_id", "n_tokens", *sorted(layers))
@@ -91,7 +94,7 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
         if isinstance(c, Q.Term):
             j = j.filter(tok == c.text)
         else:
-            j = j.filter(tok.rlike(f"(?i)^(?:{c.pattern})$"))
+            j = j.filter(tok.rlike(f"(?iu)^(?:{c.pattern})$"))
     return (j.select("doc_id", start0.cast("int").alias("start"),
                      (start0 + n).cast("int").alias("end"))
             .dropDuplicates(["doc_id", "start", "end"]))
@@ -205,7 +208,7 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             return S.annot_regex(index, p.layer, p.pattern)
         if index.cfg.store_positions:
             from blacklab_spark.operators.hits import hits_for_term_ids
-            info = index.expand_regex(f"(?i)^(?:{p.pattern})$")
+            info = index.expand_regex(f"(?iu)^(?:{p.pattern})$")
             return hits_for_term_ids(index,
                                      [int(t) for t in info["term_id"]])
         return S.regex_terms(index, p.pattern)

@@ -70,7 +70,15 @@ def _lex(s: str) -> list[str]:
 
 
 def _word_pattern(text: str) -> Pattern:
-    return Regex(text) if _META.search(text) else Term(text.lower())
+    """Word-layer value → desensitized pattern: the @i dictionary is
+    lowercased AND accent-folded (tokenizer v2), so query terms fold
+    the same way — 'Café' must match the stored term 'cafe' (reference
+    desensitizes query terms identically, DesensitizeFilter). Regex
+    patterns fold too: the fold table touches no regex metacharacters,
+    and literals must compare against folded dictionary entries."""
+    from blacklab_spark.tokenizer import py_fold_insensitive
+    folded = py_fold_insensitive(text)
+    return Regex(folded) if _META.search(folded) else Term(folded)
 
 
 class _Parser:

@@ -353,3 +353,64 @@ def test_constraint_on_pos_layer(idx, tiny_oracle):
 def test_unknown_layer_raises(idx):
     with pytest.raises(ValueError):
         find(idx, '[lemma="run"]')
+
+
+# ---------------- round-2 review regressions -------------------------
+def test_cql_terms_fold_accents():
+    """CQL word values desensitize like the tokenizer: 'Café' →
+    Term('cafe') so accented queries match the folded dictionary."""
+    assert parse('"Café"') == Q.Term("cafe")
+    assert parse('[word="Visa.*"]') == Q.Regex("visa.*")
+    assert parse('"ΚΑΛΆ"') == Q.Term("καλά")
+
+
+def test_cql_unicode_end_to_end(spark, tmp_path):
+    """Accented / Cyrillic CQL terms and regexes match on a
+    multilingual index ((?iu) unicode case folding + query folding)."""
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.sources.transcripts import gen_multilingual_pandas
+    out = str(tmp_path / "multi")
+    build_index(spark, spark.createDataFrame(gen_multilingual_pandas()),
+                out, BuildConfig(block_size=8, bucket_size=8,
+                                 num_partitions=2))
+    eng = SearchEngine.open(spark, out)
+    plain = eng.find('"cafe"').count()
+    assert plain > 0
+    assert eng.find('"Café"').count() == plain
+    upper_rx = eng.find('[word="Приве.*"]').count()
+    lower_rx = eng.find('[word="приве.*"]').count()
+    assert upper_rx == lower_rx > 0
+
+
+def test_unbounded_repetition_zero_width_terminates(spark):
+    """A zero-width span must not spin the fixpoint loop forever —
+    A^k of a zero-width span is the span itself."""
+    from blacklab_spark.operators.spans import repetition
+    hits = spark.createDataFrame(
+        [(0, 0, 0), (0, 1, 2), (0, 2, 3)],
+        "doc_id long, start int, end int")
+    got = sorted(map(tuple, repetition(hits, 1, None).collect()))
+    assert got == [(0, 0, 0), (0, 1, 2), (0, 1, 3), (0, 2, 3)]
+
+
+def test_missing_annotation_layer_raises(spark, tmp_path):
+    """An index built with annotations=() must reject [pos=...] with a
+    clear ValueError, not an unresolved-column crash."""
+    import pandas as pd
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    pdf = pd.DataFrame({
+        "conv_id": ["c1"], "turn_idx": [0], "role": ["user"],
+        "text": ["just words here"], "tool": [None],
+        "ts": pd.to_datetime(["2024-01-01"]),
+    })
+    out = str(tmp_path / "noannot")
+    build_index(spark, spark.createDataFrame(pdf), out,
+                BuildConfig(block_size=8, bucket_size=8, num_partitions=1,
+                            annotations=()))
+    eng = SearchEngine.open(spark, out)
+    with pytest.raises(ValueError, match="not materialized"):
+        eng.find('[pos="func"]').count()
