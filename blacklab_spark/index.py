@@ -28,6 +28,11 @@ class InvertedIndex:
         s = self.meta["stats"]
         self.n_docs: int = s["n_docs"]
         self.avgdl: float = s["avgdl"]
+        # driver-side memo for dictionary lookups: the terms table is
+        # immutable per index, and one query resolves the same terms
+        # several times (cost choice, execution, explain) — each was a
+        # separate Spark job before.
+        self._term_cache: dict = {}
 
     # Lazy DataFrames over the artifacts -------------------------------
     @property
@@ -81,19 +86,30 @@ class InvertedIndex:
     # mirrors Lucene's rewrite of multi-term queries to term ORs,
     # reference: search/lucene/BLSpanMultiTermQueryWrapper.java:53) ----
     def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
-        """Exact term lookup → pandas (term, term_id, df, cf, idf)."""
-        uniq = sorted(set(terms))
-        pdf = (self.terms.filter(F.col("term").isin(uniq))
-               .select("term", "term_id", "df", "cf").toPandas())
-        pdf["idf"] = [bm25_idf(self.n_docs, int(d)) for d in pdf["df"]]
-        return pdf.sort_values("term_id").reset_index(drop=True)
+        """Exact term lookup → pandas (term, term_id, df, cf, idf).
+        Memoized per index (callers must not mutate the result)."""
+        uniq = tuple(sorted(set(terms)))
+        key = ("terms", uniq)
+        if key not in self._term_cache:
+            pdf = (self.terms.filter(F.col("term").isin(list(uniq)))
+                   .select("term", "term_id", "df", "cf").toPandas())
+            pdf["idf"] = [bm25_idf(self.n_docs, int(d)) for d in pdf["df"]]
+            self._term_cache[key] = \
+                pdf.sort_values("term_id").reset_index(drop=True)
+        return self._term_cache[key]
 
     def expand_regex(self, pattern: str, limit: int = 10000) -> pd.DataFrame:
-        """Regex → matching terms (SpanMultiTermQueryWrapper analog)."""
-        pdf = (self.terms.filter(F.col("term").rlike(pattern))
-               .select("term", "term_id", "df", "cf").limit(limit).toPandas())
-        pdf["idf"] = [bm25_idf(self.n_docs, int(d)) for d in pdf["df"]]
-        return pdf.sort_values("term_id").reset_index(drop=True)
+        """Regex → matching terms (SpanMultiTermQueryWrapper analog).
+        Memoized per index."""
+        key = ("regex", pattern, limit)
+        if key not in self._term_cache:
+            pdf = (self.terms.filter(F.col("term").rlike(pattern))
+                   .select("term", "term_id", "df", "cf")
+                   .limit(limit).toPandas())
+            pdf["idf"] = [bm25_idf(self.n_docs, int(d)) for d in pdf["df"]]
+            self._term_cache[key] = \
+                pdf.sort_values("term_id").reset_index(drop=True)
+        return self._term_cache[key]
 
     def expand_prefix(self, prefix: str, limit: int = 10000) -> pd.DataFrame:
         pdf = (self.terms.filter(F.col("term").startswith(prefix))
