@@ -87,3 +87,23 @@ def test_sample_hits_deterministic(tiny_engine):
 def test_explain(tiny_engine):
     s = tiny_engine.explain(["visa"])
     assert "WAND" in s and "visa" in s
+
+
+def test_window_hits_plan_take_ordered(tiny_engine):
+    """Paging must compile to TakeOrderedAndProject (per-partition
+    top-N, merged on the driver) — not a single-partition global
+    window (VERDICT r01 #9 'done' criterion)."""
+    from blacklab_spark.operators.hits import window_hits
+    df = window_hits(tiny_engine.term_hits("the"), 5, 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wand_block_prune_reaches_parquet_scan(tiny_engine):
+    """Single-term WAND: the max_score >= t0 block filter must land on
+    the postings parquet scan (row-group pruning — pruned payloads are
+    never materialized)."""
+    from blacklab_spark.operators.wand import topk_wand
+    df = topk_wand(tiny_engine.index, ["visa"], k=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "max_score" in plan
