@@ -25,7 +25,8 @@ from blacklab_spark.config import BuildConfig
 from blacklab_spark.engine import SearchEngine
 from blacklab_spark.shipping import ship as ensure_shipped
 from blacklab_spark.sources.documents import documents_as_transcripts
-from blacklab_spark.sources.transcripts import (gen_multilingual_pandas,
+from blacklab_spark.sources.transcripts import (TRANSCRIPT_SCHEMA,
+                                                gen_multilingual_pandas,
                                                 gen_transcripts_pandas)
 
 K1, B = 1.2, 0.75
@@ -65,7 +66,8 @@ def micro_engine(spark: SparkSession) -> SearchEngine:
         out = os.path.join(_idx_root(), "micro")
         pdf = gen_transcripts_pandas("micro", seed=42)
         cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
-        build_index(spark, spark.createDataFrame(pdf), out, cfg, resume=True)
+        build_index(spark, spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA),
+                    out, cfg, resume=True)
         _ENGINES[key] = SearchEngine.open(spark, out)
     return _ENGINES[key]
 
@@ -82,7 +84,8 @@ def micro_delete_engine(spark: SparkSession) -> SearchEngine:
         out = os.path.join(_idx_root(), "micro_del")
         pdf = gen_transcripts_pandas("micro", seed=42)
         cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
-        build_index(spark, spark.createDataFrame(pdf), out, cfg, resume=True)
+        build_index(spark, spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA),
+                    out, cfg, resume=True)
         eng = SearchEngine.open(spark, out)
         from blacklab_spark.delete import delete_docs
         delete_docs(eng.index, "conv_id = 'conv00000'")
@@ -98,7 +101,8 @@ def multi_engine(spark: SparkSession) -> SearchEngine:
         out = os.path.join(_idx_root(), "multi")
         pdf = gen_multilingual_pandas(seed=42)
         cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
-        build_index(spark, spark.createDataFrame(pdf), out, cfg, resume=True)
+        build_index(spark, spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA),
+                    out, cfg, resume=True)
         _ENGINES[key] = SearchEngine.open(spark, out)
     return _ENGINES[key]
 
