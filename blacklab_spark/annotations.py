@@ -26,10 +26,16 @@ from pyspark.sql import Column, functions as F
 POS_FUNC_WORDS = ("the", "a", "and", "you", "of", "to", "in", "is",
                   "it", "that", "for", "on", "with", "please")
 
-#: annotation name → doc_meta column holding its token array
+#: annotation name → doc_meta column holding its token array.
+#: The four word sensitivities mirror the reference's per-annotation
+#: variants (indexmetadata/MatchSensitivity.java:12-17): @i both-
+#: insensitive, @s both-sensitive, @ci case-insensitive only (common
+#: for German/French corpora), @di diacritics-insensitive only.
 ANNOTATION_COLUMNS = {
     "word": "tokens",        # insensitive (@i) — the default layer
     "word_s": "tokens_s",    # sensitive (@s)
+    "word_ci": "tokens_ci",  # lower(tokens_s): accent-sensitive
+    "word_di": "tokens_di",  # fold(tokens_s): case-sensitive
     "pos": "tokens_pos",
 }
 
@@ -48,6 +54,32 @@ def tokens_pos(tokens_col: Column | str) -> Column:
     """Derive the pos layer from the insensitive token array."""
     col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     return F.transform(col, pos_tag)
+
+
+def with_token_layers(df, annotations: tuple = ()):
+    """Ensure the token-layer columns exist on a doc_meta frame,
+    deriving any missing one from ``text`` (format v5 default: the
+    content store is the forward index; tokenizer expressions are
+    deterministic JVM columns, so a layer not selected downstream
+    costs nothing — Catalyst prunes it)."""
+    from blacklab_spark.tokenizer import (fold_diacritics,
+                                          tokens_insensitive,
+                                          tokens_sensitive)
+    if "tokens" not in df.columns:
+        df = df.withColumn("tokens", tokens_insensitive("text"))
+    if "tokens_s" not in df.columns:
+        df = df.withColumn("tokens_s", tokens_sensitive("text"))
+    # ci/di are always derived (never stored): one transform() over
+    # the sensitive layer each, pruned away unless a query probes them
+    if "tokens_ci" not in df.columns:
+        df = df.withColumn("tokens_ci",
+                           F.transform("tokens_s", F.lower))
+    if "tokens_di" not in df.columns:
+        df = df.withColumn("tokens_di",
+                           F.transform("tokens_s", fold_diacritics))
+    if "pos" in (annotations or ()) and "tokens_pos" not in df.columns:
+        df = df.withColumn("tokens_pos", tokens_pos("tokens"))
+    return df
 
 
 def py_pos_tag(tok: str) -> str:

@@ -45,7 +45,7 @@ from blacklab_spark import codec
 from blacklab_spark.arrow_kernels import finalize_blocks_arrow, spimi_miniblocks
 from blacklab_spark.config import BuildConfig
 from blacklab_spark.oracle import bm25_idf  # same formula, one source of truth
-from blacklab_spark.tokenizer import tokens_insensitive, tokens_sensitive
+from blacklab_spark.tokenizer import tokens_insensitive
 
 # SPIMI emits pre-encoded MINI-BLOCKS, not raw posting rows: doc ids
 # are range-partitioned, so a (term, bucket) group lives in ≤2 adjacent
@@ -122,10 +122,12 @@ def assign_dense_ids(df: DataFrame, key_cols: list[str], id_col: str,
     return out, d
 
 
-def _spimi_miniblocks(tokenized: DataFrame, cfg: BuildConfig) -> DataFrame:
+def _spimi_miniblocks(doc_meta: DataFrame, cfg: BuildConfig) -> DataFrame:
     """Per-partition SPIMI → encoded mini-block rows (Arrow-native,
-    see arrow_kernels.spimi_miniblocks)."""
-    return tokenized.select("doc_id", "tokens") \
+    see arrow_kernels.spimi_miniblocks). Tokenizes from text when the
+    arrays are not materialized (format v5)."""
+    from blacklab_spark.annotations import with_token_layers
+    return with_token_layers(doc_meta).select("doc_id", "tokens") \
         .mapInArrow(spimi_miniblocks(cfg), MINIBLOCK_SCHEMA)
 
 
@@ -187,23 +189,27 @@ class IndexBuilder:
                 transcripts, ["conv_id", "turn_idx"], "doc_id", parts)
             # two sensitivity layers per annotation (BlackLab @i/@s,
             # SURVEY.md §1.1): `tokens` = lowercased (drives postings +
-            # BM25), `tokens_s` = original case (sensitive searches
-            # probe it directly — the forward-index physical path)
-            from blacklab_spark.annotations import tokens_pos
-            doc_meta = (with_ids
-                        .withColumn("tokens", tokens_insensitive("text"))
-                        .withColumn("tokens_s", tokens_sensitive("text"))
-                        .withColumn("n_tokens", F.size("tokens").cast("int")))
-            extra = []
-            if "pos" in (cfg.annotations or ()):
-                # derived annotation layer (pos) — position-aligned
-                # with the word layers (annotations.py)
-                doc_meta = doc_meta.withColumn("tokens_pos",
-                                               tokens_pos("tokens"))
-                extra = ["tokens_pos"]
+            # BM25), `tokens_s` = original case. Format v5 default:
+            # the arrays are NOT stored — the stored text (content
+            # store) plus the frozen tokenizer expression IS the
+            # forward index (annotations.with_token_layers derives
+            # layers at read time). Storing them tripled the write
+            # volume of the build's largest stage (round-2 lineage:
+            # doc_meta 16.5s of 43s) for data parquet would mostly
+            # dictionary-encode anyway. cfg.store_token_arrays=True
+            # restores materialized arrays.
+            doc_meta = with_ids.withColumn(
+                "n_tokens", F.size(tokens_insensitive("text")).cast("int"))
+            stored = []
+            if cfg.store_token_arrays:
+                from blacklab_spark.annotations import with_token_layers
+                doc_meta = with_token_layers(doc_meta, cfg.annotations)
+                stored = ["tokens", "tokens_s"] + (
+                    ["tokens_pos"] if "pos" in (cfg.annotations or ())
+                    else [])
             doc_meta = doc_meta.select(
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                "n_tokens", "tokens", "tokens_s", *extra, "text")
+                "n_tokens", *stored, "text")
             # with_ids is already range-partitioned by (conv_id, turn_idx)
             # = doc_id order, rows sorted within partitions by the
             # row_number window → files hold disjoint sorted doc_id

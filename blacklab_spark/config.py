@@ -63,7 +63,7 @@ def _build_fold_table() -> tuple[str, str]:
 FOLD_SRC, FOLD_DST = _build_fold_table()
 
 # Storage schema version for the index artifacts.
-INDEX_FORMAT_VERSION: int = 4
+INDEX_FORMAT_VERSION: int = 5
 
 
 @dataclass(frozen=True)
@@ -88,6 +88,18 @@ class BuildConfig:
     bucket_size: int = 8192
     # Store token positions in blocks (needed for phrase queries).
     store_positions: bool = True
+    # Materialize the token-array layers (tokens/tokens_s/tokens_pos)
+    # as physical doc_meta columns. Default False (format v5): the
+    # layers are DERIVED from the stored text at read time — the
+    # tokenizer is a deterministic JVM expression, so the content
+    # store IS the forward index and doc_meta's write drops the three
+    # array columns that dominated the build's largest stage. The
+    # reference instead stores term-id arrays (TokensCodec); in Spark
+    # that needs either a per-token invert shuffle or a broadcast
+    # dictionary, and parquet already dictionary-encodes — deriving
+    # is strictly cheaper. True restores materialized arrays (pay
+    # storage/write, save probe-time regex).
+    store_token_arrays: bool = False
     # Derived annotation layers materialized at build time (pos costs
     # ~9% build throughput; disable for pure-BM25 corpora at scale).
     annotations: tuple = ("pos",)

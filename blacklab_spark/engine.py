@@ -114,8 +114,26 @@ class SearchEngine:
             df = P.phrase_via_tokens(self.index, terms, doc_filter=filt)
         return df
 
-    def term_hits(self, term: str, **filters) -> DataFrame:
-        return H.term_hits(self.index, term, self._doc_filter(**filters))
+    def term_hits(self, term: str, sensitivity: str = "i",
+                  **filters) -> DataFrame:
+        return H.term_hits_auto(self.index, term,
+                                self._doc_filter(**filters), sensitivity)
+
+    def fuzzy_hits(self, term: str, max_edits: int = 1,
+                   **filters) -> DataFrame:
+        """Hits of every dictionary term within ``max_edits``
+        Levenshtein edits (SpanFuzzyQuery analog,
+        reference: search/lucene/SpanFuzzyQuery.java:35)."""
+        from blacklab_spark.tokenizer import py_fold_insensitive
+        info = self.index.expand_fuzzy(py_fold_insensitive(term),
+                                       max_edits)
+        hits = H.hits_for_term_ids(self.index,
+                                   [int(t) for t in info["term_id"]])
+        filt = self._doc_filter(**filters)
+        if filt is not None:
+            allowed = self.index.doc_meta.filter(filt).select("doc_id")
+            hits = hits.join(allowed, "doc_id", "left_semi")
+        return hits
 
     # -- result ops (thin delegates) ------------------------------------
     def kwic(self, hits: DataFrame, context: int = H.DEFAULT_CONTEXT):

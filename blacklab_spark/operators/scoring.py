@@ -164,10 +164,22 @@ def doc_scores(index: InvertedIndex, terms: list[str],
 
 
 def finish_topk(index: InvertedIndex, scores: DataFrame, k: int) -> DataFrame:
-    """orderBy+limit (TakeOrderedAndProject) → join doc meta → rank."""
-    topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    meta = index.doc_meta.select("doc_id", "conv_id", "turn_idx", "text")
-    out = F.broadcast(topk).join(meta, "doc_id")
+    """orderBy+limit (TakeOrderedAndProject) → fetch the ≤k winners'
+    metadata with ``doc_id IN (...)`` pushed into the doc_meta scan →
+    rank. The winners are collected to the driver (bounded by k): a
+    broadcast join would still read every row group of doc_meta just
+    to print k rows; the IN-list prunes row groups via parquet
+    min/max stats (the _fiseq anchor pattern, VERDICT r02 #4)."""
+    top = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    if not top:
+        return index.spark.createDataFrame([], TOPK_SCHEMA)
+    winners = index.spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in top],
+        "doc_id long, score double")
+    meta = (index.doc_meta
+            .filter(F.col("doc_id").isin([int(r["doc_id"]) for r in top]))
+            .select("doc_id", "conv_id", "turn_idx", "text"))
+    out = F.broadcast(winners).join(meta, "doc_id")
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("rank", "doc_id", "conv_id", "turn_idx", "score", "text"))

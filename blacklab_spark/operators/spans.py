@@ -242,32 +242,74 @@ def repetition(clause: DataFrame, min_rep: int,
         for f in frames[1:]:
             out = out.unionByName(f)
         return out.dropDuplicates(HIT_COLS)
-    # unbounded: fixpoint iteration (driver loop, distributed joins).
-    # Zero-width spans (end == start) would self-concatenate into
-    # themselves forever (A^k = A), so they are excluded from the
-    # iteration and re-unioned into the result unchanged.
-    base = base.persist()
+    # unbounded: per-doc transitive closure in ONE cogrouped kernel.
+    # Concatenation never crosses docs, so after a single shuffle on
+    # doc_id every level of A⁺ is computable locally — replacing the
+    # round-2 driver-loop fixpoint (L sequential shuffle joins, one
+    # Spark job per level, persisted level caches that outlived the
+    # query; VERDICT r02 #5). Zero-width spans (end == start) would
+    # self-concatenate forever (A^k = A), so they bypass the kernel
+    # and re-union unchanged.
     zero = base.filter(F.col("end") == F.col("start"))
-    pos = base.filter(F.col("end") > F.col("start")).persist()
-    levels = [pos]
-    cur = pos
-    while True:
-        nxt = sequence(cur, pos).persist()
-        if nxt.limit(1).count() == 0:
-            nxt.unpersist()
-            break
-        levels.append(nxt)
-        cur = nxt
-    frames = levels[min_rep - 1:] if min_rep <= len(levels) else []
-    out = zero  # A^k of a zero-width span is the span itself, any k
-    for f in frames:
-        out = out.unionByName(f)
-    # Iteration caches stay alive: releasing them forces every
-    # downstream action to re-run the O(L²) join cascade (measured 3-4×
-    # slower), while the cached levels are MEMORY_AND_DISK blocks that
-    # Spark evicts LRU under storage pressure — a bounded, evictable
-    # cost per unbounded-repetition query, not a hard leak.
-    return out.dropDuplicates(HIT_COLS)
+    pos = base.filter(F.col("end") > F.col("start"))
+    closed = _repetition_closure(pos, min_rep)
+    return zero.unionByName(closed).dropDuplicates(HIT_COLS)
+
+
+# Kernel-group key: docs hashed into this many buckets so applyInPandas
+# pays per-GROUP Python overhead ~REP_BUCKETS times, not once per doc.
+REP_BUCKETS = 1024
+
+
+def _repetition_closure(pos: DataFrame, min_rep: int) -> DataFrame:
+    """All concatenations A^k (k ≥ min_rep) of positive-width spans,
+    computed per doc inside an applyInPandas kernel.
+
+    Per doc: BFS over the span DAG (edges end==next.start; ends
+    strictly increase along a path, so it is acyclic) with the level
+    capped at min_rep — state (span_pair, min(level, min_rep)) is
+    finite, so visited-state pruning terminates without losing any
+    pair that only reaches level ≥ min_rep via a longer path."""
+    import pandas as pd
+
+    cap = max(1, min_rep)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out_d: list[int] = []
+        out_s: list[int] = []
+        out_e: list[int] = []
+        for doc_id, g in pdf.groupby("doc_id", sort=False):
+            pairs = set(zip(g["start"].tolist(), g["end"].tolist()))
+            adj: dict[int, list[int]] = {}
+            for s, e in pairs:
+                adj.setdefault(s, []).append(e)
+            result = set(pairs) if cap <= 1 else set()
+            frontier = {(p, 1) for p in pairs}
+            seen = set(frontier)
+            while frontier:
+                nxt = set()
+                for (ps, pe), k in frontier:
+                    for e2 in adj.get(pe, ()):
+                        k2 = min(k + 1, cap)
+                        st = ((ps, e2), k2)
+                        if st not in seen:
+                            seen.add(st)
+                            nxt.add(st)
+                            if k2 >= cap:
+                                result.add((ps, e2))
+                frontier = nxt
+            for s, e in result:
+                out_d.append(doc_id)
+                out_s.append(s)
+                out_e.append(e)
+        return pd.DataFrame({"doc_id": pd.Series(out_d, dtype="int64"),
+                             "start": pd.Series(out_s, dtype="int32"),
+                             "end": pd.Series(out_e, dtype="int32")})
+
+    return (pos.withColumn("_b", F.pmod(F.col("doc_id"),
+                                        F.lit(REP_BUCKETS)))
+            .groupBy("_b")
+            .applyInPandas(kernel, "doc_id long, start int, end int"))
 
 
 # -- position filters (SpanQueryPositionFilter.java:24, ops enum

@@ -83,11 +83,18 @@ def topk_wand(index: InvertedIndex, terms: list[str], k: int = 10) -> DataFrame:
     """
     if index.has_deletes:
         return topk_wand_filtered(index, terms, F.lit(True), k)
-    info = index.lookup_terms(terms)
+    return finish_topk(index, wand_scores(index, terms, k), k)
+
+
+def wand_scores(index: InvertedIndex, terms: list[str],
+                k: int) -> DataFrame:
+    """The block-pruned per-bucket local-top-k scores stage of
+    :func:`topk_wand` (factored out so plan assertions can inspect the
+    scoring plan — finish_topk materializes the winners eagerly)."""
     spark = index.spark
+    info = index.lookup_terms(terms)
     if info.empty:
-        return finish_topk(
-            index, spark.createDataFrame([], "doc_id long, score double"), k)
+        return spark.createDataFrame([], "doc_id long, score double")
     term_ids = [int(t) for t in info["term_id"]]
     idf_map = {int(t): float(i) for t, i in zip(info["term_id"], info["idf"])}
     blocks = index.postings.filter(F.col("term_id").isin(term_ids))
@@ -110,13 +117,12 @@ def topk_wand(index: InvertedIndex, terms: list[str], k: int = 10) -> DataFrame:
     else:
         pruned = blocks
 
-    local = (pruned.select("bucket", "term_id", "doc_ids", "tfs", "dls")
-             .groupBy("bucket")
-             .applyInPandas(
-                 score_bucket_kernel(idf_map, index.cfg.k1, index.cfg.b,
-                                     index.avgdl, local_k=k),
-                 LOCAL_TOPK_SCHEMA))
-    return finish_topk(index, local, k)
+    return (pruned.select("bucket", "term_id", "doc_ids", "tfs", "dls")
+            .groupBy("bucket")
+            .applyInPandas(
+                score_bucket_kernel(idf_map, index.cfg.k1, index.cfg.b,
+                                    index.avgdl, local_k=k),
+                LOCAL_TOPK_SCHEMA))
 
 
 def _filtered_scores(index: InvertedIndex, blocks: DataFrame,

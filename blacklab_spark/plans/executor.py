@@ -80,6 +80,17 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
     # caches would leak in a long-lived engine.
     layers = {ANNOTATION_COLUMNS[getattr(c, "layer", "word")]
               for i, c in enumerate(clauses) if i != a}
+    dm_cols = set(index.doc_meta.columns)
+    for i, c in enumerate(clauses):
+        layer = getattr(c, "layer", "word")
+        if i != a and ANNOTATION_COLUMNS[layer] not in dm_cols:
+            # same clear error annot_term raises on the single-leaf
+            # path — not an unresolved-column AnalysisException
+            # (round-2 ADVICE: non-word leaves carry _NO_STATS, so an
+            # annotations=() index can still reach FiSeq).
+            raise ValueError(
+                f"annotation layer {layer!r} was not materialized in "
+                f"this index (have columns: {sorted(dm_cols)})")
     dm = index.doc_meta.select("doc_id", "n_tokens", *sorted(layers))
     if len(ids) <= FISEQ_MAX_ANCHOR_DOCS:
         dm = dm.filter(F.col("doc_id").isin(ids))
@@ -212,6 +223,18 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             return hits_for_term_ids(index,
                                      [int(t) for t in info["term_id"]])
         return S.regex_terms(index, p.pattern)
+    if isinstance(p, Q.Fuzzy):
+        if p.layer != "word":
+            raise ValueError("fuzzy matching supports the word layer "
+                             f"only, got layer {p.layer!r}")
+        info = index.expand_fuzzy(p.text, p.max_edits)
+        if info.empty:
+            return S.no_hits(index)
+        if index.cfg.store_positions:
+            from blacklab_spark.operators.hits import hits_for_term_ids
+            return hits_for_term_ids(index,
+                                     [int(t) for t in info["term_id"]])
+        return S.or_(*[S.term(index, t) for t in info["term"]])
     if isinstance(p, Q.AnyToken):
         return S.any_token(index, p.min_len, p.max_len)
     if isinstance(p, Q.Turn):
@@ -291,9 +314,18 @@ def _has_capture(p: Q.Pattern) -> bool:
 
 
 def find(index: InvertedIndex, cql: str) -> DataFrame:
-    """CQL-lite string → hits DataFrame (doc_id, start, end[, match_info])."""
-    ast = rewrite(parse(cql))
-    return _exec(index, ast)
+    """CQL-lite string → hits DataFrame (doc_id, start, end[, match_info]).
+
+    Leading ``@key=value`` settings (TextPatternSettings.java:17) are
+    honored: ``@max_hits=N`` caps the materialized hits (per-query
+    SearchSettings override)."""
+    from blacklab_spark.plans.parser import parse_with_settings
+    ast, settings = parse_with_settings(cql)
+    hits = _exec(index, rewrite(ast))
+    cap = settings.get("max_hits")
+    if cap is not None:
+        hits = hits.limit(int(cap))
+    return hits
 
 
 def explain(cql: str, index: InvertedIndex | None = None) -> str:
@@ -322,6 +354,11 @@ def explain(cql: str, index: InvertedIndex | None = None) -> str:
                              f"cf={choice[2][a][0]}, df={choice[2][a][1]}]")
                 lines.append(
                     f"seq {Q.pattern_str(node)} -> {desc}{extra}")
+            elif isinstance(node, Q.Fuzzy):
+                n = len(index.expand_fuzzy(node.text, node.max_edits))
+                lines.append(f"leaf {Q.pattern_str(node)} -> fuzzy "
+                             f"dictionary expansion ({n} terms) + "
+                             "postings decode")
             elif isinstance(node, (Q.Term, Q.Regex)):
                 layer = getattr(node, "layer", "word")
                 strat = ("postings block decode" if

@@ -29,24 +29,26 @@ from __future__ import annotations
 import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
-                                        Not, Or, Pattern, PosFilter, Regex,
-                                        Rep, Seq, Term, Turn)
+                                        Fuzzy, Not, Or, Pattern, PosFilter,
+                                        Regex, Rep, Seq, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
+        @[A-Za-z_][A-Za-z0-9_]*=[^\s]+ |  # @key=value settings
         "(?:[^"\\]|\\.)*"          |  # double-quoted
         '(?:[^'\\]|\\.)*'          |  # single-quoted
         \[\s*[A-Za-z_][A-Za-z0-9_]*\s*=\s*"[^"]*"\s*\] |  # [annot="..."]
         \[\s*\]                    |  # []
         <turn/>                    |
         \{\s*\d*\s*(?:,\s*\d*\s*)?\} |  # {m}, {m,}, {m,n}, {,n}
+        ~\d+                       |  # fuzzy postfix "word"~edits
         ::                         |  # global-constraint separator
         [A-Za-z_][A-Za-z0-9_]*:\(  |  # capture open (parenthesized)
         [A-Za-z_][A-Za-z0-9_]*:    |  # capture of the next atom
         !=                         |  # constraint inequality
         \(|\)|\||&|!|\*|\+|\?      |
         within|containing          |
-        [^\s()\[\]{}|&!*+?:'"]+        # bare word / regex (no quotes)
+        [^\s()\[\]{}|&!*+?:'"~]+       # bare word / regex (no quotes)
     )""", re.VERBOSE)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
@@ -69,16 +71,46 @@ def _lex(s: str) -> list[str]:
     return out
 
 
+def _fold_regex_literals(pat: str) -> str:
+    """Fold (lower + de-accent) only the LITERAL characters of a regex.
+
+    Lowercasing a whole pattern corrupts uppercase escapes — \\S→\\s,
+    \\D→\\d, \\W→\\w invert their meaning and \\p{L}→\\p{l} is an
+    invalid Java property — so escapes (and the {...} argument of
+    \\p/\\P) are copied verbatim; everything else is folded per-char
+    so literals compare against the folded @i dictionary. Case
+    matching of literals is additionally covered by (?iu) applied at
+    expansion time (index.expand_regex)."""
+    from blacklab_spark.tokenizer import py_fold_insensitive
+    out: list[str] = []
+    i, n = 0, len(pat)
+    while i < n:
+        ch = pat[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(pat[i:i + 2])
+            i += 2
+            if pat[i - 1] in "pP" and i < n and pat[i] == "{":
+                close = pat.find("}", i)
+                close = n - 1 if close < 0 else close
+                out.append(pat[i:close + 1])
+                i = close + 1
+        else:
+            out.append(py_fold_insensitive(ch))
+            i += 1
+    return "".join(out)
+
+
 def _word_pattern(text: str) -> Pattern:
     """Word-layer value → desensitized pattern: the @i dictionary is
     lowercased AND accent-folded (tokenizer v2), so query terms fold
     the same way — 'Café' must match the stored term 'cafe' (reference
     desensitizes query terms identically, DesensitizeFilter). Regex
-    patterns fold too: the fold table touches no regex metacharacters,
-    and literals must compare against folded dictionary entries."""
+    patterns fold only their literal runs (escape sequences kept
+    verbatim — see _fold_regex_literals)."""
     from blacklab_spark.tokenizer import py_fold_insensitive
-    folded = py_fold_insensitive(text)
-    return Regex(folded) if _META.search(folded) else Term(folded)
+    if _META.search(text):
+        return Regex(_fold_regex_literals(text))
+    return Term(py_fold_insensitive(text))
 
 
 class _Parser:
@@ -162,7 +194,16 @@ class _Parser:
         node = self.atom()
         while True:
             t = self.peek()
-            if t == "*":
+            if t is not None and t.startswith("~"):
+                # fuzzy term postfix (reference SpanFuzzyQuery.java:35;
+                # TextPatternFuzzy): only meaningful on a plain term
+                self.next()
+                if not isinstance(node, Term):
+                    raise ParseError(
+                        f"~{t[1:]} fuzzy postfix applies to a plain "
+                        f"term, got {node!r}")
+                node = Fuzzy(node.text, int(t[1:]), node.layer)
+            elif t == "*":
                 self.next()
                 node = Rep(node, 0, None)   # unbounded (cql.jj:415)
             elif t == "+":
@@ -199,6 +240,15 @@ class _Parser:
             layer, val = m.group(1), m.group(2)
             if layer == "word":
                 return _word_pattern(val)
+            # ci/di sensitivity pseudo-layers desensitize the value
+            # exactly like their token column (MatchSensitivity.java):
+            # [word_ci="Café"] probes lower(tokens_s) with "café".
+            if layer == "word_ci":
+                val = val.lower() if not _META.search(val) else val
+            elif layer == "word_di":
+                from blacklab_spark.tokenizer import py_fold_diacritics
+                if not _META.search(val):
+                    val = py_fold_diacritics(val)
             # non-word annotation layer ([pos="..."], cql.jj:631
             # attValuePair): values are layer-literal (no folding)
             return Regex(val, layer) if _META.search(val) \
@@ -229,13 +279,25 @@ class _Parser:
         return _word_pattern(t)
 
 
-def parse(query: str) -> Pattern:
-    """Parse a CQL-lite query string into a Pattern AST."""
+def parse_with_settings(query: str) -> tuple[Pattern, dict]:
+    """Parse a CQL-lite query, consuming leading ``@key=value``
+    settings tokens (reference: textpattern/TextPatternSettings.java:17
+    — per-query SearchSettings passthrough). Values parse as int when
+    they look like one. Returns (pattern, settings dict)."""
     toks = _lex(query)
+    settings: dict = {}
+    while toks and toks[0].startswith("@") and "=" in toks[0]:
+        k, v = toks.pop(0)[1:].split("=", 1)
+        settings[k] = int(v) if re.fullmatch(r"-?\d+", v) else v
     if not toks:
         raise ParseError("empty query")
     p = _Parser(toks)
     node = p.query()
     if p.peek() is not None:
         raise ParseError(f"trailing input: {p.toks[p.i:]}")
-    return node
+    return node, settings
+
+
+def parse(query: str) -> Pattern:
+    """Parse a CQL-lite query string into a Pattern AST."""
+    return parse_with_settings(query)[0]

@@ -28,6 +28,16 @@ class Regex(Pattern):         # TextPatternRegex
 
 
 @dataclass(frozen=True)
+class Fuzzy(Pattern):         # TextPatternFuzzy  "word"~edits
+    """Edit-distance term expansion (reference:
+    search/lucene/SpanFuzzyQuery.java:35): all dictionary terms within
+    ``max_edits`` Levenshtein edits of ``text``, OR-ed."""
+    text: str
+    max_edits: int = 1
+    layer: str = "word"
+
+
+@dataclass(frozen=True)
 class AnyToken(Pattern):      # TextPatternAnyToken  []{min,max}
     min_len: int = 1
     max_len: int | None = 1   # None = unbounded (clamped to doc length)
@@ -121,6 +131,8 @@ def pattern_str(p: Pattern) -> str:
     if isinstance(p, Regex):
         return f'/{p.pattern}/' if p.layer == "word" else \
             f'[{p.layer}=/{p.pattern}/]'
+    if isinstance(p, Fuzzy):
+        return f'"{p.text}"~{p.max_edits}'
     if isinstance(p, AnyToken):
         return f"[]{{{p.min_len},{_b(p.max_len)}}}"
     if isinstance(p, Seq):

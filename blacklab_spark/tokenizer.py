@@ -62,6 +62,20 @@ def py_fold_insensitive(text: str) -> str:
     return text.lower().translate(_PY_FOLD)
 
 
+def fold_diacritics(text: Column | str) -> Column:
+    """Accent-fold WITHOUT lowercasing — the ``di`` desensitizer
+    (diacritics-insensitive, case-sensitive; reference:
+    indexmetadata/MatchSensitivity.java:12-17). The fold table carries
+    both cases (É→E, é→e), so no lower() is needed."""
+    return F.translate(_col(text), FOLD_SRC, FOLD_DST)
+
+
+def py_fold_diacritics(text: str) -> str:
+    # _PY_FOLD maps both cases (É→E, é→e) and never lowercases —
+    # lower() is a separate step in py_fold_insensitive.
+    return text.translate(_PY_FOLD)
+
+
 def _py_runs(text: str) -> list[str]:
     """Maximal runs of Unicode L/M/N chars — the category-run
     definition of ``[\\p{L}\\p{M}\\p{N}]+`` without regex, identical

@@ -89,6 +89,53 @@ def test_explain(tiny_engine):
     assert "WAND" in s and "visa" in s
 
 
+def test_kwic_pushes_anchor_docs_into_scan(tiny_engine):
+    """A rare-term KWIC must read doc_meta only for the anchor's docs:
+    the hits' doc ids are pushed as a doc_id IN (...) parquet filter
+    (VERDICT r02 #2 'done' criterion — mirror of the CQL postings
+    plan assertion)."""
+    hits = tiny_engine.term_hits("visa")
+    df = tiny_engine.kwic(hits, context=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" in plan
+
+
+def test_facade_term_hits_uses_postings(tiny_engine):
+    """Unfiltered facade term_hits must ride the postings leaf, never
+    the doc_meta token-array probe (VERDICT r02 #2)."""
+    df = tiny_engine.term_hits("visa")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "postings" in plan and "doc_meta" not in plan
+
+
+def test_facade_term_hits_filtered_matches_probe(tiny_engine):
+    """Filtered postings-leaf hits ≡ filtered probe hits (dual path)."""
+    from blacklab_spark.operators.hits import term_hits
+    from pyspark.sql import functions as F
+    filt = F.col("role") == "assistant"
+    probe = sorted(map(tuple, term_hits(
+        tiny_engine.index, "visa", filt).collect()))
+    auto = sorted(map(tuple, tiny_engine.term_hits(
+        "visa", role="assistant").collect()))
+    assert probe == auto and probe
+
+
+def test_collocations_plan_uses_postings_anchor(tiny_engine):
+    """Collocations anchor via postings + pushed context fetch."""
+    df = tiny_engine.collocations("visa", window=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "postings" in plan and "In(doc_id" in plan
+
+
+def test_topk_meta_fetch_pushes_winner_ids(tiny_engine):
+    """finish_topk must fetch the k winners' text via a doc_id IN
+    (...) filter pushed into the doc_meta scan — not a broadcast join
+    against a full-table scan (VERDICT r02 #3 'done' criterion)."""
+    df = tiny_engine.topk("visa", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" in plan
+
+
 def test_window_hits_plan_take_ordered(tiny_engine):
     """Paging must compile to TakeOrderedAndProject (per-partition
     top-N, merged on the driver) — not a single-partition global
@@ -103,7 +150,7 @@ def test_wand_block_prune_reaches_parquet_scan(tiny_engine):
     """Single-term WAND: the max_score >= t0 block filter must land on
     the postings parquet scan (row-group pruning — pruned payloads are
     never materialized)."""
-    from blacklab_spark.operators.wand import topk_wand
-    df = topk_wand(tiny_engine.index, ["visa"], k=2)
+    from blacklab_spark.operators.wand import wand_scores
+    df = wand_scores(tiny_engine.index, ["visa"], k=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "max_score" in plan

@@ -46,6 +46,25 @@ def test_append_delta_and_merge_equals_compacted(spark, split_fixture):
     assert dse.n_docs == ceng.index.n_docs
 
 
+def test_delta_wand_equals_exhaustive(spark, split_fixture):
+    """Delta-engine block-pruned path ≡ exhaustive path, unfiltered
+    and filtered (VERDICT r02 #7 'done' criterion — the delta path now
+    carries the same dual-path guarantee as the main engine)."""
+    root, cfg, parts = split_fixture
+    append_delta(spark, f"{root}/main",
+                 spark.createDataFrame(parts["conv00001"]), cfg, "d1")
+    append_delta(spark, f"{root}/main",
+                 spark.createDataFrame(parts["conv00002"]), cfg, "d2")
+    dse = DeltaSearchEngine(spark, f"{root}/main")
+    for kw in ({}, {"role": "assistant"}):
+        w = [(r["doc_id"], round(r["score"], 9)) for r in
+             dse.topk(["visa", "good"], k=6, mode="wand", **kw).collect()]
+        e = [(r["doc_id"], round(r["score"], 9)) for r in
+             dse.topk(["visa", "good"], k=6, mode="exhaustive",
+                      **kw).collect()]
+        assert w == e and w
+
+
 def test_append_delta_idempotent(spark, split_fixture):
     root, cfg, parts = split_fixture
     p1 = append_delta(spark, f"{root}/main",
