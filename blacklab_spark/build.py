@@ -189,24 +189,32 @@ class IndexBuilder:
                 transcripts, ["conv_id", "turn_idx"], "doc_id", parts)
             # two sensitivity layers per annotation (BlackLab @i/@s,
             # SURVEY.md §1.1): `tokens` = lowercased (drives postings +
-            # BM25), `tokens_s` = original case. Format v5 default:
-            # the arrays are NOT stored — the stored text (content
-            # store) plus the frozen tokenizer expression IS the
-            # forward index (annotations.with_token_layers derives
-            # layers at read time). Storing them tripled the write
-            # volume of the build's largest stage (round-2 lineage:
-            # doc_meta 16.5s of 43s) for data parquet would mostly
-            # dictionary-encode anyway. cfg.store_token_arrays=True
-            # restores materialized arrays.
-            doc_meta = with_ids.withColumn(
-                "n_tokens", F.size(tokens_insensitive("text")).cast("int"))
+            # BM25), `tokens_s` = original case. Format v6 default
+            # stores ONLY `tokens` (see BuildConfig.store_token_arrays
+            # for the storage/probe-latency tradeoff); derived layers
+            # come from annotations.with_token_layers at read time.
+            mode = cfg.store_token_arrays
+            mode = {True: "all", False: "none"}.get(mode, mode)
             stored = []
-            if cfg.store_token_arrays:
+            if mode == "all":
                 from blacklab_spark.annotations import with_token_layers
-                doc_meta = with_token_layers(doc_meta, cfg.annotations)
+                doc_meta = with_token_layers(with_ids, cfg.annotations)
                 stored = ["tokens", "tokens_s"] + (
                     ["tokens_pos"] if "pos" in (cfg.annotations or ())
                     else [])
+            elif mode == "insensitive":
+                doc_meta = with_ids.withColumn(
+                    "tokens", tokens_insensitive("text"))
+                stored = ["tokens"]
+            else:
+                doc_meta = with_ids
+            if stored:
+                doc_meta = doc_meta.withColumn(
+                    "n_tokens", F.size("tokens").cast("int"))
+            else:
+                doc_meta = doc_meta.withColumn(
+                    "n_tokens",
+                    F.size(tokens_insensitive("text")).cast("int"))
             doc_meta = doc_meta.select(
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                 "n_tokens", *stored, "text")

@@ -63,7 +63,7 @@ def _build_fold_table() -> tuple[str, str]:
 FOLD_SRC, FOLD_DST = _build_fold_table()
 
 # Storage schema version for the index artifacts.
-INDEX_FORMAT_VERSION: int = 5
+INDEX_FORMAT_VERSION: int = 6
 
 
 @dataclass(frozen=True)
@@ -88,18 +88,25 @@ class BuildConfig:
     bucket_size: int = 8192
     # Store token positions in blocks (needed for phrase queries).
     store_positions: bool = True
-    # Materialize the token-array layers (tokens/tokens_s/tokens_pos)
-    # as physical doc_meta columns. Default False (format v5): the
-    # layers are DERIVED from the stored text at read time — the
-    # tokenizer is a deterministic JVM expression, so the content
-    # store IS the forward index and doc_meta's write drops the three
-    # array columns that dominated the build's largest stage. The
-    # reference instead stores term-id arrays (TokensCodec); in Spark
-    # that needs either a per-token invert shuffle or a broadcast
-    # dictionary, and parquet already dictionary-encodes — deriving
-    # is strictly cheaper. True restores materialized arrays (pay
-    # storage/write, save probe-time regex).
-    store_token_arrays: bool = False
+    # Which token-array layers are materialized as physical doc_meta
+    # columns ("none" | "insensitive" | "all"; bools accepted as
+    # legacy aliases for "all"/"none"). Default "insensitive"
+    # (format v6): store only `tokens` — the @i layer that drives
+    # every hot probe path (CQL default layer, phrase probe,
+    # collocations, repetition closure, FiSeq verify). Parquet
+    # dictionary-encodes the repeated strings, so on disk this is
+    # term-dictionary indexes + a per-row-group dict — effectively
+    # the reference's term-id tokens file (TokensCodec) without the
+    # per-token invert shuffle a real id assignment would need.
+    # Rarer layers (tokens_s/ci/di/pos) stay DERIVED from text at
+    # read time (annotations.with_token_layers; the tokenizer is a
+    # deterministic JVM expression, so derived ≡ stored).
+    # Format-v5 "none" (derive everything, content store IS the
+    # forward index) minimizes build write volume but re-tokenizes
+    # on every probe query — measured 3-12× probe-path latency at
+    # sf0.1; "insensitive" additionally tokenizes ONCE per build
+    # (SPIMI reads the stored array) instead of twice.
+    store_token_arrays: str | bool = "insensitive"
     # Derived annotation layers materialized at build time (pos costs
     # ~9% build throughput; disable for pure-BM25 corpora at scale).
     annotations: tuple = ("pos",)

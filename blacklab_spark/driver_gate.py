@@ -107,6 +107,32 @@ def multi_engine(spark: SparkSession) -> SearchEngine:
     return _ENGINES[key]
 
 
+def delta_engine(spark: SparkSession):
+    """Micro corpus split across main (conv00000) + two deltas — the
+    streaming query-time-merge gate corpus. Conversations are appended
+    in conv_id order, so global doc ids (local id + recorded offset)
+    equal the one-shot build's dense (conv_id, turn_idx) ids and the
+    oracle can score the full corpus directly."""
+    from blacklab_spark.streaming.ingest import (DeltaSearchEngine,
+                                                 append_delta)
+    ensure_shipped(spark)
+    key = "__delta__"
+    if key not in _ENGINES:
+        out = os.path.join(_idx_root(), "delta_main")
+        pdf = gen_transcripts_pandas("micro", seed=42)
+        cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
+        if not os.path.exists(os.path.join(out, "_index_meta.json")):
+            build_index(spark, spark.createDataFrame(
+                pdf[pdf.conv_id == "conv00000"], schema=TRANSCRIPT_SCHEMA),
+                out, cfg, resume=True)
+        for i, conv in enumerate(("conv00001", "conv00002")):
+            append_delta(spark, out, spark.createDataFrame(
+                pdf[pdf.conv_id == conv], schema=TRANSCRIPT_SCHEMA),
+                cfg, f"d{i}")
+        _ENGINES[key] = DeltaSearchEngine(spark, out)
+    return _ENGINES[key]
+
+
 # --------------------------------------------------------------------
 # Spark-side output shaping
 # --------------------------------------------------------------------
@@ -158,7 +184,7 @@ def with_conv(engine: SearchEngine, hits: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------
 # DuckDB oracle SQL builders
 # --------------------------------------------------------------------
-from blacklab_spark.tokenizer import duckdb_tokens_i
+from blacklab_spark.tokenizer import duckdb_tokens_ci, duckdb_tokens_i
 
 _DOC_TOKS = (f"toks AS (SELECT doc_id, {duckdb_tokens_i('text')} AS ts "
              "FROM documents)")
@@ -661,6 +687,73 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select("conv_id", "turn_idx",
                                            "start", "end")
 
+    # ---------------- round-3 gates ---------------------------------
+    def cql_fuzzy_term(spark, sf_dir):
+        """Edit-distance term expansion "spark"~1 (SpanFuzzyQuery
+        analog) — Levenshtein over the dictionary → postings decode."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '"spark"~1')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_and_same_span(spark, sf_dir):
+        """Same-span AND of two regex leaves (SpansAndSimple)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '"t.*" & ".*e"')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_and_not_span(spark, sf_dir):
+        """AND-NOT [t.* & !the] — anti-join, token complement never
+        materialized (SpanQueryAndNot rewrite)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '"t.*" & !"the"')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def hits_filter_by_length(spark, sf_dir):
+        """Variable-width hits filtered to length 3
+        (SpanQueryFilterByHitLength)."""
+        from blacklab_spark.operators import spans as SP
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = SP.filter_by_length(
+            find(eng.index, '"the" []{0,2} "table"'), 3, 3)
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def docs_group_of_groups(spark, sf_dir):
+        """Group-of-groups (DocGroups of DocGroups): docs-with-hits
+        grouped by source, then group-size histogram."""
+        eng = docs_engine(spark, sf_dir)
+        groups = (eng.index.doc_meta
+                  .filter(F.array_contains("tokens", "spark"))
+                  .groupBy(F.col("tool").alias("group_key"))
+                  .agg(F.count("*").alias("count")))
+        return (groups.groupBy(F.col("count").alias("group_size"))
+                .agg(F.count("*").alias("n_groups")))
+
+    def unicode_ci_sensitivity(spark, sf_dir):
+        """ci sensitivity: [word_ci="café"] matches café/Café but not
+        cafe (case-insensitive, accent-SENSITIVE —
+        MatchSensitivity.java:12-17)."""
+        eng = multi_engine(spark)
+        hits = eng.find('[word_ci="café"]')
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
+    def streaming_delta_topk(spark, sf_dir):
+        """BM25 over main + two deltas through the pruned delta path —
+        union stats make scores equal a one-shot build's, which is
+        exactly what the full-corpus oracle computes."""
+        dse = delta_engine(spark)
+        fetched = dse.topk(["visa"], k=200, mode="wand")
+        return _rounded_rank_cut(fetched, 5).select(
+            "rank", "doc_id", F.round("score", 4).alias("score"))
+
     from blacklab_spark.driver_gate_pipeline import pipeline_queries
     return {
         **pipeline_queries(),
@@ -698,6 +791,13 @@ def gate_queries() -> dict:
         "delete_tombstone_visibility": delete_tombstone_visibility,
         "unicode_term_frequencies": unicode_term_frequencies,
         "unicode_bm25_topk": unicode_bm25_topk,
+        "cql_fuzzy_term": cql_fuzzy_term,
+        "cql_and_same_span": cql_and_same_span,
+        "cql_and_not_span": cql_and_not_span,
+        "hits_filter_by_length": hits_filter_by_length,
+        "docs_group_of_groups": docs_group_of_groups,
+        "unicode_ci_sensitivity": unicode_ci_sensitivity,
+        "streaming_delta_topk": streaming_delta_topk,
     }
 
 
@@ -811,4 +911,61 @@ GROUP BY 1 ORDER BY count(*) DESC, tok
         "unicode_bm25_topk": bm25_micro_sql(["cafe"], 5, cte=multi_cte()),
         "delete_tombstone_visibility": bm25_micro_sql(
             ["visa"], 5, extra_where="AND d.conv_id != 'conv00000'"),
+        "cql_fuzzy_term": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos WHERE levenshtein(tok, 'spark') <= 1
+""",
+        "cql_and_same_span": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos WHERE regexp_full_match(tok, 't.*')
+          AND regexp_full_match(tok, '.*e')
+""",
+        "cql_and_not_span": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos WHERE regexp_full_match(tok, 't.*') AND tok != 'the'
+""",
+        "hits_filter_by_length": f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 3 AS INT) AS "end"
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 2
+WHERE a.tok = 'the' AND b.tok = 'table'
+""",
+        "docs_group_of_groups": f"""
+WITH {_DOC_TOKS},
+g AS (SELECT d.source, count(*) AS c
+      FROM documents d JOIN toks USING (doc_id)
+      WHERE list_contains(toks.ts, 'spark') GROUP BY 1)
+SELECT c AS group_size, count(*) AS n_groups FROM g GROUP BY 1
+""",
+        "unicode_ci_sensitivity": f"""
+WITH {multi_cte()},
+tci AS (SELECT doc_id, {duckdb_tokens_ci('text')} AS ts FROM tdocs),
+cpos AS (SELECT doc_id, unnest(ts) AS tok,
+                generate_subscripts(ts, 1) - 1 AS p FROM tci)
+SELECT d.conv_id, d.turn_idx, CAST(c.p AS INT) AS start,
+       CAST(c.p + 1 AS INT) AS "end"
+FROM cpos c JOIN tdocs d USING (doc_id)
+WHERE c.tok = 'café'
+""",
+        "streaming_delta_topk": f"""
+WITH {micro_cte()},
+dl AS (SELECT doc_id, len(ts) AS dl FROM ttoks),
+stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(ts) AS tok FROM ttoks)
+       WHERE tok IN ('visa') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT tf.doc_id, sum({_score_expr()}) AS score
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY tf.doc_id),
+topk AS (SELECT doc_id, score FROM scored
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 5)
+SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, round(score, 4) AS score
+FROM topk
+""",
     }

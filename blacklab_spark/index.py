@@ -82,8 +82,20 @@ class InvertedIndex:
     @property
     def has_deletes(self) -> bool:
         p = self.deletes_path
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p))
+        if "://" not in p or p.startswith("file:"):
+            lp = p.split("://", 1)[-1]
+            return os.path.isdir(lp) and any(
+                f.endswith(".parquet") for f in os.listdir(lp))
+        # remote index (hdfs://, s3a://, ...): os.path would silently
+        # report "no tombstones" and resurrect deleted docs — go
+        # through the Hadoop FileSystem API instead.
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        return any(st.getPath().getName().endswith(".parquet")
+                   for st in fs.listStatus(hpath))
 
     @property
     def deleted_doc_ids(self) -> DataFrame | None:

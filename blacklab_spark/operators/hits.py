@@ -256,19 +256,40 @@ def collocations(index: InvertedIndex, term: str, window: int = 10,
     """Token frequencies in ±window around hits of ``term``, hit token
     excluded (reference: search/results/Contexts.java:247-292).
 
-    Anchors via the postings leaf (term_hits_auto) and fetches context
-    token arrays only for the anchor's docs (push_hit_docs) — a
-    rare-term collocation never scans the corpus."""
-    hits = term_hits_auto(index, term, doc_filter)
-    dm = index.doc_meta.select("doc_id", "tokens")
-    dm = push_hit_docs(hits, dm)
-    pos = F.col("start")
+    Cost-based anchor (the context fetch needs token arrays either
+    way, so the choice is about avoiding a second pass + shuffle):
+
+    * rare term (df ≪ n_docs) → postings leaf + push the anchor's doc
+      ids into the doc_meta scan: reads only the anchor's row groups;
+    * hot term (df ≥ n_docs/4) → single-pass probe: most docs carry
+      the anchor anyway, and the probe finds positions and context in
+      the same row — no join, no second corpus pass."""
+    from blacklab_spark.tokenizer import py_fold_insensitive
+    folded = py_fold_insensitive(term)
+    hot = True
+    if index.cfg.store_positions:
+        info = index.lookup_terms([folded])
+        hot = (not info.empty
+               and int(info["df"].sum()) * 4 >= index.n_docs)
+    if hot:
+        dm = index.doc_meta
+        if doc_filter is not None:
+            dm = dm.filter(doc_filter)
+        j = (dm.filter(F.array_contains("tokens", folded))
+             .select("doc_id", "tokens",
+                     F.posexplode("tokens").alias("pos", "tok"))
+             .filter(F.col("tok") == folded))
+        pos = F.col("pos")
+    else:
+        hits = term_hits_auto(index, folded, doc_filter)
+        dm = push_hit_docs(hits, index.doc_meta.select("doc_id", "tokens"))
+        j = hits.join(dm, "doc_id")
+        pos = F.col("start")
     idxs = F.array_remove(
         F.sequence(F.greatest(F.lit(0), pos - window),
                    F.least(F.size("tokens") - 1, pos + window)),
         pos)
-    return (hits.join(dm, "doc_id")
-            .select(F.explode(idxs).alias("i"), "tokens")
+    return (j.select(F.explode(idxs).alias("i"), "tokens")
             .select(F.element_at("tokens", F.col("i") + 1).alias("term"))
             .groupBy("term").agg(F.count("*").alias("count")))
 

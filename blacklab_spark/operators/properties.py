@@ -103,10 +103,14 @@ def _is_textual(key: str) -> bool:
 
 
 def collation_key(c: Column) -> Column:
-    """Primary-strength collation surrogate: accent-folded string
-    (see module docstring)."""
-    from blacklab_spark.tokenizer import fold_insensitive
-    return fold_insensitive(c)
+    """TRUE ICU primary-strength collation via Spark 4 collated
+    strings: UNICODE_CI_AI = root collator, case- and accent-
+    insensitive — the reference's insensitive sort-position order
+    (forwardindex/Terms.java:34-69 collator sort positions). Handles
+    the multi-char folds (ß/œ) the round-2 fold-table surrogate
+    documented as unsupported. Callers pair this with the raw column
+    as tiebreak for determinism."""
+    return F.collate(c, "UNICODE_CI_AI")
 
 
 def _parse_keys(spec: str) -> list[tuple[str, bool]]:

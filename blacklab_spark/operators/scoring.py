@@ -163,13 +163,35 @@ def doc_scores(index: InvertedIndex, terms: list[str],
     return scores
 
 
-def finish_topk(index: InvertedIndex, scores: DataFrame, k: int) -> DataFrame:
+# Above this corpus size the winners' metadata is fetched via a
+# collected doc_id IN-list (row-group pruning); below it the one-job
+# lazy broadcast join is cheaper (Spark job latency dominates a scan
+# this small).
+TOPK_PUSHDOWN_MIN_DOCS = 10_000_000
+
+
+def finish_topk(index: InvertedIndex, scores: DataFrame, k: int,
+                pushdown: bool | None = None) -> DataFrame:
     """orderBy+limit (TakeOrderedAndProject) → fetch the ≤k winners'
-    metadata with ``doc_id IN (...)`` pushed into the doc_meta scan →
-    rank. The winners are collected to the driver (bounded by k): a
-    broadcast join would still read every row group of doc_meta just
-    to print k rows; the IN-list prunes row groups via parquet
-    min/max stats (the _fiseq anchor pattern, VERDICT r02 #4)."""
+    metadata → rank.
+
+    At scale (``pushdown``, auto above TOPK_PUSHDOWN_MIN_DOCS docs)
+    the winners are collected (bounded by k) and their ids pushed into
+    the doc_meta scan as ``doc_id IN (...)``: a broadcast join would
+    still read every row group of doc_meta just to print k rows; the
+    IN-list prunes row groups via parquet min/max stats (the _fiseq
+    anchor pattern, VERDICT r02 #4). Small corpora keep the
+    single-job lazy broadcast join — one fewer Spark job round-trip."""
+    if pushdown is None:
+        pushdown = index.n_docs >= TOPK_PUSHDOWN_MIN_DOCS
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    if not pushdown:
+        topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        meta = index.doc_meta.select("doc_id", "conv_id", "turn_idx", "text")
+        out = F.broadcast(topk).join(meta, "doc_id")
+        return (out.withColumn("rank", F.row_number().over(w).cast("int"))
+                .select("rank", "doc_id", "conv_id", "turn_idx", "score",
+                        "text"))
     top = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     if not top:
         return index.spark.createDataFrame([], TOPK_SCHEMA)
@@ -180,7 +202,6 @@ def finish_topk(index: InvertedIndex, scores: DataFrame, k: int) -> DataFrame:
             .filter(F.col("doc_id").isin([int(r["doc_id"]) for r in top]))
             .select("doc_id", "conv_id", "turn_idx", "text"))
     out = F.broadcast(winners).join(meta, "doc_id")
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (out.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("rank", "doc_id", "conv_id", "turn_idx", "score", "text"))
 

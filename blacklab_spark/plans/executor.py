@@ -260,6 +260,16 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
     if isinstance(p, Q.Or):
         return S.or_(*[_exec(index, c) for c in p.clauses])
     if isinstance(p, Q.And):
+        # AND(A,..,!C,..) → ANDNOT(AND(positives), C..): anti-join the
+        # negatives instead of materializing the token complement
+        # (reference AndNot rewrites, SpanQueryAndNot.java:34+)
+        pos = [c for c in p.clauses if not isinstance(c, Q.Not)]
+        neg = [c.clause for c in p.clauses if isinstance(c, Q.Not)]
+        if pos and neg:
+            out = S.and_(*[_exec(index, c) for c in pos])
+            for nc in neg:
+                out = S.and_not(out, _exec(index, nc))
+            return out
         return S.and_(*[_exec(index, c) for c in p.clauses])
     if isinstance(p, Q.Not):
         return S.not_(index, _exec(index, p.clause))

@@ -112,3 +112,10 @@ DUCKDB_TOKENS_I = ("regexp_extract_all(translate(lower({col}), "
 
 def duckdb_tokens_i(col: str) -> str:
     return DUCKDB_TOKENS_I.format(col=col)
+
+
+def duckdb_tokens_ci(col: str) -> str:
+    """DuckDB mirror of the ci layer: sensitive tokenization, then
+    lower each token (= Spark transform(tokens_s, lower))."""
+    return ("list_transform(regexp_extract_all(" + col +
+            ", '[\\p{L}\\p{M}\\p{N}]+'), t -> lower(t))")

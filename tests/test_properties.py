@@ -185,3 +185,21 @@ def test_context_property_key(tiny_engine, tiny_oracle):
         toks = tiny_oracle.tokens[d]
         lo = max(0, s - 2)
         assert ctx == " ".join(toks[lo:s + 1 + 2])
+
+
+def test_collation_icu_multichar_folds(spark):
+    """TRUE ICU collation (round-3): ß ≡ ss and œ ≡ oe at primary
+    strength — the multi-char folds the round-2 translate-table
+    surrogate documented as unsupported."""
+    from pyspark.sql import functions as F
+
+    from blacklab_spark.operators.properties import collation_key
+    df = spark.createDataFrame(
+        [("Straße",), ("strasse",), ("strasze",),
+         ("œuf",), ("oeuf",), ("ozz",)], "w string")
+    out = [r.w for r in df.orderBy(collation_key(F.col("w")),
+                                   F.col("w")).collect()]
+    assert abs(out.index("Straße") - out.index("strasse")) == 1
+    assert abs(out.index("œuf") - out.index("oeuf")) == 1
+    assert out.index("œuf") < out.index("ozz")
+    assert out.index("strasse") < out.index("strasze")

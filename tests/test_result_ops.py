@@ -121,19 +121,51 @@ def test_facade_term_hits_filtered_matches_probe(tiny_engine):
 
 
 def test_collocations_plan_uses_postings_anchor(tiny_engine):
-    """Collocations anchor via postings + pushed context fetch."""
-    df = tiny_engine.collocations("visa", window=5)
+    """RARE-term collocations anchor via postings + pushed context
+    fetch (hot terms take the single-pass probe — cost-based)."""
+    from pyspark.sql import functions as F
+    hapax = (tiny_engine.index.terms.filter(F.col("df") == 1)
+             .orderBy("term_id").limit(1).collect()[0]["term"])
+    df = tiny_engine.collocations(hapax, window=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "postings" in plan and "In(doc_id" in plan
+    assert "postings" in plan
+    # a 1-element IN-list folds to EqualTo — either form is the
+    # pushed anchor-doc filter
+    assert "In(doc_id" in plan or "EqualTo(doc_id" in plan
+    # dual path: probe-style brute equals the postings path
+    from blacklab_spark.operators import hits as H
+    brute = (tiny_engine.index.doc_meta
+             .filter(F.array_contains("tokens", hapax))
+             .select("doc_id", "tokens",
+                     F.posexplode("tokens").alias("pos", "tok"))
+             .filter(F.col("tok") == hapax))
+    idxs = F.array_remove(
+        F.sequence(F.greatest(F.lit(0), F.col("pos") - 5),
+                   F.least(F.size("tokens") - 1, F.col("pos") + 5)),
+        F.col("pos"))
+    expected = sorted(map(tuple, brute
+                          .select(F.explode(idxs).alias("i"), "tokens")
+                          .select(F.element_at("tokens", F.col("i") + 1)
+                                  .alias("term"))
+                          .groupBy("term").count().collect()))
+    got = sorted((r["term"], r["count"]) for r in df.collect())
+    assert got == expected and got
 
 
 def test_topk_meta_fetch_pushes_winner_ids(tiny_engine):
-    """finish_topk must fetch the k winners' text via a doc_id IN
-    (...) filter pushed into the doc_meta scan — not a broadcast join
-    against a full-table scan (VERDICT r02 #3 'done' criterion)."""
-    df = tiny_engine.topk("visa", k=5)
+    """finish_topk at scale must fetch the k winners' text via a
+    doc_id IN (...) filter pushed into the doc_meta scan — not a
+    broadcast join against a full-table scan (VERDICT r02 #3 'done'
+    criterion). Forced here (auto kicks in above 10M docs); result
+    must equal the small-corpus lazy path."""
+    from blacklab_spark.operators.scoring import doc_scores, finish_topk
+    scores = doc_scores(tiny_engine.index, ["visa"])
+    df = finish_topk(tiny_engine.index, scores, 5, pushdown=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "In(doc_id" in plan
+    lazy = finish_topk(tiny_engine.index, scores, 5, pushdown=False)
+    assert [tuple(r) for r in df.collect()] == \
+        [tuple(r) for r in lazy.collect()]
 
 
 def test_window_hits_plan_take_ordered(tiny_engine):
