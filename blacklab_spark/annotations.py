@@ -37,7 +37,17 @@ ANNOTATION_COLUMNS = {
     "word_ci": "tokens_ci",  # lower(tokens_s): accent-sensitive
     "word_di": "tokens_di",  # fold(tokens_s): case-sensitive
     "pos": "tokens_pos",
+    "lemma": "tokens_lemma",  # MULTI-VALUE: array of values per pos
 }
+
+#: layers whose column is array<array<string>> — multiple values per
+#: token position, the reference's position-increment-0 model
+#: (AnnotationWriter.java:233-311: addValue(value, posIncrement=0)
+#: stacks values on one position; a payload flag marks ONE value
+#: primary). Here: element 0 is the primary value (drives display),
+#: the rest are searchable secondaries. A query value matches a
+#: position iff ANY stacked value equals it.
+MULTI_VALUE_LAYERS = {"lemma"}
 
 
 def pos_tag(tok: Column) -> Column:
@@ -54,6 +64,35 @@ def tokens_pos(tokens_col: Column | str) -> Column:
     """Derive the pos layer from the insensitive token array."""
     col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     return F.transform(col, pos_tag)
+
+
+def lemma_stem(tok: Column) -> Column:
+    """Deterministic suffix-strip stem of one insensitive token — the
+    synthetic 'ambiguous lemma' generator (same role the synthetic pos
+    tagger plays): a pure per-token function identical in Spark SQL,
+    DuckDB and Python. -ing (len>5), -ed (len>4), -s (len>3, not -ss)."""
+    return (F.when((F.length(tok) > 5) & tok.endswith("ing"),
+                   tok.substr(F.lit(1), F.length(tok) - 3))
+            .when((F.length(tok) > 4) & tok.endswith("ed"),
+                  tok.substr(F.lit(1), F.length(tok) - 2))
+            .when((F.length(tok) > 3) & tok.endswith("s")
+                  & ~tok.endswith("ss"),
+                  tok.substr(F.lit(1), F.length(tok) - 1))
+            .otherwise(tok))
+
+
+def lemma_values(tok: Column) -> Column:
+    """Stacked values for one position: [token] when the stem is the
+    token itself, else [token, stem] — token is the primary value."""
+    stem = lemma_stem(tok)
+    return F.when(stem == tok, F.array(tok)).otherwise(F.array(tok, stem))
+
+
+def tokens_lemma(tokens_col: Column | str) -> Column:
+    """Derive the multi-value lemma layer (array<array<string>>) from
+    the insensitive token array."""
+    col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.transform(col, lemma_values)
 
 
 def with_token_layers(df, annotations: tuple = ()):
@@ -79,6 +118,12 @@ def with_token_layers(df, annotations: tuple = ()):
                            F.transform("tokens_s", fold_diacritics))
     if "pos" in (annotations or ()) and "tokens_pos" not in df.columns:
         df = df.withColumn("tokens_pos", tokens_pos("tokens"))
+    # lemma is always derived (never stored), like ci/di: a transform
+    # over the insensitive layer, pruned unless a query probes it —
+    # so it is available on every index regardless of build-time
+    # `annotations` and needs no format/manifest change.
+    if "tokens_lemma" not in df.columns:
+        df = df.withColumn("tokens_lemma", tokens_lemma("tokens"))
     return df
 
 
@@ -91,6 +136,30 @@ def py_pos_tag(tok: str) -> str:
     if tok.endswith("ing") or tok.endswith("ed"):
         return "verb"
     return "noun"
+
+
+def py_lemma_stem(tok: str) -> str:
+    """Pure-Python mirror of lemma_stem (oracle)."""
+    if len(tok) > 5 and tok.endswith("ing"):
+        return tok[:-3]
+    if len(tok) > 4 and tok.endswith("ed"):
+        return tok[:-2]
+    if len(tok) > 3 and tok.endswith("s") and not tok.endswith("ss"):
+        return tok[:-1]
+    return tok
+
+
+def duckdb_lemma_stem(tok: str = "tok") -> str:
+    """DuckDB CASE expression mirroring lemma_stem over a token
+    column expression ``tok`` — identical rules."""
+    return (f"CASE WHEN len({tok}) > 5 AND {tok} LIKE '%ing' "
+            f"THEN substr({tok}, 1, len({tok}) - 3) "
+            f"WHEN len({tok}) > 4 AND {tok} LIKE '%ed' "
+            f"THEN substr({tok}, 1, len({tok}) - 2) "
+            f"WHEN len({tok}) > 3 AND {tok} LIKE '%s' "
+            f"AND {tok} NOT LIKE '%ss' "
+            f"THEN substr({tok}, 1, len({tok}) - 1) "
+            f"ELSE {tok} END")
 
 
 def duckdb_pos_tags(ts: str) -> str:

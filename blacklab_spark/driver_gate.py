@@ -251,6 +251,20 @@ def _transcript_cte(pdf) -> str:
     )
 
 
+def _lemma_multivalue_sql() -> str:
+    """Oracle for the multi-value lemma gate: a position matches iff
+    the literal token OR its deterministic stem equals the query value
+    (mirrors annotations.lemma_values stacking)."""
+    from blacklab_spark.annotations import duckdb_lemma_stem
+    return f"""
+WITH {multi_cte()}
+SELECT d.conv_id, d.turn_idx, CAST(t.p AS INT) AS start,
+       CAST(t.p + 1 AS INT) AS "end"
+FROM tpos t JOIN tdocs d USING (doc_id)
+WHERE t.tok = 'tre' OR {duckdb_lemma_stem('t.tok')} = 'tre'
+"""
+
+
 def bm25_micro_sql(terms: list[str], k: int = 10, role: str | None = None,
                    cte: str | None = None,
                    extra_where: str = "") -> str:
@@ -745,6 +759,27 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select("conv_id", "turn_idx",
                                            "start", "end")
 
+    def cql_lemma_multivalue(spark, sf_dir):
+        """Multi-value annotation layer (position-increment-0 model,
+        AnnotationWriter.java:233-311): [lemma="tre"] matches every
+        position whose stacked values contain 'tre' — i.e. the literal
+        token 'tre' OR any token stemming to it ('tres' ← très)."""
+        eng = multi_engine(spark)
+        hits = eng.find('[lemma="tre"]')
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
+    def hits_sample_deterministic(spark, sf_dir):
+        """Content-deterministic seeded sample of term hits — md5 of
+        (seed|doc_id|start|end) under fraction 0.25; same formula in
+        the oracle, so the exact subset matches."""
+        from blacklab_spark.operators.hits import sample_hits_deterministic
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = with_conv(eng, find(eng.index, '"the"')).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+        return sample_hits_deterministic(hits, 0.25, seed=7)
+
     def streaming_delta_topk(spark, sf_dir):
         """BM25 over main + two deltas through the pruned delta path —
         union stats make scores equal a one-shot build's, which is
@@ -797,6 +832,8 @@ def gate_queries() -> dict:
         "hits_filter_by_length": hits_filter_by_length,
         "docs_group_of_groups": docs_group_of_groups,
         "unicode_ci_sensitivity": unicode_ci_sensitivity,
+        "cql_lemma_multivalue": cql_lemma_multivalue,
+        "hits_sample_deterministic": hits_sample_deterministic,
         "streaming_delta_topk": streaming_delta_topk,
     }
 
@@ -949,6 +986,15 @@ SELECT d.conv_id, d.turn_idx, CAST(c.p AS INT) AS start,
        CAST(c.p + 1 AS INT) AS "end"
 FROM cpos c JOIN tdocs d USING (doc_id)
 WHERE c.tok = 'café'
+""",
+        "cql_lemma_multivalue": _lemma_multivalue_sql(),
+        "hits_sample_deterministic": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos
+WHERE tok = 'the'
+  AND substr(md5(concat_ws('|', '7', doc_id, p, p + 1)), 1, 8)
+      < '40000000'
 """,
         "streaming_delta_topk": f"""
 WITH {micro_cte()},

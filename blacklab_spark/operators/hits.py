@@ -300,6 +300,27 @@ def sample_hits(hits: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return hits.sample(fraction=fraction, seed=seed)
 
 
+def sample_hits_deterministic(hits: DataFrame, fraction: float,
+                              seed: int = 42,
+                              cols: tuple = ("doc_id", "start", "end")) \
+        -> DataFrame:
+    """Content-deterministic sample: keep a hit iff the md5 of its
+    identity (seed|doc_id|start|end) falls below ``fraction`` of the
+    hash space. Unlike ``df.sample`` (partition-order-dependent RNG
+    sequence) the selection depends only on hit identity, so it is
+    reproducible across cluster sizes, repartitions and engines — the
+    property reference HitsSample(seed) provides via a fixed hit
+    ordering (HitsAbstract.java:213-270), reformulated hash-first so
+    no global order is needed. Pure JVM exprs; the same formula runs
+    in DuckDB (gate: hits_sample_deterministic)."""
+    width = 8
+    thresh = format(min(16 ** width, int(fraction * 16 ** width)),
+                    f"0{width}x")
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)),
+                            *[F.col(c) for c in cols]))
+    return hits.filter(F.substring(key, 1, width) < F.lit(thresh))
+
+
 def window_hits(hits: DataFrame, first: int, size: int,
                 order_cols: list[str] = ("doc_id", "start")) -> DataFrame:
     """Paging window with deterministic order (HitsAbstract.java:157-204).

@@ -46,6 +46,16 @@ def annot_term(index: InvertedIndex, layer: str, text: str) -> DataFrame:
         raise ValueError(
             f"annotation layer {layer!r} was not materialized in this "
             f"index (built with annotations={index.cfg.annotations!r})")
+    from blacklab_spark.annotations import MULTI_VALUE_LAYERS
+    if layer in MULTI_VALUE_LAYERS:
+        # multi-value layer (position-increment-0 model): a position
+        # matches iff ANY stacked value equals the query value.
+        return (dm.filter(F.exists(
+                    col, lambda vals: F.array_contains(vals, text)))
+                .select("doc_id", F.posexplode(col).alias("start", "vals"))
+                .filter(F.array_contains("vals", text))
+                .select("doc_id", F.col("start").cast("int"),
+                        (F.col("start") + 1).cast("int").alias("end")))
     return (dm.filter(F.array_contains(col, text))
             .select("doc_id", F.posexplode(col).alias("start", "tok"))
             .filter(F.col("tok") == text)
@@ -64,8 +74,15 @@ def annot_regex(index: InvertedIndex, layer: str, pattern: str) -> DataFrame:
         raise ValueError(
             f"annotation layer {layer!r} was not materialized in this "
             f"index (built with annotations={index.cfg.annotations!r})")
+    from blacklab_spark.annotations import MULTI_VALUE_LAYERS
+    rx = f"^(?:{pattern})$"
+    if layer in MULTI_VALUE_LAYERS:
+        return (dm.select("doc_id", F.posexplode(col).alias("start", "vals"))
+                .filter(F.exists("vals", lambda v: v.rlike(rx)))
+                .select("doc_id", F.col("start").cast("int"),
+                        (F.col("start") + 1).cast("int").alias("end")))
     return (dm.select("doc_id", F.posexplode(col).alias("start", "tok"))
-            .filter(F.col("tok").rlike(f"^(?:{pattern})$"))
+            .filter(F.col("tok").rlike(rx))
             .select("doc_id", F.col("start").cast("int"),
                     (F.col("start") + 1).cast("int").alias("end")))
 

@@ -97,12 +97,21 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
     j = anchor.join(dm, "doc_id")
     start0 = F.col("start") - a
     j = j.filter((start0 >= 0) & (start0 + n <= F.col("n_tokens")))
+    from blacklab_spark.annotations import MULTI_VALUE_LAYERS
     for i, c in enumerate(clauses):
         if i == a:
             continue
-        col = ANNOTATION_COLUMNS[getattr(c, "layer", "word")]
+        layer = getattr(c, "layer", "word")
+        col = ANNOTATION_COLUMNS[layer]
         tok = F.try_element_at(col, (start0 + i + 1).cast("int"))
-        if isinstance(c, Q.Term):
+        if layer in MULTI_VALUE_LAYERS:
+            # stacked values: verify = ANY value matches
+            if isinstance(c, Q.Term):
+                j = j.filter(F.array_contains(tok, c.text))
+            else:
+                rx = f"(?iu)^(?:{c.pattern})$"
+                j = j.filter(F.exists(tok, lambda v: v.rlike(rx)))
+        elif isinstance(c, Q.Term):
             j = j.filter(tok == c.text)
         else:
             j = j.filter(tok.rlike(f"(?iu)^(?:{c.pattern})$"))
@@ -302,11 +311,22 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                 raise ValueError(
                     f"unknown annotation {side[1]!r} in constraint "
                     f"(supported: {sorted(ANNOTATION_COLUMNS)})")
+        from blacklab_spark.annotations import MULTI_VALUE_LAYERS
         lcol = ANNOTATION_COLUMNS[p.lhs[1]]
         rcol = ANNOTATION_COLUMNS[p.rhs[1]]
         lhs = S.capture_token(p.lhs[0], column=lcol)
         rhs = S.capture_token(p.rhs[0], column=rcol)
-        pred = (lhs == rhs) if p.op == "=" else (lhs != rhs)
+        lmulti = p.lhs[1] in MULTI_VALUE_LAYERS
+        rmulti = p.rhs[1] in MULTI_VALUE_LAYERS
+        if lmulti and rmulti:
+            # stacked-value layers: equality = any value in common
+            eq = F.arrays_overlap(lhs, rhs)
+        elif lmulti or rmulti:
+            eq = (F.array_contains(lhs, rhs) if lmulti
+                  else F.array_contains(rhs, lhs))
+        else:
+            eq = lhs == rhs
+        pred = eq if p.op == "=" else ~eq
         return S.constrained(index, hits, pred,
                              columns=tuple(sorted({lcol, rcol})))
     raise ValueError(f"unsupported pattern node: {p!r}")

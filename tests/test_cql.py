@@ -287,7 +287,7 @@ def test_constraint_errors(idx):
     with pytest.raises(ValueError):
         find(idx, '"the" "cat" :: A.word = B.word')   # no captures
     with pytest.raises(ValueError):
-        find(idx, "A:[] B:[] :: A.lemma = B.lemma")   # unknown annotation
+        find(idx, "A:[] B:[] :: A.xpos = B.xpos")   # unknown annotation
 
 
 # ---------------- round-2: annotation layers (pos) -------------------
@@ -352,7 +352,84 @@ def test_constraint_on_pos_layer(idx, tiny_oracle):
 
 def test_unknown_layer_raises(idx):
     with pytest.raises(ValueError):
-        find(idx, '[lemma="run"]')
+        find(idx, '[xpos="run"]')
+
+
+# ---------------- round-3: multi-value lemma layer -------------------
+@pytest.fixture(scope="module")
+def lemma_engine(spark, tmp_path_factory):
+    """Tiny ad-hoc corpus with stemmable tokens — the multi-value
+    (position-increment-0) layer fixture."""
+    import pandas as pd
+
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    rows = [("c0", 0, "user", "run runs the missed kiss", None),
+            ("c0", 1, "assistant", "trained train training brings bring",
+             None),
+            ("c1", 0, "user", "training the train ring rings", None)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool"])
+    pdf["ts"] = pd.Timestamp("2026-01-01")
+    out = str(tmp_path_factory.mktemp("lemma") / "idx")
+    build_index(spark, spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA),
+                out, BuildConfig(block_size=8, bucket_size=8,
+                                 num_partitions=2))
+    return SearchEngine.open(spark, out)
+
+
+def _py_lemma_hits(texts, value):
+    from blacklab_spark.annotations import py_lemma_stem
+    from blacklab_spark.tokenizer import py_tokens_insensitive
+    out = []
+    for d, text in enumerate(texts):
+        for p, t in enumerate(py_tokens_insensitive(text)):
+            if t == value or py_lemma_stem(t) == value:
+                out.append((d, p, p + 1))
+    return sorted(out)
+
+
+def test_lemma_multivalue_term(lemma_engine):
+    """[lemma="train"] matches train, trains, trained, training — any
+    stacked value (position-increment-0 model,
+    AnnotationWriter.java:233-311)."""
+    texts = ["run runs the missed kiss",
+             "trained train training brings bring",
+             "training the train ring rings"]
+    got = hits_of(lemma_engine.find('[lemma="train"]'))
+    assert got == _py_lemma_hits(texts, "train") and len(got) == 5
+    assert len(hits_of(lemma_engine.find('[lemma="run"]'))) == 2
+    # 'kiss' must NOT stem to 'kis' (the -ss guard); 'missed' stems
+    # to 'miss', not 'misse'
+    assert hits_of(lemma_engine.find('[lemma="kis"]')) == []
+    assert len(hits_of(lemma_engine.find('[lemma="miss"]'))) == 1
+
+
+def test_lemma_in_sequence_both_paths(lemma_engine, monkeypatch):
+    """word + lemma mixed sequence: FiSeq verify (array_contains over
+    stacked values) ≡ generic join path."""
+    from blacklab_spark.plans import executor as E
+    q = '"the" [lemma="train"]'
+    monkeypatch.setattr(E, "FI_MATCH_FACTOR", 0)
+    fiseq = hits_of(lemma_engine.find(q))
+    monkeypatch.setattr(E, "FI_MATCH_FACTOR", 10 ** 18)
+    generic = hits_of(lemma_engine.find(q))
+    # "the train" (doc2); doc0's "the missed" must NOT match
+    assert fiseq == generic == [(2, 1, 3)]
+
+
+def test_lemma_constraint_overlap(lemma_engine):
+    """A:[] B:[] :: A.lemma = B.lemma — stacked-value equality is
+    ANY-overlap: 'trained train' share lemma 'train'."""
+    got = hits_of(lemma_engine.find("A:[] B:[] :: A.lemma = B.lemma"))
+    # doc1: trained|train, train|training, brings|bring; doc2:
+    # ring|rings
+    assert (1, 0, 2) in got and (1, 1, 3) in got and (1, 3, 5) in got
+    assert (2, 3, 5) in got
+    # 'the missed' shares nothing
+    assert (0, 2, 4) not in got
 
 
 # ---------------- round-2 review regressions -------------------------

@@ -84,6 +84,23 @@ def test_sample_hits_deterministic(tiny_engine):
     assert a == b
 
 
+def test_sample_hits_content_deterministic(tiny_engine):
+    """Hash-based sample: identical subset regardless of partitioning
+    (df.sample's RNG sequence is partition-dependent; this is not)."""
+    from blacklab_spark.operators.hits import sample_hits_deterministic
+    hits = tiny_engine.term_hits("the").select("doc_id", "start", "end")
+    a = sorted(map(tuple, sample_hits_deterministic(
+        hits, 0.5, seed=7).collect()))
+    b = sorted(map(tuple, sample_hits_deterministic(
+        hits.repartition(13), 0.5, seed=7).collect()))
+    assert a == b and a
+    n_all = hits.count()
+    assert 0.25 * n_all < len(a) < 0.75 * n_all
+    c = sorted(map(tuple, sample_hits_deterministic(
+        hits, 0.5, seed=8).collect()))
+    assert c != a  # seed changes the subset
+
+
 def test_explain(tiny_engine):
     s = tiny_engine.explain(["visa"])
     assert "WAND" in s and "visa" in s
