@@ -104,27 +104,34 @@ def with_token_layers(df, annotations: tuple = ()):
     from blacklab_spark.tokenizer import (fold_diacritics,
                                           tokens_insensitive,
                                           tokens_sensitive)
+    # One withColumns call = ONE Project node: chained withColumn
+    # builds six nested Projects that every downstream analysis pass
+    # re-walks per query — measurable driver latency on a serving
+    # engine (~0.1s/action at 6 layers, r3 profiling).
+    derived: dict[str, Column] = {}
     if "tokens" not in df.columns:
-        df = df.withColumn("tokens", tokens_insensitive("text"))
+        derived["tokens"] = tokens_insensitive("text")
     if "tokens_s" not in df.columns:
-        df = df.withColumn("tokens_s", tokens_sensitive("text"))
+        derived["tokens_s"] = tokens_sensitive("text")
+    tokens_s = (F.col("tokens_s") if "tokens_s" in df.columns
+                else derived.get("tokens_s"))
+    tokens_i = (F.col("tokens") if "tokens" in df.columns
+                else derived.get("tokens"))
     # ci/di are always derived (never stored): one transform() over
     # the sensitive layer each, pruned away unless a query probes them
     if "tokens_ci" not in df.columns:
-        df = df.withColumn("tokens_ci",
-                           F.transform("tokens_s", F.lower))
+        derived["tokens_ci"] = F.transform(tokens_s, F.lower)
     if "tokens_di" not in df.columns:
-        df = df.withColumn("tokens_di",
-                           F.transform("tokens_s", fold_diacritics))
+        derived["tokens_di"] = F.transform(tokens_s, fold_diacritics)
     if "pos" in (annotations or ()) and "tokens_pos" not in df.columns:
-        df = df.withColumn("tokens_pos", tokens_pos("tokens"))
+        derived["tokens_pos"] = tokens_pos(tokens_i)
     # lemma is always derived (never stored), like ci/di: a transform
     # over the insensitive layer, pruned unless a query probes it —
     # so it is available on every index regardless of build-time
     # `annotations` and needs no format/manifest change.
     if "tokens_lemma" not in df.columns:
-        df = df.withColumn("tokens_lemma", tokens_lemma("tokens"))
-    return df
+        derived["tokens_lemma"] = tokens_lemma(tokens_i)
+    return df.withColumns(derived) if derived else df
 
 
 def py_pos_tag(tok: str) -> str:

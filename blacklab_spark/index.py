@@ -46,11 +46,22 @@ class InvertedIndex:
         # several times (cost choice, execution, explain) — each was a
         # separate Spark job before.
         self._term_cache: dict = {}
+        # memoized artifact DataFrame HANDLES: spark.read.parquet +
+        # with_token_layers cost ~0.3-0.5s of driver/analysis time per
+        # access (measured r3), and a serving engine touches doc_meta
+        # on every query. Artifacts are immutable per index path; the
+        # only mutable state is the tombstone directory, so doc_meta's
+        # entry is keyed on its file listing and refreshes when a
+        # delete lands.
+        self._df_cache: dict = {}
 
     # Lazy DataFrames over the artifacts -------------------------------
     @property
     def terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "terms"))
+        if "terms" not in self._df_cache:
+            self._df_cache["terms"] = self.spark.read.parquet(
+                os.path.join(self.path, "terms"))
+        return self._df_cache["terms"]
 
     @property
     def doc_meta(self) -> DataFrame:
@@ -59,33 +70,43 @@ class InvertedIndex:
         stale until compaction — reference: IndexTool delete /
         Lucene deletes, tools/.../IndexTool.java:65).
 
-        Format v5: the token-array layers are DERIVED columns over the
-        stored text (the content store is the forward index —
-        annotations.with_token_layers); Catalyst prunes them when a
+        Format v6: only the @i token array is stored; the other
+        layers are DERIVED columns over the stored text/tokens
+        (annotations.with_token_layers); Catalyst prunes them when a
         query never selects them, so metadata-only reads stay
-        array-free. Pre-v5 indexes have the arrays materialized and
+        array-free. Pre-v6 indexes have the arrays materialized and
         read them as plain columns."""
         from blacklab_spark.annotations import with_token_layers
-        dm = self.spark.read.parquet(os.path.join(self.path, "doc_meta"))
-        dm = with_token_layers(dm, self.cfg.annotations)
-        return self.without_deleted(dm)
+        key = ("doc_meta", self._tombstone_listing())
+        if key not in self._df_cache:
+            dm = self.spark.read.parquet(
+                os.path.join(self.path, "doc_meta"))
+            dm = with_token_layers(dm, self.cfg.annotations)
+            self._df_cache[key] = self.without_deleted(dm)
+        return self._df_cache[key]
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        if "postings" not in self._df_cache:
+            self._df_cache["postings"] = self.spark.read.parquet(
+                os.path.join(self.path, "postings"))
+        return self._df_cache["postings"]
 
     # -- deletes (tombstones) ------------------------------------------
     @property
     def deletes_path(self) -> str:
         return os.path.join(self.path, "_deletes")
 
-    @property
-    def has_deletes(self) -> bool:
+    def _tombstone_listing(self) -> tuple:
+        """Sorted tombstone parquet file names — the mutable part of
+        an otherwise-immutable index, used as the doc_meta cache key."""
         p = self.deletes_path
         if "://" not in p or p.startswith("file:"):
             lp = p.split("://", 1)[-1]
-            return os.path.isdir(lp) and any(
-                f.endswith(".parquet") for f in os.listdir(lp))
+            if not os.path.isdir(lp):
+                return ()
+            return tuple(sorted(f for f in os.listdir(lp)
+                                if f.endswith(".parquet")))
         # remote index (hdfs://, s3a://, ...): os.path would silently
         # report "no tombstones" and resurrect deleted docs — go
         # through the Hadoop FileSystem API instead.
@@ -93,9 +114,14 @@ class InvertedIndex:
         hpath = jvm.org.apache.hadoop.fs.Path(p)
         fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         if not fs.exists(hpath):
-            return False
-        return any(st.getPath().getName().endswith(".parquet")
-                   for st in fs.listStatus(hpath))
+            return ()
+        return tuple(sorted(st.getPath().getName()
+                            for st in fs.listStatus(hpath)
+                            if st.getPath().getName().endswith(".parquet")))
+
+    @property
+    def has_deletes(self) -> bool:
+        return bool(self._tombstone_listing())
 
     @property
     def deleted_doc_ids(self) -> DataFrame | None:
