@@ -399,6 +399,32 @@ FROM ppos WHERE tag = '{tag}'
 """
 
 
+def rel_adjacent_sql(tag_a: str, tag_b: str, start_off: int,
+                     end_off: int, target_word: str | None = None) -> str:
+    """Oracle for the adjacency-rule relation grammar
+    (operators/relations.py): edges where pos[p]=tag_a and
+    pos[p+1]=tag_b, reported as [p+start_off, p+end_off). With
+    ``target_word`` the edge's target token (at p+1) must equal it —
+    the ``[] -type-> "word"`` operand join."""
+    from blacklab_spark.annotations import duckdb_pos_tags
+    word_join = word_cond = ""
+    if target_word is not None:
+        word_join = ("JOIN pos w ON w.doc_id = a.doc_id "
+                     "AND w.p = a.p + 1")
+        word_cond = f"AND w.tok = '{target_word}'"
+    return f"""
+WITH {_DOC_POS},
+posl AS (SELECT doc_id, {duckdb_pos_tags('ts')} AS ps FROM toks),
+ppos AS (SELECT doc_id, unnest(ps) AS tag,
+                generate_subscripts(ps, 1) - 1 AS p FROM posl)
+SELECT a.doc_id, CAST(a.p + {start_off} AS INT) AS start,
+       CAST(a.p + {end_off} AS INT) AS "end"
+FROM ppos a JOIN ppos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+{word_join}
+WHERE a.tag = '{tag_a}' AND b.tag = '{tag_b}' {word_cond}
+"""
+
+
 def pos_word_seq_sql(tag: str, word: str) -> str:
     from blacklab_spark.annotations import duckdb_pos_tags
     return f"""
@@ -538,6 +564,33 @@ def gate_queries() -> dict:
         hits = find(eng.index, '[pos="func"] "table"')
         return with_conv(eng, hits).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def relations_det_target(spark, sf_dir):
+        """Typed relation spans (SpanQueryRelations.java:34 analog):
+        det edges of the derived dependency layer, reported at the
+        TARGET span (RelationInfo.SpanMode)."""
+        eng = docs_engine(spark, sf_dir)
+        rels = eng.relations("det", span_mode="target")
+        return with_conv(eng, rels.select("doc_id", "start", "end")) \
+            .select(_orig_doc_id(), F.col("start"), F.col("end"))
+
+    def relations_backward_source(spark, sf_dir):
+        """Direction filter: BACKWARD relations (nn compound edges
+        point from the head noun back to its modifier), reported at
+        the SOURCE span (SpanQueryRelations.Direction.BACKWARD)."""
+        eng = docs_engine(spark, sf_dir)
+        rels = eng.relations(direction="backward", span_mode="source")
+        return with_conv(eng, rels.select("doc_id", "start", "end")) \
+            .select(_orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_relation_between(spark, sf_dir):
+        """CQL relation operator ``[] -det-> "table"`` — relations
+        whose source/target match the operand patterns, full relation
+        span (SpanQueryCaptureRelationsBetweenSpans analog)."""
+        eng = docs_engine(spark, sf_dir)
+        hits = eng.find('[] -det-> "table"')
+        return with_conv(eng, hits.select("doc_id", "start", "end")) \
+            .select(_orig_doc_id(), F.col("start"), F.col("end"))
 
     def cql_constraint_samewords(spark, sf_dir):
         """Global constraint ``A:[] B:[] :: A.word = B.word`` —
@@ -807,6 +860,9 @@ def gate_queries() -> dict:
         "cql_regex_postings": cql_regex_postings,
         "cql_constraint_samewords": cql_constraint_samewords,
         "cql_pos_layer": cql_pos_layer,
+        "relations_det_target": relations_det_target,
+        "relations_backward_source": relations_backward_source,
+        "cql_relation_between": cql_relation_between,
         "cql_pos_word_sequence": cql_pos_word_sequence,
         "cql_or_terms": cql_or_terms,
         "cql_not_token": cql_not_token,
@@ -862,6 +918,12 @@ FROM pos a JOIN pos b
   ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.tok = b.tok
 """,
         "cql_pos_layer": pos_layer_sql("func"),
+        # relation gates: det target span [p+1,p+2); nsubj source span
+        # (the verb) [p+1,p+2); det full span [p,p+2) with target word
+        "relations_det_target": rel_adjacent_sql("func", "noun", 1, 2),
+        "relations_backward_source": rel_adjacent_sql("noun", "noun", 1, 2),
+        "cql_relation_between": rel_adjacent_sql("func", "noun", 0, 2,
+                                                 target_word="table"),
         "cql_pos_word_sequence": pos_word_seq_sql("func", "table"),
         "cql_or_terms": f"""
 WITH {_DOC_POS}

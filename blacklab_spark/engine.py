@@ -135,6 +135,24 @@ class SearchEngine:
             hits = hits.join(allowed, "doc_id", "left_semi")
         return hits
 
+    # -- relations (dependency layer) -----------------------------------
+    def relations(self, rel_type: str | None = None,
+                  direction: str = "both", span_mode: str = "source",
+                  **filters) -> DataFrame:
+        """Typed relation spans (SpanQueryRelations.java:34 analog);
+        see operators/relations.py for the derived dependency layer."""
+        from blacklab_spark.operators import relations as R
+        return R.relations(self.index, rel_type, direction, span_mode,
+                           self._doc_filter(**filters))
+
+    def relations_within(self, container_cql: str,
+                         rel_type: str | None = None) -> DataFrame:
+        """Relations inside spans of a CQL container query
+        (SpansCaptureRelationsWithinSpan analog)."""
+        from blacklab_spark.operators import relations as R
+        rels = R.relations(self.index, rel_type)
+        return R.relations_within_span(rels, self.find(container_cql))
+
     # -- result ops (thin delegates) ------------------------------------
     def kwic(self, hits: DataFrame, context: int = H.DEFAULT_CONTEXT):
         return H.kwic(self.index, hits, context)

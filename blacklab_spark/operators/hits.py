@@ -128,11 +128,19 @@ def term_hits_auto(index: InvertedIndex, term: str,
     layer or positionless index → forward-index probe (the only path
     that can compare original-case tokens).
 
+    Hot terms (df·4 ≥ n_docs, the collocations rule) keep the probe
+    even when postings exist: most docs carry the term anyway, so the
+    JVM-side posexplode beats shipping millions of decoded positions
+    through the Arrow kernel.
+
     Same df-based physical choice the CQL executor makes for its
     leaves (plans/executor.py _exec Term case; VERDICT r02 #2)."""
     if sensitivity != "i" or not index.cfg.store_positions:
         return term_hits(index, term, doc_filter, sensitivity)
     from blacklab_spark.tokenizer import py_fold_insensitive
+    info = index.lookup_terms([py_fold_insensitive(term)])
+    if not info.empty and int(info["df"].sum()) * 4 >= index.n_docs:
+        return term_hits(index, term, doc_filter, sensitivity)
     hits = term_hits_via_postings(index, py_fold_insensitive(term))
     if doc_filter is not None:
         allowed = index.doc_meta.filter(doc_filter).select("doc_id")
@@ -152,13 +160,19 @@ def push_hit_docs(hits: DataFrame, dm: DataFrame,
     ``doc_id IN (...)`` — the _fiseq anchor pattern: a rare-term
     context fetch then reads only the anchor's row groups instead of
     broadcast-joining against a full-table scan. Falls back to the
-    plain scan (join prunes rows, not row groups) when the doc set
+    plain scan (join prunes rows, not row groups) when the HIT count
     exceeds the driver-collect bound. Costs one extra bounded job over
-    the hits plan (CollectLimit — stops early once max_docs+1 ids are
-    seen)."""
-    ids = [r[0] for r in hits.select("doc_id").distinct()
-           .limit(max_docs + 1).collect()]
-    if len(ids) <= max_docs:
+    the hits plan — deliberately a non-distinct limit: CollectLimit
+    over raw hits short-circuits after max_docs+1 ROWS (a hot-term
+    frame stops after its first partition), where a distinct() would
+    force a full scan + shuffle of the very frame we are trying not
+    to scan. A rare term's hits all fit under the bound and dedupe
+    driver-side; a ≤max_docs-doc set hiding under >max_docs hits just
+    falls back to the plain join — the bound is a heuristic, not a
+    semantic."""
+    rows = hits.select("doc_id").limit(max_docs + 1).collect()
+    if len(rows) <= max_docs:
+        ids = list({r[0] for r in rows})
         return dm.filter(F.col("doc_id").isin(ids))
     return dm
 
@@ -193,7 +207,7 @@ def group_hits_by_context_word(index: InvertedIndex, hits: DataFrame,
     offset>0 → after-hit, offset<0 → before-hit. Hits that have no such
     token (doc edge) group under NULL, then are dropped (reference
     groups them under an empty context)."""
-    dm = index.doc_meta.select("doc_id", "tokens")
+    dm = push_hit_docs(hits, index.doc_meta.select("doc_id", "tokens"))
     j = hits.join(dm, "doc_id")
     idx = (F.col("end") + offset) if offset > 0 else (F.col("start") + 1 + offset)
     # guard idx >= 1: negative element_at indexes from the array END
@@ -207,7 +221,7 @@ def group_hits_by_context_word(index: InvertedIndex, hits: DataFrame,
 def group_hits_by_doc_field(index: InvertedIndex, hits: DataFrame,
                             field: str) -> DataFrame:
     """Group hits by a per-doc metadata field (HitPropertyDocumentStoredField)."""
-    dm = index.doc_meta.select("doc_id", field)
+    dm = push_hit_docs(hits, index.doc_meta.select("doc_id", field))
     return (hits.join(dm, "doc_id")
             .groupBy(F.col(field).alias("group_key"))
             .agg(F.count("*").alias("count")))

@@ -1,0 +1,196 @@
+"""Relation (dependency) queries — SpanQueryRelations and friends
+re-expressed as DataFrame algebra (reference:
+search/lucene/SpanQueryRelations.java:34 — typed relation spans with a
+direction filter and a span mode; SpansRelationSpanAdjust.java:24 —
+re-report a relation hit as its source/target/full span;
+SpansCaptureRelationsWithinSpan.java:30 — capture relations inside a
+container span).
+
+The reference indexes relations as payloads on a ``_relation``
+annotation (RelationInfo.java:30: type + source span + target span,
+root relations have no source). Columnar equivalent: a derived
+``(doc_id, rel_type, src_start, src_end, tgt_start, tgt_end)`` frame.
+
+The transcript corpus has no gold dependency layer, so the edges come
+from a DETERMINISTIC synthetic grammar over the synthetic ``pos``
+layer — the same stand-in pattern as the pos tagger itself
+(annotations.py): adjacency rules expressible identically in Spark
+SQL, DuckDB SQL and Python, which is what makes the machinery
+gate-checkable. A real parser's edge table drops in as a stored
+relations artifact with the same schema.
+
+Synthetic grammar (all spans are [start, end) token intervals):
+
+* ``det``   — pos[i]=func, pos[i+1]=noun → source [i,i+1) → target
+  [i+1,i+2) (forward)
+* ``obj``   — pos[i]=verb, pos[i+1]=noun → source [i,i+1) → target
+  [i+1,i+2) (forward)
+* ``nn``    — pos[i]=noun, pos[i+1]=noun → source [i+1,i+2) (the
+  second noun is the head, UD-compound style) → target [i,i+1): a
+  BACKWARD relation
+* ``nsubj`` — pos[i]=noun, pos[i+1]=verb → source [i+1,i+2) (the
+  verb) → target [i,i+1): BACKWARD
+* ``root``  — every non-empty doc has one root relation with no
+  source, target [0,1) (SpanQueryRelations Direction.ROOT: "relations
+  without a source ... indexed at the target")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from blacklab_spark.index import InvertedIndex
+
+#: span modes (RelationInfo.SpanMode analog)
+SPAN_MODES = ("source", "target", "full")
+#: direction filters (SpanQueryRelations.Direction)
+DIRECTIONS = ("root", "forward", "backward", "both")
+
+_EDGE_FIELDS = ("rel_type", "src_start", "src_end", "tgt_start",
+                "tgt_end")
+
+
+def _edge(typ, s0, s1, t0, t1) -> Column:
+    def _c(v):
+        return F.lit(v).cast("int") if v is None or isinstance(v, int) \
+            else v.cast("int")
+    return F.struct(F.lit(typ).alias("rel_type"),
+                    _c(s0).alias("src_start"), _c(s1).alias("src_end"),
+                    _c(t0).alias("tgt_start"), _c(t1).alias("tgt_end"))
+
+
+def doc_relations(index: InvertedIndex) -> DataFrame:
+    """All relation edges, one row per edge — derived JVM-side from
+    the pos layer with higher-order array functions (no shuffle, no
+    Python: the per-doc edge array is built inside the projection and
+    exploded).
+
+    Requires the ``pos`` annotation layer (same materialization check
+    as the executor's layer leaves)."""
+    dm = index.doc_meta
+    if "tokens_pos" not in dm.columns:
+        raise ValueError(
+            "relations require the 'pos' annotation layer; this index "
+            "was built without it (BuildConfig.annotations)")
+    pos = F.col("tokens_pos")
+    n = F.size(pos)
+    pairs = F.when(n >= 2, F.sequence(F.lit(0), n - 2)) \
+        .otherwise(F.array().cast("array<int>"))
+
+    def adj(a: str, b: str) -> Column:
+        # positions i with pos[i]=a and pos[i+1]=b (element_at is
+        # 1-based)
+        return F.filter(pairs, lambda i:
+                        (F.element_at(pos, i + 1) == a)
+                        & (F.element_at(pos, i + 2) == b))
+
+    det = F.transform(adj("func", "noun"),
+                      lambda i: _edge("det", i, i + 1, i + 1, i + 2))
+    obj = F.transform(adj("verb", "noun"),
+                      lambda i: _edge("obj", i, i + 1, i + 1, i + 2))
+    nn = F.transform(adj("noun", "noun"),
+                     lambda i: _edge("nn", i + 1, i + 2, i, i + 1))
+    nsubj = F.transform(adj("noun", "verb"),
+                        lambda i: _edge("nsubj", i + 1, i + 2, i, i + 1))
+    root = F.when(n >= 1, F.array(_edge("root", None, None, 0, 1))) \
+        .otherwise(F.array().cast(
+            "array<struct<rel_type:string,src_start:int,src_end:int,"
+            "tgt_start:int,tgt_end:int>>"))
+    edges = F.concat(det, obj, nn, nsubj, root)
+    return (dm.select("doc_id", F.explode(edges).alias("e"))
+            .select("doc_id", *[F.col(f"e.{f}") for f in _EDGE_FIELDS]))
+
+
+def span_mode_cols(span_mode: str) -> tuple[Column, Column]:
+    """(start, end) of a relation row under a span mode. Root
+    relations have no source and are reported at the target in every
+    mode (SpanQueryRelations.createGuarantees comment: 'Root relations
+    don't have a source and are indexed at the target')."""
+    if span_mode == "source":
+        return (F.coalesce("src_start", "tgt_start"),
+                F.coalesce("src_end", "tgt_end"))
+    if span_mode == "target":
+        return F.col("tgt_start"), F.col("tgt_end")
+    if span_mode == "full":
+        return (F.least(F.coalesce("src_start", "tgt_start"), "tgt_start"),
+                F.greatest(F.coalesce("src_end", "tgt_end"), "tgt_end"))
+    raise ValueError(f"unknown span mode {span_mode!r} "
+                     f"(expected one of {SPAN_MODES})")
+
+
+def relations(index: InvertedIndex, rel_type: str | None = None,
+              direction: str = "both", span_mode: str = "source",
+              doc_filter: Column | None = None) -> DataFrame:
+    """Relation spans matching a type regex + direction, reported
+    under ``span_mode`` (SpanQueryRelations.java:34; the type is
+    matched as a regex like the reference's RegexpQuery over relation
+    terms). Output: (doc_id, start, end, rel_type, src_start, src_end,
+    tgt_start, tgt_end) — the relation operands ride along as match
+    info (RelationInfo analog)."""
+    if direction not in DIRECTIONS:
+        raise ValueError(f"unknown direction {direction!r} "
+                         f"(expected one of {DIRECTIONS})")
+    r = doc_relations(index)
+    if doc_filter is not None:
+        allowed = index.doc_meta.filter(doc_filter).select("doc_id")
+        r = r.join(allowed, "doc_id", "left_semi")
+    if rel_type is not None:
+        # full-match semantics like Lucene RegexpQuery
+        r = r.filter(F.col("rel_type").rlike(f"^(?:{rel_type})$"))
+    if direction == "root":
+        r = r.filter(F.col("src_start").isNull())
+    elif direction == "forward":
+        # target occurs at/after the source (root has no source →
+        # counts as forward-sorted per the reference's guarantee)
+        r = r.filter(F.col("src_start").isNull()
+                     | (F.col("tgt_start") >= F.col("src_start")))
+    elif direction == "backward":
+        r = r.filter(F.col("src_start").isNotNull()
+                     & (F.col("tgt_start") < F.col("src_start")))
+    start, end = span_mode_cols(span_mode)
+    return r.select("doc_id", start.cast("int").alias("start"),
+                    end.cast("int").alias("end"), *_EDGE_FIELDS)
+
+
+def rel_span_adjust(rels: DataFrame, span_mode: str) -> DataFrame:
+    """Re-report relation hits under another span mode
+    (SpanQueryRelationSpanAdjust.java:21 / rspan())."""
+    start, end = span_mode_cols(span_mode)
+    return rels.select("doc_id", start.cast("int").alias("start"),
+                       end.cast("int").alias("end"), *_EDGE_FIELDS)
+
+
+def relations_within_span(rels: DataFrame,
+                          containers: DataFrame) -> DataFrame:
+    """Relations whose FULL span lies inside a container hit
+    (SpansCaptureRelationsWithinSpan.java:30 — e.g. all relations
+    within a sentence/turn span). Range equi-join on doc_id; the
+    container span rides along as (c_start, c_end)."""
+    full = rel_span_adjust(rels, "full")
+    c = containers.select("doc_id",
+                          F.col("start").alias("c_start"),
+                          F.col("end").alias("c_end"))
+    return (full.join(c, "doc_id")
+            .filter((F.col("start") >= F.col("c_start"))
+                    & (F.col("end") <= F.col("c_end")))
+            .select("doc_id", "start", "end", *_EDGE_FIELDS,
+                    "c_start", "c_end"))
+
+
+def relations_between(index: InvertedIndex, source_hits: DataFrame,
+                      target_hits: DataFrame,
+                      rel_type: str | None = None) -> DataFrame:
+    """Relations whose source span matches a source hit and target
+    span matches a target hit (SpansCaptureRelationsBetweenSpans.java
+    — the alignment-query primitive; the CQL ``A -type-> B`` operator
+    executes through this). Equi-joins on (doc_id, exact span) keep it
+    shuffle-partitioned on doc_id; the reported hit is the FULL
+    relation span with both operands as match info."""
+    r = relations(index, rel_type, span_mode="full")
+    s = source_hits.select("doc_id", F.col("start").alias("src_start"),
+                           F.col("end").alias("src_end"))
+    t = target_hits.select("doc_id", F.col("start").alias("tgt_start"),
+                           F.col("end").alias("tgt_end"))
+    return (r.join(s, ["doc_id", "src_start", "src_end"])
+            .join(t, ["doc_id", "tgt_start", "tgt_end"])
+            .select("doc_id", "start", "end", *_EDGE_FIELDS))

@@ -329,6 +329,15 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         pred = eq if p.op == "=" else ~eq
         return S.constrained(index, hits, pred,
                              columns=tuple(sorted({lcol, rcol})))
+    if isinstance(p, Q.RelMatch):
+        # source -type-> target: relations of the type whose source
+        # span matches a source hit and target span matches a target
+        # hit (SpanQueryCaptureRelationsBetweenSpans analog). The hit
+        # is the FULL relation span; both operand spans ride along.
+        from blacklab_spark.operators.relations import relations_between
+        src = _exec(index, p.source).select("doc_id", "start", "end")
+        tgt = _exec(index, p.target).select("doc_id", "start", "end")
+        return relations_between(index, src, tgt, p.rel_type)
     raise ValueError(f"unsupported pattern node: {p!r}")
 
 

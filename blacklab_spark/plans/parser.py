@@ -30,7 +30,7 @@ import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
                                         Fuzzy, Not, Or, Pattern, PosFilter,
-                                        Regex, Rep, Seq, Term, Turn)
+                                        Regex, RelMatch, Rep, Seq, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -130,8 +130,20 @@ class _Parser:
 
     # query := constrained
     # constrained := posfiltered ('::' constraint)?   (cql.jj:157)
+    # relation operator token: -type-> (type may be a regex alternation
+    # like -det|obj->; reference BCQL relation operator, matched as a
+    # RegexpQuery over relation types)
+    _REL_OP = re.compile(r"^-([A-Za-z_][A-Za-z0-9_.*|?]*)->$")
+
     def query(self) -> Pattern:
         left = self.posfiltered()
+        t = self.peek()
+        m = self._REL_OP.match(t) if t else None
+        if m:
+            # source -type-> target (SpanQueryCaptureRelationsBetween-
+            # Spans analog). Top-level only, like the :: constraint.
+            self.next()
+            left = RelMatch(left, m.group(1), self.posfiltered())
         if self.peek() == "::":
             self.next()
             left = Constrained(left, *self.constraint())
@@ -180,7 +192,8 @@ class _Parser:
     def seq(self) -> Pattern:
         clauses = [self.unary()]
         while self.peek() is not None and self.peek() not in (
-                ")", "within", "containing", "|", "&", "::"):
+                ")", "within", "containing", "|", "&", "::") \
+                and not self._REL_OP.match(self.peek()):
             clauses.append(self.unary())
         return clauses[0] if len(clauses) == 1 else Seq(*clauses)
 

@@ -114,6 +114,18 @@ class Constrained(Pattern):   # TextPatternConstrained  A:[] B:[] :: A.word = B.
 
 
 @dataclass(frozen=True)
+class RelMatch(Pattern):      # source -type-> target
+    """Relation operator ``source -type-> target`` (reference:
+    SpanQueryCaptureRelationsBetweenSpans.java — relations of a type
+    whose source span matches the left clause and target span matches
+    the right clause; type is a regex like the reference's
+    RegexpQuery rewrite). Top-level only in v1 (like Constrained)."""
+    source: Pattern
+    rel_type: str
+    target: Pattern
+
+
+@dataclass(frozen=True)
 class Turn(Pattern):
     """Whole-turn span ``<turn/>`` — the structural analog of the
     reference's ``<u/>`` inline tag (turns are rows here, SURVEY §1.4)."""
@@ -157,6 +169,9 @@ def pattern_str(p: Pattern) -> str:
     if isinstance(p, Constrained):
         return (f"CONSTRAINED({pattern_str(p.clause)} :: "
                 f"{p.lhs[0]}.{p.lhs[1]} {p.op} {p.rhs[0]}.{p.rhs[1]})")
+    if isinstance(p, RelMatch):
+        return (f"REL({pattern_str(p.source)} -{p.rel_type}-> "
+                f"{pattern_str(p.target)})")
     if isinstance(p, Turn):
         return "<turn/>"
     return repr(p)

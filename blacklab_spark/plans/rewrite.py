@@ -17,7 +17,7 @@ import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
                                         Expand, Not, Or, Pattern, PosFilter,
-                                        Regex, Rep, Seq, Term, Turn)
+                                        Regex, RelMatch, Rep, Seq, Term, Turn)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
@@ -50,6 +50,8 @@ def _map_children(p: Pattern, fn) -> Pattern:
         return Capture(fn(p.clause), p.name)
     if isinstance(p, Constrained):
         return Constrained(fn(p.clause), p.lhs, p.op, p.rhs)
+    if isinstance(p, RelMatch):
+        return RelMatch(fn(p.source), p.rel_type, fn(p.target))
     return p
 
 

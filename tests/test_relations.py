@@ -1,0 +1,127 @@
+"""Relation (dependency) queries — operators/relations.py vs an
+independent pure-Python derivation of the same synthetic grammar
+(the cross-engine identity pattern used for the pos/lemma layers)."""
+
+from __future__ import annotations
+
+import pytest
+
+from blacklab_spark.annotations import py_pos_tag
+from blacklab_spark.operators.relations import (doc_relations, relations,
+                                                rel_span_adjust,
+                                                relations_between,
+                                                relations_within_span)
+
+
+def py_edges(tokens: list[str]) -> list[tuple]:
+    """(rel_type, src_start, src_end, tgt_start, tgt_end) — the
+    synthetic grammar, independently in Python."""
+    pos = [py_pos_tag(t) for t in tokens]
+    out = []
+    for i in range(len(pos) - 1):
+        if pos[i] == "func" and pos[i + 1] == "noun":
+            out.append(("det", i, i + 1, i + 1, i + 2))
+        if pos[i] == "verb" and pos[i + 1] == "noun":
+            out.append(("obj", i, i + 1, i + 1, i + 2))
+        if pos[i] == "noun" and pos[i + 1] == "noun":
+            out.append(("nn", i + 1, i + 2, i, i + 1))
+        if pos[i] == "noun" and pos[i + 1] == "verb":
+            out.append(("nsubj", i + 1, i + 2, i, i + 1))
+    if pos:
+        out.append(("root", None, None, 0, 1))
+    return out
+
+
+@pytest.fixture(scope="module")
+def expected_edges(tiny_engine):
+    rows = tiny_engine.index.doc_meta.select("doc_id", "tokens").collect()
+    return {
+        (r["doc_id"], *e) for r in rows for e in py_edges(r["tokens"])
+    }
+
+
+def test_doc_relations_matches_python_oracle(tiny_engine, expected_edges):
+    got = {tuple(r) for r in doc_relations(tiny_engine.index).collect()}
+    assert got == expected_edges and got
+
+
+def test_relations_direction_filters(tiny_engine, expected_edges):
+    idx = tiny_engine.index
+    # root: exactly one per non-empty doc, reported at the target
+    n_docs_nonempty = len({d for d, *_ in expected_edges})
+    rows = relations(idx, direction="root").collect()
+    assert len(rows) == n_docs_nonempty
+    assert all(r["start"] == 0 and r["end"] == 1
+               and r["src_start"] is None for r in rows)
+    # backward: exactly the head-last edges (nn; nsubj when the
+    # corpus has verbs)
+    back = relations(idx, direction="backward").collect()
+    assert back and all(r["rel_type"] in ("nn", "nsubj") for r in back)
+    # forward ∪ backward = both; root ⊂ forward
+    both = relations(idx, direction="both").count()
+    fwd = relations(idx, direction="forward").count()
+    assert fwd + len(back) == both
+
+
+def test_relations_type_regex_and_span_modes(tiny_engine, expected_edges):
+    idx = tiny_engine.index
+    det = {(r["doc_id"], r["start"], r["end"])
+           for r in relations(idx, "det", span_mode="target").collect()}
+    exp = {(d, t0, t1) for (d, ty, s0, s1, t0, t1) in expected_edges
+           if ty == "det"}
+    assert det == exp and det
+    # regex alternation + full span
+    full = relations(idx, "det|obj", span_mode="full")
+    assert all(r["end"] - r["start"] == 2 for r in full.collect())
+    # span adjust round-trip: source-mode spans re-adjusted to target
+    src = relations(idx, "nn", span_mode="source")
+    tgt = {tuple(r) for r in
+           rel_span_adjust(src, "target").collect()}
+    assert tgt and tgt == {tuple(r) for r in
+                           relations(idx, "nn",
+                                     span_mode="target").collect()}
+
+
+def test_relations_within_span(tiny_engine):
+    idx = tiny_engine.index
+    rels = relations(idx, "det")
+    within = relations_within_span(rels, tiny_engine.find("<turn/>"))
+    # every det relation lies inside its whole-turn span
+    assert within.count() == rels.count()
+    assert all(r["c_start"] <= r["start"] and r["end"] <= r["c_end"]
+               for r in within.limit(50).collect())
+
+
+def test_cql_relation_operator(tiny_engine, expected_edges):
+    """[pos="func"] -det-> [pos="noun"] ≡ all det edges (operands
+    match the grammar's own conditions), full-span hits."""
+    hits = {(r["doc_id"], r["start"], r["end"])
+            for r in tiny_engine.find(
+                '[pos="func"] -det-> [pos="noun"]').collect()}
+    exp = {(d, s0, t1) for (d, ty, s0, s1, t0, t1) in expected_edges
+           if ty == "det"}
+    assert hits == exp and hits
+    # narrowing the target narrows the result
+    sub = tiny_engine.find('[] -det-> "visa"')
+    assert 0 < sub.count() <= len(exp)
+
+
+def test_relations_between_root_never_matches_source(tiny_engine):
+    """Root relations have no source span: the between-spans join can
+    never produce them (NULL join keys)."""
+    idx = tiny_engine.index
+    any_hits = tiny_engine.find("[]")
+    out = relations_between(idx, any_hits, any_hits, "root")
+    assert out.count() == 0
+
+
+def test_relations_requires_pos_layer(spark, tiny_pdf, tmp_path_factory):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    out = str(tmp_path_factory.mktemp("idx") / "nopos")
+    build_index(spark, spark.createDataFrame(tiny_pdf), out,
+                BuildConfig(annotations=(), num_partitions=2))
+    eng = SearchEngine.open(spark, out)
+    with pytest.raises(ValueError, match="pos"):
+        eng.relations("det").count()

@@ -118,9 +118,16 @@ def test_kwic_pushes_anchor_docs_into_scan(tiny_engine):
 
 
 def test_facade_term_hits_uses_postings(tiny_engine):
-    """Unfiltered facade term_hits must ride the postings leaf, never
-    the doc_meta token-array probe (VERDICT r02 #2)."""
-    df = tiny_engine.term_hits("visa")
+    """Unfiltered RARE-term facade term_hits must ride the postings
+    leaf, never the doc_meta token-array probe (VERDICT r02 #2; hot
+    terms deliberately keep the probe — see
+    test_term_hits_auto_hot_term_uses_probe)."""
+    from pyspark.sql import functions as F
+    idx = tiny_engine.index
+    rare = (idx.terms.filter(F.col("df") * 4 < idx.n_docs)
+            .orderBy(F.desc("df"), "term_id").limit(1)
+            .collect()[0]["term"])
+    df = tiny_engine.term_hits(rare)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "postings" in plan and "doc_meta" not in plan
 
@@ -203,3 +210,42 @@ def test_wand_block_prune_reaches_parquet_scan(tiny_engine):
     df = wand_scores(tiny_engine.index, ["visa"], k=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "max_score" in plan
+
+
+def test_term_hits_auto_hot_term_uses_probe(tiny_engine):
+    """Hot terms (df·4 ≥ n_docs) keep the forward-index probe: most
+    docs carry the term anyway, and the JVM-side posexplode beats
+    shipping the decoded hot postings through the Arrow kernel (the
+    collocations cost rule, applied to the facade term leaf). Dual
+    path: probe ≡ postings decode."""
+    from pyspark.sql import functions as F
+    import pytest
+    idx = tiny_engine.index
+    hot = (idx.terms.filter(F.col("df") * 4 >= idx.n_docs)
+           .orderBy(F.desc("df"), "term_id").limit(1).collect())
+    if not hot:
+        pytest.skip("no hot term in fixture")
+    term = hot[0]["term"]
+    df = tiny_engine.term_hits(term)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "doc_meta" in plan
+    from blacklab_spark.operators.hits import term_hits_via_postings
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, term_hits_via_postings(idx, term).collect()))
+    assert a == b and a
+
+
+def test_push_hit_docs_bounded_fallback(tiny_engine):
+    """push_hit_docs must short-circuit (non-distinct CollectLimit)
+    and fall back to the plain scan when the hit count exceeds the
+    bound; under the bound it pushes a doc_id IN filter."""
+    from blacklab_spark.operators.hits import push_hit_docs
+    idx = tiny_engine.index
+    hits = tiny_engine.find("[]")       # every token position
+    dm = idx.doc_meta.select("doc_id", "tokens")
+    over = push_hit_docs(hits, dm, max_docs=1)
+    assert "In(doc_id" not in \
+        over._jdf.queryExecution().executedPlan().toString()
+    under = push_hit_docs(hits.limit(2), dm, max_docs=10)
+    p = under._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" in p or "EqualTo(doc_id" in p
