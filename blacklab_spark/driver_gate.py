@@ -425,6 +425,47 @@ WHERE a.tag = '{tag_a}' AND b.tag = '{tag_b}' {word_cond}
 """
 
 
+_FIELD_B_CTE = (
+    "tb AS (SELECT doc_id, list_transform("
+    "generate_series(0, CAST(ceil(len(ts) / 2.0) AS INT) - 1), "
+    "j -> CASE WHEN 2*j + 2 <= len(ts) "
+    "THEN ts[2*j + 1] || '_' || ts[2*j + 2] "
+    "ELSE ts[2*j + 1] END) AS tsb FROM toks)")
+
+
+def parallel_other_field_sql(w1: str, w2: str) -> str:
+    """Oracle for other-field projection (operators/parallel.py):
+    with total 2:1 alignment, source span [s,e) projects to
+    [s//2, (e+1)//2); b_text slices the derived field-b tokens."""
+    return f"""
+WITH {_DOC_POS},
+{_FIELD_B_CTE},
+h AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      WHERE a.tok = '{w1}' AND b.tok = '{w2}')
+SELECT h.doc_id, CAST(h.s // 2 AS INT) AS start,
+       CAST((h.e + 1) // 2 AS INT) AS "end",
+       array_to_string(tb.tsb[h.s // 2 + 1:(h.e + 1) // 2], ' ') AS b_text,
+       CAST(h.s AS INT) AS a_start, CAST(h.e AS INT) AS a_end
+FROM h JOIN tb USING (doc_id)
+"""
+
+
+def parallel_cross_field_sql(word: str, target_substr: str) -> str:
+    """Oracle for the cross-field alignment operator: a single-token
+    source hit at p is covered by exactly one alignment edge
+    (p//2 → [p//2, p//2+1)), so it survives iff that target token
+    matches the target pattern."""
+    return f"""
+WITH {_DOC_POS},
+{_FIELD_B_CTE}
+SELECT p.doc_id, CAST(p.p AS INT) AS start, CAST(p.p + 1 AS INT) AS "end",
+       CAST(p.p // 2 AS INT) AS b_start, CAST(p.p // 2 + 1 AS INT) AS b_end
+FROM pos p JOIN tb USING (doc_id)
+WHERE p.tok = '{word}' AND tb.tsb[p.p // 2 + 1] LIKE '%{target_substr}%'
+"""
+
+
 def pos_word_seq_sql(tag: str, word: str) -> str:
     from blacklab_spark.annotations import duckdb_pos_tags
     return f"""
@@ -591,6 +632,29 @@ def gate_queries() -> dict:
         hits = eng.find('[] -det-> "table"')
         return with_conv(eng, hits.select("doc_id", "start", "end")) \
             .select(_orig_doc_id(), F.col("start"), F.col("end"))
+
+    def parallel_other_field(spark, sf_dir):
+        """Other-field hits (SpanQueryOtherFieldHits analog): phrase
+        hits in the source field projected onto the parallel field b
+        via alignment relations — target span + target-side text
+        (operators/parallel.py)."""
+        eng = docs_engine(spark, sf_dir)
+        hits = eng.phrase_hits(["the", "table"], path="postings")
+        proj = eng.other_field(hits)
+        return with_conv(eng, proj).select(
+            _orig_doc_id(), F.col("start"), F.col("end"),
+            F.col("b_text"), F.col("a_start"), F.col("a_end"))
+
+    def parallel_cross_field(spark, sf_dir):
+        """Cross-field alignment operator ``"spark" ==> B`` — source
+        hits whose aligned field-b token fuses with 'query'
+        (SpanQueryCaptureRelationsBetweenSpans with cross-field
+        relations)."""
+        eng = docs_engine(spark, sf_dir)
+        out = eng.cross_field('"spark"', lambda t: t.contains("query"))
+        return with_conv(eng, out).select(
+            _orig_doc_id(), F.col("start"), F.col("end"),
+            F.col("b_start"), F.col("b_end"))
 
     def cql_constraint_samewords(spark, sf_dir):
         """Global constraint ``A:[] B:[] :: A.word = B.word`` —
@@ -863,6 +927,8 @@ def gate_queries() -> dict:
         "relations_det_target": relations_det_target,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
+        "parallel_other_field_hits": parallel_other_field,
+        "parallel_cross_field_align": parallel_cross_field,
         "cql_pos_word_sequence": cql_pos_word_sequence,
         "cql_or_terms": cql_or_terms,
         "cql_not_token": cql_not_token,
@@ -924,6 +990,9 @@ FROM pos a JOIN pos b
         "relations_backward_source": rel_adjacent_sql("noun", "noun", 1, 2),
         "cql_relation_between": rel_adjacent_sql("func", "noun", 0, 2,
                                                  target_word="table"),
+        "parallel_other_field_hits": parallel_other_field_sql("the", "table"),
+        "parallel_cross_field_align": parallel_cross_field_sql("spark",
+                                                               "query"),
         "cql_pos_word_sequence": pos_word_seq_sql("func", "table"),
         "cql_or_terms": f"""
 WITH {_DOC_POS}

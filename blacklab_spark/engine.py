@@ -153,6 +153,26 @@ class SearchEngine:
         rels = R.relations(self.index, rel_type)
         return R.relations_within_span(rels, self.find(container_cql))
 
+    # -- parallel corpora (other field + alignment) ----------------------
+    def other_field(self, hits: DataFrame) -> DataFrame:
+        """Project source-field hits onto the parallel field b
+        (SpanQueryOtherFieldHits analog — e.g. highlight the
+        translation side); see operators/parallel.py."""
+        from blacklab_spark.operators import parallel as P
+        return P.other_field_hits(self.index, hits)
+
+    def find_other_field(self, cql: str, **filters) -> DataFrame:
+        """Run a source-field CQL query, report hits in field b."""
+        return self.other_field(self.find(cql, **filters))
+
+    def cross_field(self, cql: str, target_predicate) -> DataFrame:
+        """The alignment operator ``A ==> B``: source hits of ``cql``
+        whose aligned field-b span has a token matching
+        ``target_predicate`` (a Column function)."""
+        from blacklab_spark.operators import parallel as P
+        tgt = P.term_hits_field_b(self.index, target_predicate)
+        return P.cross_field_matches(self.index, self.find(cql), tgt)
+
     # -- result ops (thin delegates) ------------------------------------
     def kwic(self, hits: DataFrame, context: int = H.DEFAULT_CONTEXT):
         return H.kwic(self.index, hits, context)

@@ -1,0 +1,117 @@
+"""Parallel-corpora operators — operators/parallel.py vs an
+independent pure-Python derivation of the synthetic 2:1 translation
+field and its alignment (the cross-engine identity pattern used for
+the pos/lemma/relations layers)."""
+
+from __future__ import annotations
+
+import pytest
+
+from blacklab_spark.operators.parallel import (alignment_edges,
+                                               cross_field_matches,
+                                               other_field_hits,
+                                               term_hits_field_b,
+                                               tokens_other_field)
+
+
+def py_tokens_b(tokens: list[str]) -> list[str]:
+    out = []
+    for j in range((len(tokens) + 1) // 2):
+        if 2 * j + 1 < len(tokens):
+            out.append(tokens[2 * j] + "_" + tokens[2 * j + 1])
+        else:
+            out.append(tokens[2 * j])
+    return out
+
+
+def py_edges(n: int) -> list[tuple]:
+    """(src_start, src_end, tgt_start, tgt_end) per target position."""
+    return [(2 * j, min(2 * j + 2, n), j, j + 1)
+            for j in range((n + 1) // 2)]
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(tiny_engine):
+    rows = tiny_engine.index.doc_meta.select("doc_id", "tokens").collect()
+    return {r["doc_id"]: list(r["tokens"]) for r in rows}
+
+
+def test_tokens_b_matches_python_oracle(tiny_engine, doc_tokens):
+    from pyspark.sql import functions as F
+    got = {r["doc_id"]: list(r["tb"]) for r in
+           tiny_engine.index.doc_meta.select(
+               "doc_id", tokens_other_field("tokens").alias("tb"))
+           .collect()}
+    exp = {d: py_tokens_b(ts) for d, ts in doc_tokens.items()}
+    assert got == exp
+    # odd and even source lengths both present in the corpus
+    lens = {len(ts) % 2 for ts in doc_tokens.values() if ts}
+    assert lens == {0, 1}
+
+
+def test_alignment_edges_match_python_oracle(tiny_engine, doc_tokens):
+    got = {tuple(r) for r in alignment_edges(tiny_engine.index).collect()}
+    exp = {(d, *e) for d, ts in doc_tokens.items()
+           for e in py_edges(len(ts))}
+    assert got == exp and got
+
+
+def test_other_field_projection_arithmetic(tiny_engine, doc_tokens):
+    """With total 2:1 alignment, the projected span of [s,e) is
+    exactly [s//2, ceil(e/2)) — the join-based operator must agree
+    with the closed form, and b_text must slice tokens_b."""
+    hits = tiny_engine.find('"visa" []')
+    proj = other_field_hits(tiny_engine.index, hits).collect()
+    exp = {}
+    for r in hits.collect():
+        key = (r["doc_id"], r["start"] // 2, (r["end"] + 1) // 2)
+        exp[key] = (r["start"], r["end"])
+    got = {(r["doc_id"], r["start"], r["end"]): (r["a_start"], r["a_end"])
+           for r in proj}
+    assert got == exp and got
+    for r in proj:
+        tb = py_tokens_b(doc_tokens[r["doc_id"]])
+        assert r["b_text"] == " ".join(tb[r["start"]:r["end"]])
+
+
+def test_other_field_empty_hits(tiny_engine):
+    hits = tiny_engine.find('"zzz_no_such_token_zzz"')
+    assert other_field_hits(tiny_engine.index, hits).count() == 0
+
+
+def test_term_hits_field_b(tiny_engine, doc_tokens):
+    from pyspark.sql import functions as F
+    got = {(r["doc_id"], r["start"], r["token"]) for r in
+           term_hits_field_b(tiny_engine.index,
+                             lambda t: t.startswith("visa_")).collect()}
+    exp = {(d, j, t) for d, ts in doc_tokens.items()
+           for j, t in enumerate(py_tokens_b(ts))
+           if t.startswith("visa_")}
+    assert got == exp and got
+
+
+def test_cross_field_matches_python_oracle(tiny_engine, doc_tokens):
+    """"visa" ==> [b-token containing 'application']: a source hit
+    survives iff its pair-partner fuses with 'application'."""
+    src = tiny_engine.find('"visa"')
+    tgt = term_hits_field_b(
+        tiny_engine.index,
+        lambda t: t.contains("application"))
+    got = {(r["doc_id"], r["start"], r["b_start"]) for r in
+           cross_field_matches(tiny_engine.index, src, tgt).collect()}
+    exp = set()
+    for d, ts in doc_tokens.items():
+        tb = py_tokens_b(ts)
+        for p, t in enumerate(ts):
+            if t != "visa":
+                continue
+            j = p // 2
+            if "application" in tb[j]:
+                exp.add((d, p, j))
+    assert got == exp and got
+
+
+def test_engine_facade_cross_field(tiny_engine):
+    out = tiny_engine.cross_field('"visa"', lambda t: t.contains("visa"))
+    # every 'visa' source hit is aligned to a b-token containing it
+    assert out.count() == tiny_engine.find('"visa"').count()
