@@ -338,7 +338,31 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         src = _exec(index, p.source).select("doc_id", "start", "end")
         tgt = _exec(index, p.target).select("doc_id", "start", "end")
         return relations_between(index, src, tgt, p.rel_type)
+    if isinstance(p, Q.CrossField):
+        # source ==> target: the target leaf runs against FIELD B's
+        # token layer (SpansOverrideField analog), then the alignment
+        # join pairs it with source hits (operators/parallel.py).
+        from blacklab_spark.operators.parallel import (cross_field_matches,
+                                                       term_hits_field_b)
+        src = _exec(index, p.source).select("doc_id", "start", "end")
+        tgt = term_hits_field_b(index, _field_b_predicate(p.target))
+        return cross_field_matches(index, src, tgt)
     raise ValueError(f"unsupported pattern node: {p!r}")
+
+
+def _field_b_predicate(p: Q.Pattern):
+    """Column predicate of a field-b token for a ``==>`` target leaf.
+    Query values were folded at parse time exactly as field b's
+    source tokens were (the fused token concatenates @i tokens)."""
+    if isinstance(p, Q.Term) and p.layer == "word":
+        return lambda t: t == p.text
+    if isinstance(p, Q.Regex) and p.layer == "word":
+        return lambda t: t.rlike(f"(?iu)^(?:{p.pattern})$")
+    if isinstance(p, Q.AnyToken) and (p.min_len, p.max_len) == (1, 1):
+        return lambda t: F.lit(True)
+    raise ValueError(
+        "the target of ==> must be a word-layer term, regex or [] "
+        f"in v1, got: {p!r}")
 
 
 def _has_capture(p: Q.Pattern) -> bool:

@@ -29,8 +29,9 @@ from __future__ import annotations
 import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
-                                        Fuzzy, Not, Or, Pattern, PosFilter,
-                                        Regex, RelMatch, Rep, Seq, Term, Turn)
+                                        CrossField, Fuzzy, Not, Or, Pattern,
+                                        PosFilter, Regex, RelMatch, Rep, Seq,
+                                        Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -42,6 +43,7 @@ _TOKEN_RE = re.compile(r"""
         <turn/>                    |
         \{\s*\d*\s*(?:,\s*\d*\s*)?\} |  # {m}, {m,}, {m,n}, {,n}
         ~\d+                       |  # fuzzy postfix "word"~edits
+        ==>                        |  # cross-field alignment operator
         ::                         |  # global-constraint separator
         [A-Za-z_][A-Za-z0-9_]*:\(  |  # capture open (parenthesized)
         [A-Za-z_][A-Za-z0-9_]*:    |  # capture of the next atom
@@ -144,6 +146,12 @@ class _Parser:
             # Spans analog). Top-level only, like the :: constraint.
             self.next()
             left = RelMatch(left, m.group(1), self.posfiltered())
+        elif t == "==>":
+            # source ==> target: cross-field alignment (reference BCQL
+            # parallel-corpora operator; target clause runs against
+            # field b's annotations). Top-level only, like RelMatch.
+            self.next()
+            left = CrossField(left, self.posfiltered())
         if self.peek() == "::":
             self.next()
             left = Constrained(left, *self.constraint())
@@ -192,7 +200,7 @@ class _Parser:
     def seq(self) -> Pattern:
         clauses = [self.unary()]
         while self.peek() is not None and self.peek() not in (
-                ")", "within", "containing", "|", "&", "::") \
+                ")", "within", "containing", "|", "&", "::", "==>") \
                 and not self._REL_OP.match(self.peek()):
             clauses.append(self.unary())
         return clauses[0] if len(clauses) == 1 else Seq(*clauses)

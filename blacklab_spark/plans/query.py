@@ -126,6 +126,19 @@ class RelMatch(Pattern):      # source -type-> target
 
 
 @dataclass(frozen=True)
+class CrossField(Pattern):    # source ==> target
+    """Cross-field alignment operator ``source ==> target`` (reference
+    BCQL parallel-corpora syntax; SpanQueryCaptureRelationsBetween-
+    Spans.java:32 with cross-field relations): source-field hits whose
+    aligned field-b span matches the target clause, which is evaluated
+    against field b's annotations (SpansOverrideField analog). Target
+    is a word-layer term/regex/any-token leaf in v1. Top-level only,
+    like RelMatch."""
+    source: Pattern
+    target: Pattern
+
+
+@dataclass(frozen=True)
 class Turn(Pattern):
     """Whole-turn span ``<turn/>`` — the structural analog of the
     reference's ``<u/>`` inline tag (turns are rows here, SURVEY §1.4)."""
@@ -171,6 +184,9 @@ def pattern_str(p: Pattern) -> str:
                 f"{p.lhs[0]}.{p.lhs[1]} {p.op} {p.rhs[0]}.{p.rhs[1]})")
     if isinstance(p, RelMatch):
         return (f"REL({pattern_str(p.source)} -{p.rel_type}-> "
+                f"{pattern_str(p.target)})")
+    if isinstance(p, CrossField):
+        return (f"CROSSFIELD({pattern_str(p.source)} ==> "
                 f"{pattern_str(p.target)})")
     if isinstance(p, Turn):
         return "<turn/>"

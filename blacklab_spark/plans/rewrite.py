@@ -16,8 +16,9 @@ from __future__ import annotations
 import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
-                                        Expand, Not, Or, Pattern, PosFilter,
-                                        Regex, RelMatch, Rep, Seq, Term, Turn)
+                                        CrossField, Expand, Not, Or, Pattern,
+                                        PosFilter, Regex, RelMatch, Rep, Seq,
+                                        Term, Turn)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
@@ -52,6 +53,11 @@ def _map_children(p: Pattern, fn) -> Pattern:
         return Constrained(fn(p.clause), p.lhs, p.op, p.rhs)
     if isinstance(p, RelMatch):
         return RelMatch(fn(p.source), p.rel_type, fn(p.target))
+    if isinstance(p, CrossField):
+        # rewrite the source only: the target leaf is interpreted
+        # against field b (an any-token elimination or regex→term
+        # rewrite is still valid there, but expansions are not)
+        return CrossField(fn(p.source), p.target)
     return p
 
 

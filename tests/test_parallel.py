@@ -111,6 +111,27 @@ def test_cross_field_matches_python_oracle(tiny_engine, doc_tokens):
     assert got == exp and got
 
 
+def test_cql_crossfield_operator(tiny_engine, doc_tokens):
+    """CQL '"visa" ==> "visa_.*"' ≡ cross_field with a prefix
+    predicate on the fused field-b token; target term equality and
+    bad-target errors also covered."""
+    got = {(r["doc_id"], r["start"], r["b_start"]) for r in
+           tiny_engine.find('"visa" ==> "visa_.*"').collect()}
+    exp = set()
+    for d, ts in doc_tokens.items():
+        tb = py_tokens_b(ts)
+        for p, t in enumerate(ts):
+            if t == "visa" and tb[p // 2].startswith("visa_"):
+                exp.add((d, p, p // 2))
+    assert got == exp and got
+    # [] target = "has any alignment" — every source hit survives
+    assert (tiny_engine.find('"visa" ==> []').count()
+            == tiny_engine.find('"visa"').count())
+    # non-leaf target rejected
+    with pytest.raises(ValueError, match="==>"):
+        tiny_engine.find('"visa" ==> "a" "b"').count()
+
+
 def test_engine_facade_cross_field(tiny_engine):
     out = tiny_engine.cross_field('"visa"', lambda t: t.contains("visa"))
     # every 'visa' source hit is aligned to a b-token containing it
