@@ -170,8 +170,11 @@ class SearchEngine:
         whose aligned field-b span has a token matching
         ``target_predicate`` (a Column function)."""
         from blacklab_spark.operators import parallel as P
-        tgt = P.term_hits_field_b(self.index, target_predicate)
-        return P.cross_field_matches(self.index, self.find(cql), tgt)
+        from blacklab_spark.operators.hits import push_hit_docs
+        src = self.find(cql)
+        dm = push_hit_docs(src, self.index.doc_meta)
+        tgt = P.term_hits_field_b(self.index, target_predicate, dm=dm)
+        return P.cross_field_matches(self.index, src, tgt, dm=dm)
 
     # -- result ops (thin delegates) ------------------------------------
     def kwic(self, hits: DataFrame, context: int = H.DEFAULT_CONTEXT):

@@ -58,19 +58,20 @@ def tokens_other_field(tokens_col: Column | str) -> Column:
     ).otherwise(F.element_at(ts, 2 * j + 1)))
 
 
-def _doc_meta_b(index: InvertedIndex) -> DataFrame:
-    """doc_meta with the derived field-b token array."""
-    dm = index.doc_meta
+def _doc_meta_b(dm: DataFrame) -> DataFrame:
+    """doc_meta frame with the derived field-b token array."""
     if "tokens_b" in dm.columns:
         return dm
     return dm.withColumn("tokens_b", tokens_other_field("tokens"))
 
 
-def alignment_edges(index: InvertedIndex) -> DataFrame:
+def alignment_edges(index: InvertedIndex,
+                    dm: DataFrame | None = None) -> DataFrame:
     """All alignment relations, one row per edge — derived JVM-side
     (sequence + transform + explode, the doc_relations pattern).
-    Edge j: source [2j, min(2j+2, n)) → target [j, j+1)."""
-    dm = index.doc_meta
+    Edge j: source [2j, min(2j+2, n)) → target [j, j+1). Pass ``dm``
+    to derive from an already-pruned doc_meta scan."""
+    dm = index.doc_meta if dm is None else dm
     ts = F.col("tokens")
     n = F.size(ts)
     nb = F.ceil(n / F.lit(2.0)).cast("int")
@@ -94,16 +95,21 @@ def other_field_hits(index: InvertedIndex, hits: DataFrame) -> DataFrame:
 
     Output: (doc_id, start, end, b_text) in FIELD-B coordinates, the
     source span riding along as (a_start, a_end) match info. The join
-    shuffles both sides on doc_id only — co-partitioned at scale."""
+    shuffles both sides on doc_id only — co-partitioned at scale; the
+    hits' doc ids are pushed into the doc_meta scan (push_hit_docs, the
+    _fiseq anchor pattern), so a rare-phrase projection reads only the
+    anchor docs' row groups instead of deriving edges corpus-wide."""
+    from blacklab_spark.operators.hits import push_hit_docs
     h = hits.select("doc_id", "start", "end").distinct()
-    e = alignment_edges(index)
+    dm = push_hit_docs(hits, index.doc_meta)
+    e = alignment_edges(index, dm)
     proj = (h.join(e, "doc_id")
             .filter((F.col("al_src_start") < F.col("end"))
                     & (F.col("al_src_end") > F.col("start")))
             .groupBy("doc_id", "start", "end")
             .agg(F.min("al_tgt_start").cast("int").alias("b_start"),
                  F.max("al_tgt_end").cast("int").alias("b_end")))
-    dmb = _doc_meta_b(index).select("doc_id", "tokens_b")
+    dmb = _doc_meta_b(dm).select("doc_id", "tokens_b")
     return (proj.join(dmb, "doc_id")
             .select("doc_id",
                     F.col("b_start").alias("start"),
@@ -116,15 +122,19 @@ def other_field_hits(index: InvertedIndex, hits: DataFrame) -> DataFrame:
                     F.col("end").alias("a_end")))
 
 
-def term_hits_field_b(index: InvertedIndex, predicate) -> DataFrame:
+def term_hits_field_b(index: InvertedIndex, predicate,
+                      dm: DataFrame | None = None) -> DataFrame:
     """Single-position hits over field b's annotations — the
     SpansOverrideField analog: the same posexplode probe leaf the main
     field uses, against the derived tokens_b column. ``predicate`` is
     a Column function of the token. (A STORED parallel field would get
     its own postings artifact by the same build path as the main
     field; the derived field has no postings, so the probe is the
-    planned leaf, not a fallback.)"""
-    dmb = _doc_meta_b(index).select("doc_id", "tokens_b")
+    planned leaf, not a fallback.) Pass ``dm`` to probe an already-
+    pruned doc_meta scan (the ==> executor pushes the source clause's
+    doc ids)."""
+    dmb = _doc_meta_b(index.doc_meta if dm is None else dm) \
+        .select("doc_id", "tokens_b")
     tok = dmb.select("doc_id", F.posexplode("tokens_b")
                      .alias("pos", "token"))
     return (tok.filter(predicate(F.col("token")))
@@ -134,7 +144,8 @@ def term_hits_field_b(index: InvertedIndex, predicate) -> DataFrame:
 
 
 def cross_field_matches(index: InvertedIndex, source_hits: DataFrame,
-                        target_hits: DataFrame) -> DataFrame:
+                        target_hits: DataFrame,
+                        dm: DataFrame | None = None) -> DataFrame:
     """The CQL alignment operator ``A ==> B``: source-field hits A
     paired with field-b hits B connected by an alignment relation that
     overlaps A in source coordinates and B in target coordinates
@@ -142,12 +153,17 @@ def cross_field_matches(index: InvertedIndex, source_hits: DataFrame,
     relations, SpansCaptureRelationsBetweenSpans.java:22: 'find
     relations whose source overlaps the span and whose target matches
     the target clause'). Reported hit = the source span, with the
-    matched target span as (b_start, b_end) match info."""
+    matched target span as (b_start, b_end) match info. Pass ``dm``
+    (a pruned doc_meta scan) to derive the edges from the anchor docs
+    only; otherwise the source hits' doc ids are pushed here."""
+    from blacklab_spark.operators.hits import push_hit_docs
     a = source_hits.select("doc_id", "start", "end").distinct()
     b = (target_hits.select(
         "doc_id", F.col("start").alias("b_start"),
         F.col("end").alias("b_end")).distinct())
-    e = alignment_edges(index)
+    if dm is None:
+        dm = push_hit_docs(source_hits, index.doc_meta)
+    e = alignment_edges(index, dm)
     return (a.join(e, "doc_id")
             .filter((F.col("al_src_start") < F.col("end"))
                     & (F.col("al_src_end") > F.col("start")))

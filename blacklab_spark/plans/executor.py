@@ -250,6 +250,9 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         return (index.doc_meta
                 .select("doc_id", F.lit(0).cast("int").alias("start"),
                         F.col("n_tokens").cast("int").alias("end")))
+    if isinstance(p, Q.Tag):
+        from blacklab_spark.operators.tags import tag_hits
+        return tag_hits(index, p.name, p.attr_key, p.attr_val)
     if isinstance(p, Q.Seq):
         if any(_has_capture(c) for c in p.clauses):
             arith = _seq_captures_arithmetic(index, p.clauses)
@@ -342,11 +345,15 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         # source ==> target: the target leaf runs against FIELD B's
         # token layer (SpansOverrideField analog), then the alignment
         # join pairs it with source hits (operators/parallel.py).
+        from blacklab_spark.operators.hits import push_hit_docs
         from blacklab_spark.operators.parallel import (cross_field_matches,
                                                        term_hits_field_b)
         src = _exec(index, p.source).select("doc_id", "start", "end")
-        tgt = term_hits_field_b(index, _field_b_predicate(p.target))
-        return cross_field_matches(index, src, tgt)
+        # one pruned doc_meta scan feeds both the field-b probe and
+        # the alignment-edge derivation (push_hit_docs anchor pattern)
+        dm = push_hit_docs(src, index.doc_meta)
+        tgt = term_hits_field_b(index, _field_b_predicate(p.target), dm=dm)
+        return cross_field_matches(index, src, tgt, dm=dm)
     raise ValueError(f"unsupported pattern node: {p!r}")
 
 

@@ -132,6 +132,17 @@ def test_cql_crossfield_operator(tiny_engine, doc_tokens):
         tiny_engine.find('"visa" ==> "a" "b"').count()
 
 
+def test_other_field_pushes_anchor_docs_into_scan(tiny_engine):
+    """A rare-phrase other-field projection must derive alignment
+    edges only for the anchor docs: the hits' doc ids are pushed as a
+    doc_id IN (...) parquet filter (the kwic/_fiseq pattern)."""
+    hits = tiny_engine.find('"visa" "application"')
+    df = other_field_hits(tiny_engine.index, hits)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 1-element IN-lists fold to EqualTo — accept either shape
+    assert "In(doc_id" in plan or "EqualTo(doc_id" in plan
+
+
 def test_engine_facade_cross_field(tiny_engine):
     out = tiny_engine.cross_field('"visa"', lambda t: t.contains("visa"))
     # every 'visa' source hit is aligned to a b-token containing it
