@@ -187,6 +187,15 @@ class IndexBuilder:
             t0 = time.time()
             with_ids, cached = assign_dense_ids(
                 transcripts, ["conv_id", "turn_idx"], "doc_id", parts)
+            if cfg.tags:
+                # inline-tag corpora (operators/tags.py): tokenize the
+                # tag-stripped text; the original markup is kept as
+                # `text_raw` (content store) and feeds the _spans
+                # stage below. Plain corpora skip both projections.
+                from blacklab_spark.operators.tags import strip_tags
+                with_ids = (with_ids
+                            .withColumn("text_raw", F.col("text"))
+                            .withColumn("text", strip_tags("text")))
             # two sensitivity layers per annotation (BlackLab @i/@s,
             # SURVEY.md §1.1): `tokens` = lowercased (drives postings +
             # BM25), `tokens_s` = original case. Format v6 default
@@ -217,7 +226,8 @@ class IndexBuilder:
                     F.size(tokens_insensitive("text")).cast("int"))
             doc_meta = doc_meta.select(
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                "n_tokens", *stored, "text")
+                "n_tokens", *stored, "text",
+                *(["text_raw"] if cfg.tags else []))
             # with_ids is already range-partitioned by (conv_id, turn_idx)
             # = doc_id order, rows sorted within partitions by the
             # row_number window → files hold disjoint sorted doc_id
@@ -236,6 +246,24 @@ class IndexBuilder:
                                _parquet_rows(doc_meta_path), parts)
 
         doc_meta = self.spark.read.parquet(doc_meta_path)
+
+        # Stage 1b (cfg.tags): inline-tag span layer — map-side stack
+        # machine over text_raw (operators/tags.py), one narrow
+        # artifact (doc_id, tag, start, end, attrs). Spans inherit
+        # doc_meta's doc-id-ordered files → row-group pruning on the
+        # tag-leaf scan works like every other artifact.
+        if cfg.tags:
+            spans_path = os.path.join(self.out, "_spans")
+            if not (resume and self._stage_done(m, "spans")):
+                t0 = time.time()
+                from blacklab_spark.operators.tags import doc_tag_spans
+                sp = doc_tag_spans(doc_meta, "text_raw")
+                sp.write.mode("overwrite") \
+                    .option("parquet.block.size", 4 * 1024 * 1024) \
+                    .parquet(spans_path)
+                self._finish_stage(m, "spans", t0,
+                                   _parquet_rows(spans_path), parts)
+
         agg = doc_meta.agg(F.count("*").alias("n"),
                            F.sum("n_tokens").alias("tot")).collect()[0]
         n_docs, total_tokens = int(agg["n"]), int(agg["tot"] or 0)

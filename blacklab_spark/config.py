@@ -110,6 +110,13 @@ class BuildConfig:
     # Derived annotation layers materialized at build time (pos costs
     # ~9% build throughput; disable for pure-BM25 corpora at scale).
     annotations: tuple = ("pos",)
+    # Inline-tag span layer (reference SpanQueryTags / <s/> elements):
+    # when True, document text may contain well-nested inline markup;
+    # the build tokenizes the TAG-STRIPPED text, keeps the original
+    # markup as `text_raw` (content store), and writes a `_spans`
+    # artifact (doc_id, tag, start, end, attrs) derived map-side
+    # (operators/tags.py). Off by default — plain corpora pay zero.
+    tags: bool = False
     # Number of partitions for doc-id assignment / posting shuffle.
     # None → spark.sql.shuffle.partitions.
     num_partitions: int | None = None

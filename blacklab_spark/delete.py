@@ -52,5 +52,12 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str,
     from blacklab_spark.build import build_index
     idx = open_index(spark, index_dir)
     src = idx.doc_meta.select(*SOURCE_COLUMNS)
+    if getattr(idx.cfg, "tags", False):
+        # tags index: doc_meta.text is the STRIPPED text; the rebuild
+        # must re-ingest the original markup (text_raw) so the new
+        # _spans stage re-derives the tag layer.
+        src = (idx.doc_meta
+               .select(*[c for c in SOURCE_COLUMNS if c != "text"],
+                       F.col("text_raw").alias("text")))
     build_index(spark, src, out_dir, cfg or idx.cfg)
     return open_index(spark, out_dir)

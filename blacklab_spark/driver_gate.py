@@ -107,6 +107,24 @@ def multi_engine(spark: SparkSession) -> SearchEngine:
     return _ENGINES[key]
 
 
+def tagged_engine(spark: SparkSession) -> SearchEngine:
+    """Micro fixture with deterministic inline markup — the tags-layer
+    gate corpus (BuildConfig.tags=True: tag-stripped tokenization +
+    the _spans artifact)."""
+    from blacklab_spark.sources.transcripts import gen_tagged_pandas
+    ensure_shipped(spark)
+    key = "__tagged__"
+    if key not in _ENGINES:
+        out = os.path.join(_idx_root(), "tagged")
+        pdf = gen_tagged_pandas(seed=42)
+        cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2,
+                          tags=True)
+        build_index(spark, spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA),
+                    out, cfg, resume=True)
+        _ENGINES[key] = SearchEngine.open(spark, out)
+    return _ENGINES[key]
+
+
 def delta_engine(spark: SparkSession):
     """Micro corpus split across main (conv00000) + two deltas — the
     streaming query-time-merge gate corpus. Conversations are appended
@@ -234,19 +252,32 @@ def multi_cte() -> str:
     return _transcript_cte(gen_multilingual_pandas(seed=42))
 
 
-def _transcript_cte(pdf) -> str:
+def tagged_cte() -> str:
+    """The tagged micro fixture (inline markup) as a VALUES CTE.
+    ``tdocs.text`` carries the markup (= the engine's text_raw /
+    content store); token CTEs tokenize the TAG-STRIPPED text, exactly
+    like the build does."""
+    from blacklab_spark.sources.transcripts import gen_tagged_pandas
+    return _transcript_cte(gen_tagged_pandas(seed=42), strip_tags=True)
+
+
+def _transcript_cte(pdf, strip_tags: bool = False) -> str:
     pdf = pdf.sort_values(["conv_id", "turn_idx"])
     vals = []
     for r in pdf.to_dict("records"):
         tool = f"'{r['tool']}'" if r["tool"] else "NULL"
         vals.append(f"('{r['conv_id']}', {r['turn_idx']}, '{r['role']}', "
                     f"'{r['text']}', {tool})")
+    tok_src = "text"
+    if strip_tags:
+        from blacklab_spark.operators.tags import TAG_RE
+        tok_src = f"regexp_replace(text, '{TAG_RE}', ' ', 'g')"
     return (
         "transcripts(conv_id, turn_idx, role, text, tool) AS (VALUES\n  "
         + ",\n  ".join(vals) + "),\n"
         "tdocs AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, "
         "conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool FROM transcripts),\n"
-        f"ttoks AS (SELECT doc_id, {duckdb_tokens_i('text')} AS ts FROM tdocs),\n"
+        f"ttoks AS (SELECT doc_id, {duckdb_tokens_i(tok_src)} AS ts FROM tdocs),\n"
         "tpos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS p FROM ttoks)"
     )
 
@@ -262,6 +293,46 @@ SELECT d.conv_id, d.turn_idx, CAST(t.p AS INT) AS start,
        CAST(t.p + 1 AS INT) AS "end"
 FROM tpos t JOIN tdocs d USING (doc_id)
 WHERE t.tok = 'tre' OR {duckdb_lemma_stem('t.tok')} = 'tre'
+"""
+
+
+def _tags_spans_all_sql() -> str:
+    """Oracle for the tag-span layer: an independent relational
+    formulation (depth-matching windows, operators/tags.py
+    duckdb_tag_spans_cte) of the build's stack machine."""
+    from blacklab_spark.operators.tags import duckdb_tag_spans_cte
+    return f"""
+WITH {tagged_cte()},{duckdb_tag_spans_cte()}
+SELECT d.conv_id, d.turn_idx, t.tag, CAST(t.start AS INT) AS start,
+       CAST(t."end" AS INT) AS "end", t.attrs
+FROM tagspans t JOIN tdocs d USING (doc_id)
+"""
+
+
+def _tag_attr_sql(tag: str, key: str, val: str) -> str:
+    from blacklab_spark.operators.tags import duckdb_tag_spans_cte
+    return f"""
+WITH {tagged_cte()},{duckdb_tag_spans_cte()}
+SELECT d.conv_id, d.turn_idx, CAST(t.start AS INT) AS start,
+       CAST(t."end" AS INT) AS "end"
+FROM tagspans t JOIN tdocs d USING (doc_id)
+WHERE t.tag = '{tag}'
+  AND regexp_extract(t.attrs, '{key}\\s*=\\s*"([^"]*)"', 1) = '{val}'
+"""
+
+
+def _tag_within_sql(w1: str, w2: str, tag: str) -> str:
+    from blacklab_spark.operators.tags import duckdb_tag_spans_cte
+    return f"""
+WITH {tagged_cte()},{duckdb_tag_spans_cte()}
+SELECT d.conv_id, d.turn_idx, CAST(a.p AS INT) AS start,
+       CAST(a.p + 2 AS INT) AS "end"
+FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+JOIN tdocs d ON d.doc_id = a.doc_id
+WHERE a.tok = '{w1}' AND b.tok = '{w2}'
+  AND EXISTS (SELECT 1 FROM tagspans t
+              WHERE t.doc_id = a.doc_id AND t.tag = '{tag}'
+                AND t.start <= a.p AND t."end" >= a.p + 2)
 """
 
 
@@ -906,6 +977,31 @@ def gate_queries() -> dict:
         return _rounded_rank_cut(fetched, 5).select(
             "rank", "doc_id", F.round("score", 4).alias("score"))
 
+    def tags_spans_all(spark, sf_dir):
+        """The stored inline-tag span layer itself: every (tag, span,
+        attrs) row the build's map-side stack machine derived —
+        nesting, self-closing tags and attributes all visible."""
+        eng = tagged_engine(spark)
+        return with_conv(eng, eng.index.doc_spans).select(
+            "conv_id", "turn_idx", "tag", "start", "end", "attrs")
+
+    def cql_tag_attr(spark, sf_dir):
+        """Tag leaf with attribute filter through the parser:
+        <ne type="doc"/> (SpanQueryTags attribute filtering)."""
+        eng = tagged_engine(spark)
+        hits = eng.find('<ne type="doc"/>')
+        return with_conv(eng, hits).select(
+            "conv_id", "turn_idx", "start", "end")
+
+    def cql_tag_within_sentence(spark, sf_dir):
+        """Phrase within a stored tag span: '"visa" "application"
+        within <s/>' — drops pairs straddling a sentence boundary
+        (the 5-word sentence chunking splits some)."""
+        eng = tagged_engine(spark)
+        hits = eng.find('"visa" "application" within <s/>')
+        return with_conv(eng, hits).select(
+            "conv_id", "turn_idx", "start", "end")
+
     from blacklab_spark.driver_gate_pipeline import pipeline_queries
     return {
         **pipeline_queries(),
@@ -957,6 +1053,9 @@ def gate_queries() -> dict:
         "cql_lemma_multivalue": cql_lemma_multivalue,
         "hits_sample_deterministic": hits_sample_deterministic,
         "streaming_delta_topk": streaming_delta_topk,
+        "tags_spans_all": tags_spans_all,
+        "cql_tag_attr": cql_tag_attr,
+        "cql_tag_within_sentence": cql_tag_within_sentence,
     }
 
 
@@ -1145,4 +1244,8 @@ SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS INT)
        doc_id, round(score, 4) AS score
 FROM topk
 """,
+        "tags_spans_all": _tags_spans_all_sql(),
+        "cql_tag_attr": _tag_attr_sql("ne", "type", "doc"),
+        "cql_tag_within_sentence": _tag_within_sql("visa", "application",
+                                                   "s"),
     }

@@ -86,6 +86,21 @@ class InvertedIndex:
         return self._df_cache[key]
 
     @property
+    def doc_spans(self) -> DataFrame:
+        """Inline-tag span layer ``(doc_id, tag, start, end, attrs)``
+        (BuildConfig.tags builds; reference SpanQueryTags.java:30).
+        Tombstone-filtered like doc_meta."""
+        if not getattr(self.cfg, "tags", False):
+            raise ValueError(
+                "index was built without the inline-tag span layer; "
+                "rebuild with BuildConfig(tags=True)")
+        key = ("doc_spans", self._tombstone_listing())
+        if key not in self._df_cache:
+            sp = self.spark.read.parquet(os.path.join(self.path, "_spans"))
+            self._df_cache[key] = self.without_deleted(sp)
+        return self._df_cache[key]
+
+    @property
     def postings(self) -> DataFrame:
         if "postings" not in self._df_cache:
             self._df_cache["postings"] = self.spark.read.parquet(

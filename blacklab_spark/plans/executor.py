@@ -296,7 +296,18 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                         p.min_exp, p.max_exp)
     if isinstance(p, Q.PosFilter):
         prod = _exec(index, p.producer)
-        filt = _exec(index, p.filter)
+        if isinstance(p.filter, Q.Tag):
+            # tag-leaf filter: push the producer's doc ids into the
+            # _spans scan (the push_hit_docs anchor pattern) — a
+            # rare-phrase `within <s/>` reads only the anchor docs'
+            # span row groups instead of the whole tag layer.
+            from blacklab_spark.operators.hits import push_hit_docs
+            from blacklab_spark.operators.tags import tag_hits
+            pruned = push_hit_docs(prod, index.doc_spans)
+            filt = tag_hits(index, p.filter.name, p.filter.attr_key,
+                            p.filter.attr_val, spans=pruned)
+        else:
+            filt = _exec(index, p.filter)
         if p.operation == "within":
             return S.within(prod, filt, p.invert)
         return S.containing(prod, filt, p.invert)

@@ -31,7 +31,7 @@ import re
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
                                         CrossField, Fuzzy, Not, Or, Pattern,
                                         PosFilter, Regex, RelMatch, Rep, Seq,
-                                        Term, Turn)
+                                        Tag, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -41,6 +41,8 @@ _TOKEN_RE = re.compile(r"""
         \[\s*[A-Za-z_][A-Za-z0-9_]*\s*=\s*"[^"]*"\s*\] |  # [annot="..."]
         \[\s*\]                    |  # []
         <turn/>                    |
+        <[A-Za-z][A-Za-z0-9_-]*(?:\s[^>]*)?/> |  # inline tag <s/> <ne k="v"/>
+
         \{\s*\d*\s*(?:,\s*\d*\s*)?\} |  # {m}, {m,}, {m,n}, {,n}
         ~\d+                       |  # fuzzy postfix "word"~edits
         ==>                        |  # cross-field alignment operator
@@ -276,6 +278,14 @@ class _Parser:
                 else Term(val, layer)
         if t == "<turn/>":
             return Turn()
+        if t.startswith("<") and t.endswith("/>"):
+            m = re.match(
+                r'^<([A-Za-z][A-Za-z0-9_-]*)'
+                r'(?:\s+([A-Za-z_][A-Za-z0-9_-]*)\s*=\s*"([^"]*)")?'
+                r'\s*/>$', t)
+            if not m:
+                raise ParseError(f"malformed tag leaf: {t!r}")
+            return Tag(m.group(1), m.group(2), m.group(3))
         if t == "(":
             node = self.query()
             if self.next() != ")":

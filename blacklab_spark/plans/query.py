@@ -144,6 +144,18 @@ class Turn(Pattern):
     reference's ``<u/>`` inline tag (turns are rows here, SURVEY §1.4)."""
 
 
+@dataclass(frozen=True)
+class Tag(Pattern):
+    """Stored inline-tag span ``<name/>`` / ``<name key="val"/>`` —
+    the reference's tags annotation leaf (SpanQueryTags.java:30,
+    TextPatternTags). Requires an index built with
+    ``BuildConfig(tags=True)``; composes with within/containing like
+    any span producer."""
+    name: str
+    attr_key: str | None = None
+    attr_val: str | None = None
+
+
 def _b(v: int | None) -> str:
     return "inf" if v is None else str(v)
 
@@ -190,4 +202,7 @@ def pattern_str(p: Pattern) -> str:
                 f"{pattern_str(p.target)})")
     if isinstance(p, Turn):
         return "<turn/>"
+    if isinstance(p, Tag):
+        attr = f' {p.attr_key}="{p.attr_val}"' if p.attr_key else ""
+        return f"<{p.name}{attr}/>"
     return repr(p)

@@ -168,6 +168,34 @@ def gen_transcripts_pandas(fixture: str = "tiny", seed: int = 42) -> pd.DataFram
     return df
 
 
+def tag_markup(text: str) -> str:
+    """Deterministic inline markup over one text: sentence tags every
+    5 words, named-entity tags on visa/application, a self-closing
+    ``<br/>`` after the first sentence — the tagged-corpus fixture
+    transform (pure string function, shared verbatim by the oracle
+    CTE so both sides see identical markup)."""
+    words = text.split()
+    sents = []
+    for i in range(0, len(words), 5):
+        chunk = [f'<ne type="doc">{w}</ne>' if w == "visa"
+                 else f'<ne type="act">{w}</ne>' if w == "application"
+                 else w for w in words[i:i + 5]]
+        sents.append("<s>" + " ".join(chunk) + "</s>")
+        if i == 0:
+            sents.append("<br/>")
+    return " ".join(sents)
+
+
+def gen_tagged_pandas(seed: int = 42) -> pd.DataFrame:
+    """The micro fixture with deterministic well-nested inline markup
+    (tag_markup) — the tags-layer gate corpus. Tag-stripping recovers
+    exactly the micro token stream."""
+    df = gen_transcripts_pandas("micro", seed=seed)
+    df = df.copy()
+    df["text"] = df["text"].map(tag_markup)
+    return df
+
+
 def gen_transcripts_spark(spark: SparkSession, fixture: str = "tiny",
                           seed: int = 42, n_convs: int | None = None,
                           partitions: int | None = None) -> DataFrame:
