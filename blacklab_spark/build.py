@@ -278,34 +278,10 @@ class IndexBuilder:
         runs_path = os.path.join(self.out, "runs")
         if not (resume and self._stage_done(m, "runs")):
             t0 = time.time()
-            # Parallelism guard (measured: the runs stage scaled only
-            # 1.9x from 1->16 cores while postings scaled 5.5x): the
-            # default 128MB maxPartitionBytes packs doc_meta (~13MB/
-            # partition after parquet compression) into a handful of
-            # scan tasks, capping the Python-side SPIMI encode at
-            # total_bytes/128MB workers no matter the core count.
-            # Size the splits so the encode fans out to ~parts tasks;
-            # the 4MB floor matches the written row-group size (the
-            # split granularity actually available). Same task count
-            # at every parallelism level => fair N->4N comparison.
-            size = sum(os.path.getsize(os.path.join(doc_meta_path, f))
-                       for f in os.listdir(doc_meta_path)
-                       if f.endswith(".parquet"))
-            tgt = max(4 * 1024 * 1024, size // max(1, parts))
-            conf = self.spark.conf
-            old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
-            conf.set("spark.sql.files.maxPartitionBytes", str(tgt))
-            try:
-                # re-read under the new split size (scan partitioning
-                # is planned from the conf at action time; a fresh
-                # handle keeps this explicit)
-                dm_split = self.spark.read.parquet(doc_meta_path)
-                runs = _spimi_miniblocks(dm_split, cfg)
-                runs.write.mode("overwrite") \
-                    .option("parquet.block.size", 4 * 1024 * 1024) \
-                    .parquet(runs_path)
-            finally:
-                conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            runs = _spimi_miniblocks(doc_meta, cfg)
+            runs.write.mode("overwrite") \
+                .option("parquet.block.size", 4 * 1024 * 1024) \
+                .parquet(runs_path)
             self._finish_stage(m, "runs", t0, _parquet_rows(runs_path),
                                parts)
         runs = self.spark.read.parquet(runs_path)
