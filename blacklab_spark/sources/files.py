@@ -53,6 +53,59 @@ def read_csv(spark: SparkSession, path: str, header: bool = True,
         .csv(path))
 
 
+def read_tsv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """Tab-separated variant (reference ships a dedicated ``tsv``
+    input format, formats/tsv.blf.yaml)."""
+    return read_csv(spark, path, header=header, sep="\t")
+
+
+# One <turn ...>...</turn> element, non-greedy across newlines. Turn
+# elements must not nest (the per-format element path contract of the
+# reference's configurable DocIndexers); inline markup INSIDE a turn
+# is preserved and indexed by a tags=True build.
+_TURN_RE = r"(?s)<turn\b[^>]*>.*?</turn>"
+_CONV_ID_RE = r'(?s)<conversation\b[^>]*\bid\s*=\s*"([^"]*)"'
+
+
+def _xml_attr(col, name: str):
+    """Value of attribute ``name`` on the element's opening tag, NULL
+    when absent (empty string never occurs in our contract)."""
+    return F.nullif(
+        F.regexp_extract(col, r'(?s)^<turn\b[^>]*\b%s\s*=\s*"([^"]*)"'
+                         % name, 1),
+        F.lit(""))
+
+
+def read_xml(spark: SparkSession, path: str) -> DataFrame:
+    """TEI-ish XML transcripts: one file per conversation
+    (``<conversation id="...">`` root), one ``<turn role=".."
+    ts=".." [tool=".."]>`` element per turn, inline markup allowed
+    inside turns (indexed as the ``_spans`` tag layer when built with
+    ``BuildConfig(tags=True)``). The reference's closest analogs are
+    its TEI/FoLiA DocIndexers (formats/tei.blf.yaml); like them the
+    input must be well-formed and the element path is fixed by the
+    format config. Extraction is wholetext read + JVM ``regexp``
+    projections — no Python, no XML library, no shuffle; one file =
+    one task unit, so 100 TB of files parallelizes by file count."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+    conv_id = F.coalesce(
+        F.nullif(F.regexp_extract("value", _CONV_ID_RE, 1), F.lit("")),
+        F.regexp_extract("_file", r"([^/]+?)(?:\.xml)?$", 1))
+    turns = files.select(
+        conv_id.alias("conv_id"),
+        F.posexplode(F.regexp_extract_all(
+            "value", F.lit(_TURN_RE), 0)).alias("turn_idx", "_turn"))
+    body = F.trim(F.regexp_replace(
+        "_turn", r"(?s)^<turn\b[^>]*>|</turn>$", ""))
+    return _canonicalize(turns.select(
+        "conv_id", "turn_idx",
+        _xml_attr(F.col("_turn"), "role").alias("role"),
+        body.alias("text"),
+        _xml_attr(F.col("_turn"), "tool").alias("tool"),
+        F.to_timestamp(_xml_attr(F.col("_turn"), "ts")).alias("ts")))
+
+
 def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg catalog table (the production input per
     BASELINE.json.input_hint): ``spark.read.table`` against a
@@ -66,7 +119,7 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
 
 
 READERS = {"parquet": read_parquet, "jsonl": read_jsonl, "csv": read_csv,
-           "iceberg": read_iceberg}
+           "tsv": read_tsv, "xml": read_xml, "iceberg": read_iceberg}
 
 
 def read_transcripts(spark: SparkSession, path: str,
