@@ -29,23 +29,46 @@ class SearchSettings:
     ``max_hits_to_count`` bounds counting (None = unlimited)."""
     max_hits_to_process: int = 10_000_000
     max_hits_to_count: int | None = None
+from blacklab_spark.cache import ResultCache
 from blacklab_spark.operators import hits as H
 from blacklab_spark.operators import phrase as P
-from blacklab_spark.operators.scoring import topk_exhaustive, doc_scores, finish_topk
+from blacklab_spark.operators.scoring import (TOPK_SCHEMA, topk_exhaustive,
+                                              doc_scores, finish_topk)
 from blacklab_spark.operators.wand import topk_wand, topk_wand_filtered
 from blacklab_spark.tokenizer import py_tokens_insensitive
 
 
 class SearchEngine:
+    """``cache_size`` > 0 opts into the serving-path result cache
+    (cache.py): repeated ``topk``/``count_hits`` calls return
+    driver-materialized results without re-running Spark jobs, with
+    delete-aware keys. Off by default — the library's lazy-DataFrame
+    contract (and honest benchmarking) stays unchanged unless a
+    long-lived server asks for it."""
+
     def __init__(self, index: InvertedIndex,
-                 settings: SearchSettings | None = None):
+                 settings: SearchSettings | None = None,
+                 cache_size: int = 0):
         self.index = index
         self.spark = index.spark
         self.settings = settings or SearchSettings()
+        self.cache = ResultCache(cache_size)
 
     @classmethod
-    def open(cls, spark: SparkSession, path: str) -> "SearchEngine":
-        return cls(open_index(spark, path))
+    def open(cls, spark: SparkSession, path: str,
+             cache_size: int = 0) -> "SearchEngine":
+        return cls(open_index(spark, path), cache_size=cache_size)
+
+    def _cache_key(self, *parts) -> tuple | None:
+        """None = not cacheable (a Column filter has no stable
+        identity). Keys embed the tombstone listing — see cache.py."""
+        if self.cache.maxsize <= 0:
+            return None
+        for p in parts:
+            if p is not None and not isinstance(
+                    p, (str, int, float, bool, tuple)):
+                return None
+        return parts + (self.index._tombstone_listing(),)
 
     # -- filters (role/tool as filterable annotations, SURVEY.md §1.1) --
     @staticmethod
@@ -77,6 +100,8 @@ class SearchEngine:
     def topk(self, query: str | list[str], k: int = 10, mode: str = "auto",
              role=None, tool=None, conv_id=None, where=None) -> DataFrame:
         terms = self._terms(query)
+        key = self._cache_key("topk", tuple(terms), k, mode,
+                              role, tool, conv_id, where)
         filt = self._doc_filter(role, tool, conv_id, where)
         if mode == "auto":
             # cost-based (≙ ClauseCombinerNfa-style statistics choice):
@@ -94,9 +119,15 @@ class SearchEngine:
                 # decode, threshold seeded from filtered candidates
                 # (topk_wand_filtered docstring; the unfiltered metadata
                 # bound would not be valid here).
-                return topk_wand_filtered(self.index, terms, filt, k)
-            return topk_wand(self.index, terms, k)
-        return topk_exhaustive(self.index, terms, k, doc_filter=filt)
+                plan = topk_wand_filtered(self.index, terms, filt, k)
+            else:
+                plan = topk_wand(self.index, terms, k)
+        else:
+            plan = topk_exhaustive(self.index, terms, k, doc_filter=filt)
+        if key is None:
+            return plan
+        rows = self.cache.get_or(key, plan.collect)
+        return self.spark.createDataFrame(rows, TOPK_SCHEMA)
 
     def scores(self, query: str | list[str], role=None, tool=None,
                conv_id=None, where=None) -> DataFrame:
@@ -214,11 +245,18 @@ class SearchEngine:
     def count_hits(self, cql: str, **filters) -> int:
         """Count hits for a query, honoring max_hits_to_count
         (ResultCount analog; None = exact unlimited count)."""
-        hits = self.find(cql, **filters)
         cap = self.settings.max_hits_to_count
-        if cap is not None:
-            return hits.limit(cap).count()
-        return hits.count()
+        key = self._cache_key("count_hits", cql, cap,
+                              *(x for kv in sorted(filters.items())
+                                for x in kv))
+        def compute() -> int:
+            hits = self.find(cql, **filters)
+            if cap is not None:
+                return hits.limit(cap).count()
+            return hits.count()
+        if key is None:
+            return compute()
+        return self.cache.get_or(key, compute)
 
     def explain_cql(self, cql: str, physical: bool = True) -> str:
         from blacklab_spark.plans.executor import explain as _explain

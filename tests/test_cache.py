@@ -1,0 +1,71 @@
+"""Serving-path result cache (reference SearchCache.java:18 /
+BlsCache): opt-in, driver-materialized, delete-invalidated."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from blacklab_spark.cache import ResultCache
+from blacklab_spark.engine import SearchEngine
+
+
+def test_lru_eviction_and_counters():
+    c = ResultCache(maxsize=2)
+    assert c.get_or("a", lambda: 1) == 1
+    assert c.get_or("a", lambda: 99) == 1      # hit keeps first value
+    c.get_or("b", lambda: 2)
+    c.get_or("c", lambda: 3)                   # evicts "a" (LRU)
+    calls = []
+    assert c.get_or("a", lambda: calls.append(1) or 4) == 4
+    assert calls and c.info() == {"entries": 2, "maxsize": 2,
+                                  "hits": 1, "misses": 4}
+    c.clear()
+    assert c.info()["entries"] == 0
+
+
+def test_zero_size_cache_always_computes():
+    c = ResultCache(maxsize=0)
+    assert c.get_or("k", lambda: 1) == 1
+    assert c.get_or("k", lambda: 2) == 2
+    assert c.info()["entries"] == 0
+
+
+def test_engine_topk_and_count_cached(spark, tiny_index_dir):
+    eng = SearchEngine.open(spark, tiny_index_dir, cache_size=8)
+    ref = SearchEngine.open(spark, tiny_index_dir)
+    first = eng.topk(["visa"], k=5).collect()
+    again = eng.topk(["visa"], k=5).collect()
+    assert first == again == ref.topk(["visa"], k=5).collect()
+    assert eng.cache.hits == 1 and eng.cache.misses == 1
+    n = eng.count_hits('"visa"')
+    assert eng.count_hits('"visa"') == n == ref.count_hits('"visa"')
+    assert eng.cache.hits == 2
+    # different args are different entries
+    eng.topk(["visa"], k=3).collect()
+    assert eng.cache.misses == 3
+
+
+def test_engine_cache_skips_column_filters(spark, tiny_index_dir):
+    from pyspark.sql import functions as F
+    eng = SearchEngine.open(spark, tiny_index_dir, cache_size=8)
+    out = eng.topk(["visa"], k=3, where=F.col("role") == "user")
+    assert out.count() <= 3
+    assert eng.cache.info()["entries"] == 0  # Column filter: uncacheable
+
+
+def test_delete_invalidates_cache(spark, tiny_index_dir, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("cacheidx") / "idx")
+    shutil.copytree(tiny_index_dir, idx_dir)
+    eng = SearchEngine.open(spark, idx_dir, cache_size=8)
+    before = eng.topk(["visa"], k=5).collect()
+    assert eng.topk(["visa"], k=5).collect() == before  # cache hit
+    hits_before = eng.cache.hits
+    from blacklab_spark.delete import delete_docs
+    from pyspark.sql import functions as F
+    deleted = delete_docs(eng.index, F.col("doc_id") == before[0]["doc_id"])
+    assert deleted == 1
+    after = eng.topk(["visa"], k=5).collect()  # new tombstone key: miss
+    assert eng.cache.hits == hits_before
+    assert before[0]["doc_id"] not in [r["doc_id"] for r in after]
