@@ -762,6 +762,16 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_group_repetition(spark, sf_dir):
+        """("the" "table"){1,2} — bounded repetition of a Seq GROUP
+        (cql.jj: repetition applies to any repetitionQuery, not just
+        leaves)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '("the" "table"){1,2}')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_capture_group(spark, sf_dir):
         """Named capture x:("the") "table" — match_info surfaces the
         captured span as columns."""
@@ -1029,6 +1039,7 @@ def gate_queries() -> dict:
         "cql_or_terms": cql_or_terms,
         "cql_not_token": cql_not_token,
         "cql_repetition_unbounded": cql_repetition_unbounded,
+        "cql_group_repetition": cql_group_repetition,
         "cql_capture_group": cql_capture_group,
         "spans_edge_trailing": spans_edge_trailing,
         "spans_overlapping_grams": spans_overlapping_grams,
@@ -1112,6 +1123,17 @@ runs AS (
   FROM runs r JOIN pos q ON q.doc_id = r.doc_id AND q.p = r.e
   WHERE q.tok = 'the')
 SELECT doc_id, CAST(s AS INT) AS start, CAST(e AS INT) AS "end" FROM runs
+""",
+        "cql_group_repetition": f"""
+WITH {_DOC_POS},
+bi AS (
+  SELECT a.doc_id, a.p AS s, a.p + 2 AS e
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.tok = 'the' AND b.tok = 'table')
+SELECT doc_id, CAST(s AS INT) AS start, CAST(e AS INT) AS "end" FROM bi
+UNION
+SELECT x.doc_id, CAST(x.s AS INT) AS start, CAST(y.e AS INT) AS "end"
+FROM bi x JOIN bi y ON x.doc_id = y.doc_id AND y.s = x.e
 """,
         "cql_capture_group": f"""
 WITH {_DOC_POS}

@@ -200,6 +200,50 @@ def test_find_unbounded_repetition(idx, tiny_oracle):
     assert got == sorted(expected)
 
 
+def test_group_repetition_bounded(idx, tiny_oracle):
+    """("the" "a"){1,2} — Rep over a Seq group (cql.jj repetition
+    applies to any repetitionQuery, not just leaves)."""
+    got = hits_of(find(idx, '("the" "a"){1,2}'))
+    expected = set()
+    for d, toks in otoks(tiny_oracle).items():
+        for s in range(len(toks) - 1):
+            if toks[s] == "the" and toks[s + 1] == "a":
+                expected.add((d, s, s + 2))
+                if (s + 3 < len(toks) and toks[s + 2] == "the"
+                        and toks[s + 3] == "a"):
+                    expected.add((d, s, s + 4))
+    assert got == sorted(expected)
+    assert parse('("the" "a"){1,2}') == Q.Rep(
+        Q.Seq(Q.Term("the"), Q.Term("a")), 1, 2)
+
+
+def test_group_repetition_unbounded(idx, tiny_oracle):
+    """("the" "a")+ — unbounded Rep over a group rides the same
+    per-doc closure kernel as a leaf."""
+    got = hits_of(find(idx, '("the" "a")+'))
+    expected = set()
+    for d, toks in otoks(tiny_oracle).items():
+        for s in range(len(toks) - 1):
+            if toks[s] == "the" and toks[s + 1] == "a":
+                e = s
+                while (e + 1 < len(toks) and toks[e] == "the"
+                       and toks[e + 1] == "a"):
+                    e += 2
+                    expected.add((d, s, e))
+    assert got == sorted(expected)
+
+
+def test_group_or_repetition(idx, tiny_oracle):
+    """("the" | "a"){2} — Rep over an OR group."""
+    got = hits_of(find(idx, '("the" | "a"){2}'))
+    expected = sorted(
+        (d, s, s + 2)
+        for d, toks in otoks(tiny_oracle).items()
+        for s in range(len(toks) - 1)
+        if toks[s] in ("the", "a") and toks[s + 1] in ("the", "a"))
+    assert got == expected
+
+
 def test_regex_case_insensitive(idx):
     """Uppercase in a regex must still match the lowercased @i
     dictionary (reference desensitizes the pattern)."""
