@@ -659,6 +659,15 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_bracket_bool(spark, sf_dir):
+        """Boolean bracket expression [word="s.*" & word!="spark"] —
+        same-span AND with a negated test (cql.jj attValuePair)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '[word="s.*" & word!="spark"]')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_pos_layer(spark, sf_dir):
         """Non-word annotation layer: [pos="func"] positions via the
         derived pos token layer (Annotation.java:9 analog)."""
@@ -1028,6 +1037,7 @@ def gate_queries() -> dict:
         "cql_gap_phrase": cql_gap_phrase,
         "cql_term_postings": cql_term_postings,
         "cql_regex_postings": cql_regex_postings,
+        "cql_bracket_bool": cql_bracket_bool,
         "cql_constraint_samewords": cql_constraint_samewords,
         "cql_pos_layer": cql_pos_layer,
         "relations_det_target": relations_det_target,
@@ -1087,6 +1097,11 @@ def gate_oracles() -> dict[str, str]:
         "cql_gap_phrase": cql_gap_sql("the", "table"),
         "cql_term_postings": term_positions_sql("vector"),
         "cql_regex_postings": regex_positions_sql("tabl.*"),
+        "cql_bracket_bool": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos WHERE regexp_full_match(tok, 's.*') AND tok != 'spark'
+""",
         "cql_constraint_samewords": f"""
 WITH {_DOC_POS}
 SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"

@@ -38,8 +38,8 @@ _TOKEN_RE = re.compile(r"""
         @[A-Za-z_][A-Za-z0-9_]*=[^\s]+ |  # @key=value settings
         "(?:[^"\\]|\\.)*"          |  # double-quoted
         '(?:[^'\\]|\\.)*'          |  # single-quoted
-        \[\s*[A-Za-z_][A-Za-z0-9_]*\s*=\s*"[^"]*"\s*\] |  # [annot="..."]
         \[\s*\]                    |  # []
+        \[(?:[^\]"]|"[^"]*")*\]    |  # [annot="..."] / boolean bracket expr
         <turn/>                    |
         <[A-Za-z][A-Za-z0-9_-]*(?:\s[^>]*)?/> |  # inline tag <s/> <ne k="v"/>
 
@@ -115,6 +115,91 @@ def _word_pattern(text: str) -> Pattern:
     if _META.search(text):
         return Regex(_fold_regex_literals(text))
     return Term(py_fold_insensitive(text))
+
+
+def _attr_leaf(layer: str, val: str) -> Pattern:
+    """One annotation test inside a token bracket (cql.jj:631
+    attValuePair)."""
+    if layer == "word":
+        return _word_pattern(val)
+    # ci/di sensitivity pseudo-layers desensitize the value exactly
+    # like their token column (MatchSensitivity.java):
+    # [word_ci="Café"] probes lower(tokens_s) with "café".
+    if layer == "word_ci":
+        val = val.lower() if not _META.search(val) else val
+    elif layer == "word_di":
+        from blacklab_spark.tokenizer import py_fold_diacritics
+        if not _META.search(val):
+            val = py_fold_diacritics(val)
+    # non-word annotation layer ([pos="..."]): values are
+    # layer-literal (no folding)
+    return Regex(val, layer) if _META.search(val) else Term(val, layer)
+
+
+_BRACKET_TOKEN = re.compile(r"""
+    \s*(
+        [A-Za-z_][A-Za-z0-9_]*\s*!?=\s*"[^"]*" |  # annot =/!= "value"
+        \(|\)|&|\||!
+    )""", re.VERBOSE)
+_BRACKET_TEST = re.compile(
+    r'^([A-Za-z_][A-Za-z0-9_]*)\s*(!?=)\s*"([^"]*)"$')
+
+
+def _parse_bracket(inner: str) -> Pattern:
+    """Boolean expression over annotation tests inside one token
+    bracket: ``[lemma="x" & pos="y"]``, ``[word="a" | word="b"]``,
+    ``[pos!="noun"]``, parentheses and ``!`` (reference cql.jj
+    attValuePair grammar; TextPatternAndNot over single-token
+    clauses). ``&`` binds tighter than ``|``; every operand is a
+    width-1 leaf, so And is same-span intersection, Not the token
+    complement — the existing span operators."""
+    toks, pos = [], 0
+    while pos < len(inner):
+        if inner[pos:].strip() == "":
+            break
+        m = _BRACKET_TOKEN.match(inner, pos)
+        if not m:
+            raise ParseError(
+                f"cannot tokenize bracket expression at: "
+                f"{inner[pos:pos+20]!r}")
+        toks.append(m.group(1))
+        pos = m.end()
+    p = _Parser(toks)
+
+    def unary() -> Pattern:
+        t = p.next()
+        if t == "!":
+            return Not(unary())
+        if t == "(":
+            node = or_()
+            if p.next() != ")":
+                raise ParseError("expected ) in bracket expression")
+            return node
+        m = _BRACKET_TEST.match(t)
+        if not m:
+            raise ParseError(f"expected annot=\"value\" test, got {t!r}")
+        leaf = _attr_leaf(m.group(1), m.group(3))
+        return Not(leaf) if m.group(2) == "!=" else leaf
+
+    def and_() -> Pattern:
+        node = unary()
+        while p.peek() == "&":
+            p.next()
+            node = And(node, unary())
+        return node
+
+    def or_() -> Pattern:
+        node = and_()
+        while p.peek() == "|":
+            p.next()
+            node = Or(node, and_())
+        return node
+
+    node = or_()
+    if p.peek() is not None:
+        raise ParseError(
+            f"trailing content in bracket expression: {p.peek()!r}")
+    return node
 
 
 class _Parser:
@@ -258,24 +343,7 @@ class _Parser:
         if t == "[]":
             return AnyToken(1, 1)
         if t.startswith("[") and "=" in t:
-            m = re.match(r'\[\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"([^"]*)"\s*\]',
-                         t)
-            layer, val = m.group(1), m.group(2)
-            if layer == "word":
-                return _word_pattern(val)
-            # ci/di sensitivity pseudo-layers desensitize the value
-            # exactly like their token column (MatchSensitivity.java):
-            # [word_ci="Café"] probes lower(tokens_s) with "café".
-            if layer == "word_ci":
-                val = val.lower() if not _META.search(val) else val
-            elif layer == "word_di":
-                from blacklab_spark.tokenizer import py_fold_diacritics
-                if not _META.search(val):
-                    val = py_fold_diacritics(val)
-            # non-word annotation layer ([pos="..."], cql.jj:631
-            # attValuePair): values are layer-literal (no folding)
-            return Regex(val, layer) if _META.search(val) \
-                else Term(val, layer)
+            return _parse_bracket(t[1:-1])
         if t == "<turn/>":
             return Turn()
         if t.startswith("<") and t.endswith("/>"):

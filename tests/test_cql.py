@@ -200,6 +200,45 @@ def test_find_unbounded_repetition(idx, tiny_oracle):
     assert got == sorted(expected)
 
 
+def test_bracket_bool_parse_shapes():
+    assert parse('[word="a" | word="b"]') == Q.Or(Q.Term("a"), Q.Term("b"))
+    assert parse('[word="th.*" & word!="the"]') == Q.And(
+        Q.Regex("th.*"), Q.Not(Q.Term("the")))
+    assert parse('[!word="the"]') == Q.Not(Q.Term("the"))
+    assert parse('[(word="a" | word="b") & pos="noun"]') == Q.And(
+        Q.Or(Q.Term("a"), Q.Term("b")), Q.Term("noun", "pos"))
+    with pytest.raises(ParseError):
+        parse('[word="a" &]')
+    with pytest.raises(ParseError):
+        parse('[word="a" ;; word="b"]')
+
+
+def test_bracket_bool_and_neq(idx, tiny_oracle):
+    """[word="th.*" & word!="the"] — same-span AND with a negated
+    test (cql.jj attValuePair; TextPatternAndNot)."""
+    got = hits_of(find(idx, '[word="th.*" & word!="the"]'))
+    expected = sorted(
+        (d, p, p + 1)
+        for d, toks in otoks(tiny_oracle).items()
+        for p, t in enumerate(toks)
+        if re.fullmatch("th.*", t) and t != "the")
+    assert got == expected
+
+
+def test_bracket_bool_or(idx, tiny_oracle):
+    assert hits_of(find(idx, '[word="the" | word="a"]')) == \
+        hits_of(find(idx, '"the" | "a"'))
+
+
+def test_bracket_bool_cross_layer(idx, tiny_oracle):
+    """[word="th.*" & pos="func"] — AND across annotation layers."""
+    got = hits_of(find(idx, '[word="th.*" & pos="func"]'))
+    inter = hits_of(find(idx, '[word="th.*"]'))
+    pos_hits = set(hits_of(find(idx, '[pos="func"]')))
+    assert got == sorted(h for h in inter if h in pos_hits)
+    assert got  # non-empty on the tiny corpus ("the" is func)
+
+
 def test_group_repetition_bounded(idx, tiny_oracle):
     """("the" "a"){1,2} — Rep over a Seq group (cql.jj repetition
     applies to any repetitionQuery, not just leaves)."""
