@@ -83,13 +83,23 @@ BLOCK_SCHEMA = T.StructType([
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers (driver-side, no Spark job —
     each read-back count() was ~0.5-1s of serial latency per stage)."""
+    return sum(rows for _, rows in _parquet_file_rows(path))
+
+
+def _parquet_file_rows(path: str) -> list[tuple[str, int]]:
+    """(file, rows) per output partition file, from the footers.
+    This is the stage's per-partition lineage: which task wrote which
+    rows. Footer reads are O(files) driver-side metadata lookups; a
+    10^12-row index with ~10^5 files costs a few seconds and a few MB
+    of manifest — no data pass."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
-    total = 0
-    for f in _glob.glob(os.path.join(path, "*.parquet")):
-        total += _pq.ParquetFile(f).metadata.num_rows
-    return total
+    out = []
+    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        out.append((os.path.basename(f),
+                    _pq.ParquetFile(f).metadata.num_rows))
+    return out
 
 
 def assign_dense_ids(df: DataFrame, key_cols: list[str], id_col: str,
@@ -161,15 +171,21 @@ class IndexBuilder:
         return bool(st and st.get("status") == "done"
                     and os.path.exists(os.path.join(self.out, name, "_SUCCESS")))
 
-    def _finish_stage(self, m: dict, name: str, t0: float, rows: int,
-                      partitions: int) -> None:
+    def _finish_stage(self, m: dict, name: str, t0: float, path: str,
+                      partitions: int) -> int:
         dur = time.time() - t0
+        files = _parquet_file_rows(path)
+        rows = sum(r for _, r in files)
         m["stages"][name] = {
             "status": "done", "rows": rows, "partitions": partitions,
             "duration_sec": round(dur, 3),
             "rows_per_sec": round(rows / dur, 1) if dur > 0 else None,
+            # per-partition lineage (north rule): one entry per output
+            # file = per write-task row count, from the parquet footers
+            "files": [{"file": f, "rows": r} for f, r in files],
         }
         self._save_manifest(m)
+        return rows
 
     # -- build ---------------------------------------------------------
     def build(self, transcripts: DataFrame, resume: bool = False) -> dict:
@@ -205,7 +221,32 @@ class IndexBuilder:
             mode = cfg.store_token_arrays
             mode = {True: "all", False: "none"}.get(mode, mode)
             stored = []
-            if mode == "all":
+            pre_layers = [c for c in ("tokens_s", "tokens_pos",
+                                      "tokens_lemma")
+                          if c in transcripts.columns]
+            if pre_layers:
+                # PRE-ANNOTATED input (e.g. sources/files.read_conllu —
+                # the reference's pre-tagged-corpus mode,
+                # formats/conll-u.blf.yaml): the input defines the
+                # token stream, so never re-tokenize from text; the @i
+                # layer is the per-token fold∘lower of the given
+                # surface forms, and provided pos/lemma layers are
+                # stored as given (with_token_layers derives only
+                # ABSENT columns at read time, so queries see these).
+                if "tokens_s" not in pre_layers:
+                    raise ValueError(
+                        "pre-annotated input needs tokens_s alongside "
+                        f"{pre_layers}")
+                if cfg.tags:
+                    raise ValueError(
+                        "tags=True (inline-markup) and pre-tokenized "
+                        "input are mutually exclusive")
+                from blacklab_spark.tokenizer import fold_insensitive
+                doc_meta = with_ids.withColumn(
+                    "tokens", F.transform(F.col("tokens_s"),
+                                          fold_insensitive))
+                stored = ["tokens"] + pre_layers
+            elif mode == "all":
                 from blacklab_spark.annotations import with_token_layers
                 doc_meta = with_token_layers(with_ids, cfg.annotations)
                 stored = ["tokens", "tokens_s"] + (
@@ -242,8 +283,7 @@ class IndexBuilder:
                 .option("parquet.block.size", 4 * 1024 * 1024) \
                 .parquet(doc_meta_path)
             cached.unpersist()
-            self._finish_stage(m, "doc_meta", t0,
-                               _parquet_rows(doc_meta_path), parts)
+            self._finish_stage(m, "doc_meta", t0, doc_meta_path, parts)
 
         doc_meta = self.spark.read.parquet(doc_meta_path)
 
@@ -261,8 +301,7 @@ class IndexBuilder:
                 sp.write.mode("overwrite") \
                     .option("parquet.block.size", 4 * 1024 * 1024) \
                     .parquet(spans_path)
-                self._finish_stage(m, "spans", t0,
-                                   _parquet_rows(spans_path), parts)
+                self._finish_stage(m, "spans", t0, spans_path, parts)
 
         agg = doc_meta.agg(F.count("*").alias("n"),
                            F.sum("n_tokens").alias("tot")).collect()[0]
@@ -282,8 +321,7 @@ class IndexBuilder:
             runs.write.mode("overwrite") \
                 .option("parquet.block.size", 4 * 1024 * 1024) \
                 .parquet(runs_path)
-            self._finish_stage(m, "runs", t0, _parquet_rows(runs_path),
-                               parts)
+            self._finish_stage(m, "runs", t0, runs_path, parts)
         runs = self.spark.read.parquet(runs_path)
 
         # Stage 3: terms dictionary with dense ids (sorted by term).
@@ -300,8 +338,7 @@ class IndexBuilder:
             # and sorted by term (= term_id order); write directly
             terms.write.mode("overwrite").parquet(terms_path)
             t_cached.unpersist()
-            self._finish_stage(m, "terms", t0, _parquet_rows(terms_path),
-                               parts)
+            self._finish_stage(m, "terms", t0, terms_path, parts)
         terms = self.spark.read.parquet(terms_path)
 
         # Stage 4: shuffle merge of mini-blocks per (term_id, bucket):
@@ -332,8 +369,7 @@ class IndexBuilder:
             blocks.write.mode("overwrite") \
                 .option("parquet.block.size", 4 * 1024 * 1024) \
                 .parquet(postings_path)
-            self._finish_stage(m, "postings", t0,
-                               _parquet_rows(postings_path), parts)
+            self._finish_stage(m, "postings", t0, postings_path, parts)
 
         m["built_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         self._save_manifest(m)

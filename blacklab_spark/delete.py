@@ -51,7 +51,12 @@ def compact(spark: SparkSession, index_dir: str, out_dir: str,
     no original input table is needed."""
     from blacklab_spark.build import build_index
     idx = open_index(spark, index_dir)
-    src = idx.doc_meta.select(*SOURCE_COLUMNS)
+    # pre-annotated indexes (sources/files.read_conllu): carry the
+    # stored layer arrays through the rebuild so it stays
+    # pre-tokenized instead of re-tokenizing the reconstructed text
+    pre = [c for c in ("tokens_s", "tokens_pos", "tokens_lemma")
+           if c in idx.doc_meta.columns]
+    src = idx.doc_meta.select(*SOURCE_COLUMNS, *pre)
     if getattr(idx.cfg, "tags", False):
         # tags index: doc_meta.text is the STRIPPED text; the rebuild
         # must re-ingest the original markup (text_raw) so the new

@@ -106,6 +106,89 @@ def read_xml(spark: SparkSession, path: str) -> DataFrame:
         F.to_timestamp(_xml_attr(F.col("_turn"), "ts")).alias("ts")))
 
 
+# -- CoNLL-U: pre-tokenized + pre-annotated input ---------------------
+# Columns a source may provide to make the build PRE-ANNOTATED: the
+# input then DEFINES the token stream (never re-tokenized from text)
+# and its pos/lemma layers are stored as given instead of derived.
+# This is the reference's primary real-world mode — indexing corpora
+# that arrive tagged (formats/conll-u.blf.yaml: word=col2, lemma=col3,
+# pos=col4; voice-tei.blf.yaml indexes word/lemma/pos the same way).
+PRETOKENIZED_COLUMNS = ("tokens_s", "tokens_pos", "tokens_lemma")
+
+
+def read_conllu(spark: SparkSession, path: str) -> DataFrame:
+    """CoNLL-U transcripts: one file per conversation, one sentence
+    block per turn (reference: formats/conll-u.blf.yaml — the same
+    column mapping: FORM=2 → word, LEMMA=3 → lemma, UPOS=4 → pos).
+
+    Parsing is wholetext read + JVM higher-order functions (split /
+    filter / transform / aggregate) — no Python, no XML/CoNLL library,
+    no shuffle; one file = one task, so a 100 TB corpus parallelizes
+    by file count. Multiword-token ranges (``1-2``) and empty nodes
+    (``1.1``) are skipped like the reference does (plain-integer ID
+    lines only). ``text`` is reconstructed honoring ``SpaceAfter=No``;
+    per-turn metadata comes from sentence-level comments
+    (``# speaker =``, ``# tool =``, ``# ts =``); ``ts`` falls back to
+    a deterministic per-turn timestamp when absent (CoNLL-U carries no
+    time axis, but the transcript schema requires one)."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+    conv_id = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "value", r"(?m)^# *newdoc id *= *(\S+)", 1), F.lit("")),
+        F.regexp_extract("_file", r"([^/]+?)(?:\.conllu)?$", 1))
+    blocks = files.select(
+        conv_id.alias("conv_id"),
+        F.posexplode(F.filter(
+            F.split("value", r"\n[ \t]*\n"),
+            # a turn is a block with ≥1 plain-integer-ID token line
+            lambda b: b.rlike(r"(?m)^\d+\t"))).alias("turn_idx", "_blk"))
+
+    fields = F.filter(
+        F.transform(F.split("_blk", "\n"), lambda l: F.split(l, "\t")),
+        lambda a: F.element_at(a, 1).rlike(r"^\d+$"))
+    form = lambda a: F.element_at(a, 2)            # noqa: E731
+    lemma = lambda a: F.try_element_at(a, F.lit(3))  # noqa: E731
+    upos = lambda a: F.try_element_at(a, F.lit(4))   # noqa: E731
+    misc = lambda a: F.try_element_at(a, F.lit(10))  # noqa: E731
+
+    def comment(key: str):
+        return F.nullif(F.regexp_extract(
+            "_blk", r"(?m)^# *%s *= *(.*\S)" % key, 1), F.lit(""))
+
+    text = F.rtrim(F.aggregate(
+        F.col("_t"), F.lit(""),
+        lambda acc, a: F.concat(
+            acc, form(a),
+            F.when(F.coalesce(misc(a), F.lit(""))
+                   .contains("SpaceAfter=No"), F.lit(""))
+            .otherwise(F.lit(" ")))))
+    # LEMMA '_' (unspecified) falls back to the surface form; the
+    # layer is single-valued here (array per position = the engine's
+    # multi-value layout with one stacked value)
+    lemma_vals = F.transform(
+        F.col("_t"),
+        lambda a: F.array(F.coalesce(F.nullif(lemma(a), F.lit("_")),
+                                     form(a))))
+    out = (blocks.withColumn("_t", fields)
+           .select(
+               "conv_id", "turn_idx",
+               comment("speaker").alias("role"),
+               text.alias("text"),
+               comment("tool").alias("tool"),
+               F.coalesce(
+                   F.to_timestamp(comment("ts")),
+                   F.timestamp_seconds(F.lit(946684800)
+                                       + F.col("turn_idx"))).alias("ts"),
+               F.transform(F.col("_t"), form).alias("tokens_s"),
+               F.transform(
+                   F.col("_t"),
+                   lambda a: F.coalesce(upos(a), F.lit("_")))
+               .alias("tokens_pos"),
+               lemma_vals.alias("tokens_lemma")))
+    return out
+
+
 def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg catalog table (the production input per
     BASELINE.json.input_hint): ``spark.read.table`` against a
@@ -119,7 +202,8 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
 
 
 READERS = {"parquet": read_parquet, "jsonl": read_jsonl, "csv": read_csv,
-           "tsv": read_tsv, "xml": read_xml, "iceberg": read_iceberg}
+           "tsv": read_tsv, "xml": read_xml, "conllu": read_conllu,
+           "iceberg": read_iceberg}
 
 
 def read_transcripts(spark: SparkSession, path: str,

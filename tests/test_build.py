@@ -104,5 +104,8 @@ def test_manifest_lineage(spark, tiny_index_dir):
         assert m["stages"][st]["status"] == "done"
         assert m["stages"][st]["rows"] > 0
         assert m["stages"][st]["rows_per_sec"] is not None
+        # per-partition lineage: one entry per output file, rows add up
+        files = m["stages"][st]["files"]
+        assert files and sum(e["rows"] for e in files) == m["stages"][st]["rows"]
     assert m["config"]["k1"] == 1.2 and m["config"]["b"] == 0.75
     assert m["stats"]["n_docs"] == 112  # 41+30+41 turns (FIXTURES.md tiny)
