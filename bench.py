@@ -112,9 +112,15 @@ def main() -> None:
     scaling_convs = 60000  # sized so parallel work >> fixed job latency
     corpus_path = f"{WORK}/corpus_{n_convs}"
     scaling_path = f"{WORK}/corpus_{scaling_convs}"
-    warm_path = f"{WORK}/corpus_warm"
+    warm_path = f"{WORK}/corpus_warm2000"
+    # Warm-up corpus sized for JIT TIERING, not just codegen: 20 convs
+    # compile every stage shape but leave the hot kernel loops
+    # interpreted/C1 (successive same-config reps measured 159→84→56s
+    # at local[16] — pure tiering). ~110k turns drives enough batch
+    # invocations that rep0 of the timed runs is near steady state,
+    # shrinking the run-to-run spread of the scaling-efficiency ratio.
     for path, n in ((corpus_path, n_convs), (scaling_path, scaling_convs),
-                    (warm_path, 20)):
+                    (warm_path, 2000)):
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             log(f"generating {n} convs → {path}")
             gen_transcripts_spark(spark, "bench", seed=42, n_convs=n,
@@ -188,28 +194,33 @@ def main() -> None:
         reps=3), 3)
 
     # -- scaling evidence: same job + input at several parallelism
-    # levels (N→4N criterion; BASELINE.md). Reported per pair so the
-    # single-box memory-bus ceiling is visible rather than hidden:
-    # each task slot runs a JVM thread + a Python worker, and the
-    # streaming-heavy stages share one memory bus — a real cluster's
-    # N→4N adds whole machines instead.
+    # levels (N→4N criterion; BASELINE.md). Each level runs in a FRESH
+    # subprocess pinned (taskset) to a proportional CPU budget of
+    # 2 hardware threads per task slot — one JVM task thread + one
+    # Python worker, the process pair a real executor core drives.
+    # Without pinning, a local[1] "node" borrows the whole box for its
+    # GC / JIT-compiler / parquet-compression / pipelined-Arrow
+    # background threads while local[16] cannot, which systematically
+    # inflates the small-N baseline and understates efficiency; with
+    # pinning, N→4N quadruples the hardware — the closest single-box
+    # analog of adding machines. Fresh process per level also means a
+    # fresh JVM: no level inherits another's JIT tiering state.
     scaling = {}
     if RUN_SCALING:
         spark.stop()
+        import subprocess
         levels = sorted({1, max(1, CPUS // 8), max(4, CPUS // 2)})
         for cores in levels:
-            s = get_spark(f"blacklab-scale-{cores}", cores=cores,
-                          shuffle_partitions=CPUS)  # same partitioning!
-            best = None
-            for i in range(2 if cores == 1 else 3):
-                r = build_once(s, scaling_path, f"{WORK}/idx_scale_{cores}",
-                               CPUS,
-                               warmup_corpus=warm_path if i == 0 else None)
-                if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
-                    best = r
+            budget = min(2 * cores, os.cpu_count() or 32)
+            cmd = ["taskset", "-c", f"0-{budget - 1}",
+                   sys.executable, os.path.abspath(__file__),
+                   "--scale-child", str(cores), scaling_path, warm_path,
+                   f"{WORK}/idx_scale_{cores}", str(CPUS)]
+            log(f"scaling local[{cores}] on {budget} cpus: {' '.join(cmd)}")
+            proc = subprocess.run(cmd, stdout=subprocess.PIPE, cwd=REPO)
+            best = json.loads(proc.stdout.decode().strip().splitlines()[-1])
             scaling[f"local[{cores}]"] = best
             log(f"scaling local[{cores}]: {best}")
-            s.stop()
         def thr(c):
             return scaling[f"local[{c}]"]["turns_per_sec"]
         lo, mid, hi = levels[0], levels[1], levels[2]
@@ -239,5 +250,27 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def scale_child(argv: list[str]) -> None:
+    """One scaling level, run in its own (taskset-pinned) process:
+    fresh JVM, untimed warm-up build on rep0, best-of-3 timed builds.
+    Prints one JSON line with the best rep."""
+    cores, scaling_path, warm_path, out_dir, partitions = (
+        int(argv[0]), argv[1], argv[2], argv[3], int(argv[4]))
+    s = get_spark(f"blacklab-scale-{cores}", cores=cores,
+                  shuffle_partitions=partitions)  # same partitioning!
+    best = None
+    for i in range(3):
+        r = build_once(s, scaling_path, out_dir, partitions,
+                       warmup_corpus=warm_path if i == 0 else None)
+        log(f"local[{cores}] rep{i}: {r}")
+        if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
+            best = r
+    s.stop()
+    print(json.dumps(best))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-child":
+        scale_child(sys.argv[2:])
+    else:
+        main()

@@ -53,6 +53,13 @@ def get_spark(app: str = "blacklab_spark", cores: int | None = None,
         "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # Opt-in task-level metrics (stage/task timings, GC, shuffle
+    # bytes) for scaling diagnosis: SPARK_GRAFT_EVENTLOG=<dir>
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", ev_dir))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     # make blacklab_spark importable on executors regardless of how the
