@@ -125,6 +125,32 @@ def tagged_engine(spark: SparkSession) -> SearchEngine:
     return _ENGINES[key]
 
 
+def conllu_gate_engine(spark: SparkSession) -> SearchEngine:
+    """Pre-annotated engine over the deterministic CoNLL-U fixture:
+    read_conllu's JVM parse defines the token stream and the given
+    UPOS/lemma layers (the reference's pre-tagged indexing mode,
+    formats/conll-u.blf.yaml); the paired oracle re-parses the same
+    file contents in pure Python."""
+    from blacklab_spark.sources.files import read_conllu
+    from blacklab_spark.sources.transcripts import gen_conllu_texts
+    ensure_shipped(spark)
+    key = "__conllu__"
+    if key not in _ENGINES:
+        src_dir = os.path.join(_idx_root(), "conllu_src")
+        os.makedirs(src_dir, exist_ok=True)
+        for name, content in gen_conllu_texts(seed=42).items():
+            p = os.path.join(src_dir, name)
+            if not os.path.exists(p):
+                with open(p, "w", encoding="utf-8") as fh:
+                    fh.write(content)
+        out = os.path.join(_idx_root(), "conllu")
+        cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
+        build_index(spark, read_conllu(spark, src_dir), out, cfg,
+                    resume=True)
+        _ENGINES[key] = SearchEngine.open(spark, out)
+    return _ENGINES[key]
+
+
 def delta_engine(spark: SparkSession):
     """Micro corpus split across main (conv00000) + two deltas — the
     streaming query-time-merge gate corpus. Conversations are appended
@@ -280,6 +306,33 @@ def _transcript_cte(pdf, strip_tags: bool = False) -> str:
         f"ttoks AS (SELECT doc_id, {duckdb_tokens_i(tok_src)} AS ts FROM tdocs),\n"
         "tpos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS p FROM ttoks)"
     )
+
+
+def conllu_cte() -> str:
+    """The CoNLL-U fixture as a token-position VALUES CTE, produced by
+    an INDEPENDENT pure-Python parse of the same file contents the
+    engine's JVM higher-order functions parse (parse_conllu_texts).
+    ``word`` carries the engine's @i contract for pre-annotated input:
+    fold(lower(FORM))."""
+    from blacklab_spark.sources.transcripts import (gen_conllu_texts,
+                                                    parse_conllu_texts)
+    from blacklab_spark.tokenizer import py_fold_insensitive
+    toks = parse_conllu_texts(gen_conllu_texts(seed=42))
+    vals = ",\n  ".join(
+        f"('{t['conv_id']}', {t['turn_idx']}, {t['p']}, "
+        f"'{py_fold_insensitive(t['form'])}', '{t['lemma']}', "
+        f"'{t['upos']}')" for t in toks)
+    return ("cpos(conv_id, turn_idx, p, word, lemma, upos) AS (VALUES\n  "
+            + vals + ")")
+
+
+def _conllu_layer_sql(layer: str, value: str) -> str:
+    return f"""
+WITH {conllu_cte()}
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, CAST(p AS INT) AS start,
+       CAST(p + 1 AS INT) AS "end"
+FROM cpos WHERE {layer} = '{value}'
+"""
 
 
 def _lemma_multivalue_sql() -> str:
@@ -1021,6 +1074,33 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select(
             "conv_id", "turn_idx", "start", "end")
 
+    def conllu_pos_given(spark, sf_dir):
+        """Pre-annotated pos layer: [pos="NOUN"] probes the UPOS values
+        the CoNLL-U input supplied (never the derived heuristic —
+        reference pre-tagged mode, formats/conll-u.blf.yaml)."""
+        eng = conllu_gate_engine(spark)
+        hits = eng.find('[pos="NOUN"]')
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
+    def conllu_lemma_given(spark, sf_dir):
+        """Pre-annotated lemma layer: [lemma="be"] matches surface
+        forms is/was only through the GIVEN lemma column (no derivable
+        stem relates them)."""
+        eng = conllu_gate_engine(spark)
+        hits = eng.find('[lemma="be"]')
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
+    def conllu_word_folded(spark, sf_dir):
+        """Pre-tokenized word layer rides the normal postings path
+        with the @i fold applied to the GIVEN forms: "café" matches
+        fold(lower) of the input tokens (stored as 'cafe')."""
+        eng = conllu_gate_engine(spark)
+        hits = eng.find('"café"')
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
     from blacklab_spark.driver_gate_pipeline import pipeline_queries
     return {
         **pipeline_queries(),
@@ -1077,6 +1157,9 @@ def gate_queries() -> dict:
         "tags_spans_all": tags_spans_all,
         "cql_tag_attr": cql_tag_attr,
         "cql_tag_within_sentence": cql_tag_within_sentence,
+        "conllu_pos_given": conllu_pos_given,
+        "conllu_lemma_given": conllu_lemma_given,
+        "conllu_word_folded": conllu_word_folded,
     }
 
 
@@ -1285,4 +1368,7 @@ FROM topk
         "cql_tag_attr": _tag_attr_sql("ne", "type", "doc"),
         "cql_tag_within_sentence": _tag_within_sql("visa", "application",
                                                    "s"),
+        "conllu_pos_given": _conllu_layer_sql("upos", "NOUN"),
+        "conllu_lemma_given": _conllu_layer_sql("lemma", "be"),
+        "conllu_word_folded": _conllu_layer_sql("word", "cafe"),
     }

@@ -196,6 +196,82 @@ def gen_tagged_pandas(seed: int = 42) -> pd.DataFrame:
     return df
 
 
+#: (FORM, LEMMA, UPOS) bank for the CoNLL-U fixture. Lemmas genuinely
+#: differ from surface forms (is/was→be, better→good) so the given-
+#: lemma layer is distinguishable from any derived stem; '_' lemma
+#: exercises the surface-form fallback; mixed case exercises the @i
+#: fold of given forms.
+CONLLU_BANK = [
+    ("The", "the", "DET"), ("Visa", "visa", "NOUN"),
+    ("application", "application", "NOUN"), ("is", "be", "AUX"),
+    ("was", "be", "AUX"), ("approved", "approve", "VERB"),
+    ("rejected", "reject", "VERB"), ("better", "good", "ADJ"),
+    ("quickly", "_", "ADV"), ("café", "café", "NOUN"),
+    ("it", "it", "PRON"), ("today", "_", "NOUN"),
+]
+
+
+def gen_conllu_texts(seed: int = 42) -> dict[str, str]:
+    """Deterministic CoNLL-U fixture: file name → file content.
+    4 files × 3 sentence blocks; tokens drawn from CONLLU_BANK by
+    index arithmetic (no RNG — the oracle re-parses the same strings
+    in pure Python). Covers: ``# newdoc id`` and the filename
+    fallback, speaker/ts comments, SpaceAfter=No, a multiword-token
+    range line and an empty-node line (both must be skipped), and
+    trailing-period punctuation tokens."""
+    files = {}
+    for f in range(4):
+        lines = []
+        if f != 2:  # file 2 exercises the filename-fallback conv id
+            lines.append(f"# newdoc id = cdoc{seed}{f}")
+        for s in range(3):
+            lines.append(f"# sent_id = {f}-{s}")
+            lines.append("# speaker = %s" % ("user" if s % 2 == 0
+                                             else "assistant"))
+            lines.append(f"# ts = 2024-05-0{f + 1} 10:0{s}:00")
+            n = 4 + (f + s) % 3
+            toks = [CONLLU_BANK[(f * 7 + s * 3 + j) % len(CONLLU_BANK)]
+                    for j in range(n)]
+            if s == 1:  # skipped lines: multiword range + empty node
+                lines.append("1-2\tcannot\t_\t_\t_\t_\t_\t_\t_\t_")
+            for j, (form, lemma, upos) in enumerate(toks):
+                misc = "SpaceAfter=No" if j == n - 1 else "_"
+                lines.append(f"{j + 1}\t{form}\t{lemma}\t{upos}\t_\t_"
+                             f"\t0\tdep\t_\t{misc}")
+                if s == 1 and j == 0:
+                    lines.append(f"{j + 1}.1\televen\televen\tNUM"
+                                 "\t_\t_\t_\t_\t_\t_")
+            lines.append(f"{n + 1}\t.\t.\tPUNCT\t_\t_\t0\tpunct\t_\t_")
+            lines.append("")
+        files[f"file{f}.conllu"] = "\n".join(lines) + "\n"
+    return files
+
+
+def parse_conllu_texts(files: dict[str, str]) -> list[dict]:
+    """Pure-Python reference parse of gen_conllu_texts output — the
+    oracle's independent second implementation of read_conllu's JVM
+    higher-order-function parse. Returns one dict per token position:
+    conv_id, turn_idx, p, form, lemma (``_`` → form), upos."""
+    import re as _re
+    out = []
+    for fname, content in sorted(files.items()):
+        m = _re.search(r"(?m)^# *newdoc id *= *(\S+)", content)
+        conv = m.group(1) if m else _re.sub(r"\.conllu$", "", fname)
+        turn = 0
+        for blk in _re.split(r"\n[ \t]*\n", content):
+            rows = [l.split("\t") for l in blk.split("\n")
+                    if _re.match(r"^\d+\t", l)]
+            if not rows:
+                continue
+            for p, r in enumerate(rows):
+                lemma = r[2] if len(r) > 2 and r[2] != "_" else r[1]
+                upos = r[3] if len(r) > 3 else "_"
+                out.append({"conv_id": conv, "turn_idx": turn, "p": p,
+                            "form": r[1], "lemma": lemma, "upos": upos})
+            turn += 1
+    return out
+
+
 def gen_transcripts_spark(spark: SparkSession, fixture: str = "tiny",
                           seed: int = 42, n_convs: int | None = None,
                           partitions: int | None = None) -> DataFrame:
