@@ -1,9 +1,13 @@
 """CLI entry points — the ``spark-submit --py-files`` surface.
 
-Build:
-    spark-submit --py-files blacklab_spark.zip -m blacklab_spark.cli build \\
+Build (cluster launch — ``blacklab_spark.zip`` from
+``shipping.make_pkg_zip``; ``cli.py`` is the application file and the
+zip puts the package on the driver's and every executor's sys.path):
+    spark-submit --master <cluster> --py-files blacklab_spark.zip \\
+        path/to/cli.py build \\
         --input /data/transcripts_parquet --out /indexes/conv \\
         [--resume] [--block-size 128] [--bucket-size 8192]
+End-to-end smoke of exactly this launch: tests/test_cli.py.
 
 Query:
     python -m blacklab_spark.cli query --index /indexes/conv \\
@@ -96,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="build an index from transcripts parquet")
     b.add_argument("--input", required=True)
     b.add_argument("--format", default="parquet",
-                   choices=["parquet", "jsonl", "csv", "iceberg"])
+                   choices=["parquet", "jsonl", "csv", "tsv", "xml",
+                            "conllu", "iceberg"])  # = sources.files.READERS
     b.add_argument("--out", required=True)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--block-size", type=int, default=128)
