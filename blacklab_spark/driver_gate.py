@@ -798,6 +798,17 @@ def gate_queries() -> dict:
         return with_conv(eng, hits.drop("match_info")).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_constraint_full_grammar(spark, sf_dir):
+        """Full MatchFilter grammar (cql.jj:171-243): literal, boolean
+        combinators, functions — ``A.word = B.word & A != "the" &
+        start(B) = end(A)`` (adjacent duplicates other than 'the')."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, 'A:[] B:[] :: A.word = B.word '
+                               '& A != "the" & start(B) = end(A)')
+        return with_conv(eng, hits.drop("match_info")).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_or_terms(spark, sf_dir):
         """OR of two term leaves (BLSpanOrQuery union)."""
         eng = docs_engine(spark, sf_dir)
@@ -1119,6 +1130,7 @@ def gate_queries() -> dict:
         "cql_regex_postings": cql_regex_postings,
         "cql_bracket_bool": cql_bracket_bool,
         "cql_constraint_samewords": cql_constraint_samewords,
+        "cql_constraint_full_grammar": cql_constraint_full_grammar,
         "cql_pos_layer": cql_pos_layer,
         "relations_det_target": relations_det_target,
         "relations_backward_source": relations_backward_source,
@@ -1190,6 +1202,13 @@ WITH {_DOC_POS}
 SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
 FROM pos a JOIN pos b
   ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.tok = b.tok
+""",
+        "cql_constraint_full_grammar": f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.tok = b.tok
+WHERE a.tok <> 'the'
 """,
         "cql_pos_layer": pos_layer_sql("func"),
         # relation gates: det target span [p+1,p+2); nsubj source span

@@ -468,7 +468,11 @@ def constrained(index: InvertedIndex, clause: DataFrame,
     expression over match_info + the token-array forward index —
     Catalyst evaluates what the reference needed a custom NFA/forward-
     index machinery for). ``columns`` lists the annotation-layer
-    arrays the predicate reads."""
+    arrays the predicate reads; a predicate over span positions only
+    (start()/end() functions) needs no forward-index join at all."""
+    if not columns:
+        return (clause.filter(predicate)
+                .select(*HIT_COLS, "match_info"))
     dm = index.doc_meta.select("doc_id", *columns)
     return (clause.join(dm, "doc_id").filter(predicate)
             .select(*HIT_COLS, "match_info"))

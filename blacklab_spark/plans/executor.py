@@ -213,6 +213,88 @@ def _seq_captures_arithmetic(index: InvertedIndex,
                        F.create_map(*entries).alias("match_info"))
 
 
+def _compile_constraint(c, layers: set[str]):
+    """MatchFilter AST → ONE Catalyst boolean Column over match_info +
+    the forward-index layer arrays (reference: the MatchFilter
+    hierarchy cql.jj:171-243 evaluated per-hit via HitQueryContext;
+    here Catalyst evaluates the whole tree inside whole-stage codegen).
+    ``layers`` collects the doc_meta array columns the predicate reads
+    so the constrained join selects only those."""
+    from blacklab_spark.annotations import (ANNOTATION_COLUMNS,
+                                            MULTI_VALUE_LAYERS)
+    from blacklab_spark.tokenizer import (py_fold_diacritics,
+                                          py_fold_insensitive)
+    if isinstance(c, Q.CBool):
+        a = _compile_constraint(c.a, layers)
+        b = _compile_constraint(c.b, layers)
+        if c.op == "&":
+            return a & b
+        if c.op == "|":
+            return a | b
+        return ~a | b                 # '->' (MatchFilterImplication)
+    if isinstance(c, Q.CNot):
+        return ~_compile_constraint(c.v, layers)
+    if isinstance(c, Q.CCmp):
+        def operand(v):
+            """(column|None, multi?, layer name|None); None column =
+            a string literal, resolved after the other side's layer
+            is known (literals desensitize like that layer's values —
+            MatchFilterEquals uses MatchSensitivity.INSENSITIVE)."""
+            if isinstance(v, Q.CAnnot):
+                if v.annot not in ANNOTATION_COLUMNS:
+                    raise ValueError(
+                        f"unknown annotation {v.annot!r} in constraint "
+                        f"(supported: {sorted(ANNOTATION_COLUMNS)})")
+                col = ANNOTATION_COLUMNS[v.annot]
+                layers.add(col)
+                return (S.capture_token(v.label, column=col),
+                        v.annot in MULTI_VALUE_LAYERS, v.annot)
+            if isinstance(v, Q.CFunc):
+                if v.fn not in ("start", "end"):
+                    raise ValueError(
+                        f"unknown constraint function {v.fn!r} "
+                        "(supported: start, end)")
+                key = "s" if v.fn == "start" else "e"
+                return (F.col("match_info")[v.label][key], False, None)
+            if isinstance(v, Q.CStr):
+                return (None, False, None)
+            raise ValueError(
+                f"constraint {Q.constraint_str(v)!r} cannot be a "
+                "comparison operand")
+        ls, rs = operand(c.lhs), operand(c.rhs)
+
+        def lit(strval: str, other_layer: str | None):
+            if other_layer == "word":
+                return F.lit(py_fold_insensitive(strval))
+            if other_layer == "word_ci":
+                return F.lit(strval.lower())
+            if other_layer == "word_di":
+                return F.lit(py_fold_diacritics(strval))
+            return F.lit(strval)
+        lcol = ls[0] if ls[0] is not None else lit(c.lhs.value, rs[2])
+        rcol = rs[0] if rs[0] is not None else lit(c.rhs.value, ls[2])
+        lmulti, rmulti = ls[1], rs[1]
+        if c.op in ("=", "!="):
+            if lmulti and rmulti:
+                # stacked-value layers: equality = any value in common
+                eq = F.arrays_overlap(lcol, rcol)
+            elif lmulti or rmulti:
+                eq = (F.array_contains(lcol, rcol) if lmulti
+                      else F.array_contains(rcol, lcol))
+            else:
+                eq = lcol == rcol
+            return eq if c.op == "=" else ~eq
+        if lmulti or rmulti:
+            raise ValueError(
+                f"ordering comparison {c.op!r} is not defined on a "
+                "multi-value layer")
+        return {">": lcol > rcol, ">=": lcol >= rcol,
+                "<": lcol < rcol, "<=": lcol <= rcol}[c.op]
+    raise ValueError(
+        f"constraint value {Q.constraint_str(c)!r} is not a boolean — "
+        "compare it (= != >= <= > <) or combine with & | -> !")
+
+
 def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
     if isinstance(p, Q.Term):
         if p.layer != "word":
@@ -319,30 +401,10 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             raise ValueError(
                 "global constraint references captures but the clause "
                 f"defines none: {Q.pattern_str(p)}")
-        from blacklab_spark.annotations import ANNOTATION_COLUMNS
-        for side in (p.lhs, p.rhs):
-            if side[1] not in ANNOTATION_COLUMNS:
-                raise ValueError(
-                    f"unknown annotation {side[1]!r} in constraint "
-                    f"(supported: {sorted(ANNOTATION_COLUMNS)})")
-        from blacklab_spark.annotations import MULTI_VALUE_LAYERS
-        lcol = ANNOTATION_COLUMNS[p.lhs[1]]
-        rcol = ANNOTATION_COLUMNS[p.rhs[1]]
-        lhs = S.capture_token(p.lhs[0], column=lcol)
-        rhs = S.capture_token(p.rhs[0], column=rcol)
-        lmulti = p.lhs[1] in MULTI_VALUE_LAYERS
-        rmulti = p.rhs[1] in MULTI_VALUE_LAYERS
-        if lmulti and rmulti:
-            # stacked-value layers: equality = any value in common
-            eq = F.arrays_overlap(lhs, rhs)
-        elif lmulti or rmulti:
-            eq = (F.array_contains(lhs, rhs) if lmulti
-                  else F.array_contains(rhs, lhs))
-        else:
-            eq = lhs == rhs
-        pred = eq if p.op == "=" else ~eq
+        layers: set[str] = set()
+        pred = _compile_constraint(p.filter, layers)
         return S.constrained(index, hits, pred,
-                             columns=tuple(sorted({lcol, rcol})))
+                             columns=tuple(sorted(layers)))
     if isinstance(p, Q.RelMatch):
         # source -type-> target: relations of the type whose source
         # span matches a source hit and target span matches a target

@@ -28,10 +28,11 @@ from __future__ import annotations
 
 import re
 
-from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
-                                        CrossField, Fuzzy, Not, Or, Pattern,
-                                        PosFilter, Regex, RelMatch, Rep, Seq,
-                                        Tag, Term, Turn)
+from blacklab_spark.plans.query import (And, AnyToken, Capture, CAnnot,
+                                        CBool, CCmp, CFunc, CNot, Constrained,
+                                        CrossField, CStr, Fuzzy, Not, Or,
+                                        Pattern, PosFilter, Regex, RelMatch,
+                                        Rep, Seq, Tag, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -241,7 +242,7 @@ class _Parser:
             left = CrossField(left, self.posfiltered())
         if self.peek() == "::":
             self.next()
-            left = Constrained(left, *self.constraint())
+            left = Constrained(left, self.constraint())
         return left
 
     # posfiltered := boolean (within|containing boolean)*
@@ -253,23 +254,60 @@ class _Parser:
             left = PosFilter(left, right, op)
         return left
 
-    # constraint := name '.' annot ('='|'!=') name '.' annot
-    def constraint(self):
-        lhs = self._operand()
-        op_tok = self.next()
-        if op_tok not in ("=", "!="):
-            raise ParseError(f"expected '=' or '!=' in constraint, "
-                             f"got {op_tok!r}")
-        rhs = self._operand()
-        return lhs, op_tok, rhs
+    # constraint := simpleConstraint (('&'|'|'|'->') constraint)?
+    # (cql.jj:171 — right-associative like the reference grammar)
+    _CMP_OPS = ("=", "!=", ">=", "<=", ">", "<")
 
-    def _operand(self) -> tuple[str, str]:
-        t = self.next()
-        if "." not in t:
-            raise ParseError(f"constraint operand must be name.annotation, "
-                             f"got {t!r}")
-        name, annot = t.split(".", 1)
-        return (name, annot)
+    def constraint(self):
+        a = self.simple_constraint()
+        if self.peek() in ("&", "|", "->"):
+            op = self.next()
+            return CBool(op, a, self.constraint())
+        return a
+
+    # simpleConstraint := constraintValue (cmpOp constraintValue)?
+    # (cql.jj:189; bare values are only meaningful as booleans, which
+    # the executor validates)
+    def simple_constraint(self):
+        v = self.cvalue()
+        if self.peek() in self._CMP_OPS:
+            op = self.next()
+            return CCmp(v, op, self.cvalue())
+        return v
+
+    # constraintValue := string | '(' constraint ')' | '!' value |
+    #                    NAME '(' label ')' | label ['.' annot]
+    # (cql.jj:226)
+    def cvalue(self):
+        t = self.peek()
+        if t is None:
+            raise ParseError("unexpected end of constraint")
+        if t[0] in "\"'":
+            self.next()
+            return CStr(t[1:-1])
+        if t == "(":
+            self.next()
+            v = self.constraint()
+            if self.next() != ")":
+                raise ParseError("expected ')' in constraint")
+            return v
+        if t == "!":
+            self.next()
+            return CNot(self.cvalue())
+        self.next()
+        if (re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t)
+                and self.peek() == "("):
+            self.next()                       # '('
+            label = self.next()
+            if self.next() != ")":
+                raise ParseError(f"expected ')' after {t}({label!r}")
+            return CFunc(t, label)
+        if "." in t:
+            name, annot = t.split(".", 1)
+            return CAnnot(name, annot)
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+            raise ParseError(f"bad constraint operand: {t!r}")
+        return CAnnot(t, "word")              # default annotation
 
     # boolean := seq (('|'|'&') seq)* — |/& bind LOOSER than adjacency
     # (reference: cql.jj booleanQuery := sequence [op booleanQuery])

@@ -102,15 +102,74 @@ class Capture(Pattern):       # TextPatternCaptureGroup  name:(...)
     name: str
 
 
+# -- global-constraint (MatchFilter) AST ------------------------------
+# Mirrors the reference's MatchFilter hierarchy (cql.jj:171-243):
+# values (string literal / capture annotation / start|end function),
+# comparisons (= != >= <= > <), boolean combinators (& | -> !). The
+# whole tree compiles to ONE Catalyst expression over match_info + the
+# forward-index arrays (plans/executor._compile_constraint).
+
+@dataclass(frozen=True)
+class CStr:                   # MatchFilterString  "literal"
+    value: str
+
+
+@dataclass(frozen=True)
+class CAnnot:                 # MatchFilterTokenAnnotation  A / A.annot
+    label: str
+    annot: str                # default layer = "word"
+
+
+@dataclass(frozen=True)
+class CFunc:                  # MatchFilterFunctionCall  start(A)/end(A)
+    fn: str
+    label: str
+
+
+@dataclass(frozen=True)
+class CCmp:                   # MatchFilterEquals / MatchFilterCompare
+    lhs: object
+    op: str                   # = != >= <= > <
+    rhs: object
+
+
+@dataclass(frozen=True)
+class CBool:                  # MatchFilterAnd / Or / Implication
+    op: str                   # & | ->
+    a: object
+    b: object
+
+
+@dataclass(frozen=True)
+class CNot:                   # MatchFilterNot  !(...)
+    v: object
+
+
+def constraint_str(c) -> str:
+    if isinstance(c, CStr):
+        return f'"{c.value}"'
+    if isinstance(c, CAnnot):
+        return f"{c.label}.{c.annot}"
+    if isinstance(c, CFunc):
+        return f"{c.fn}({c.label})"
+    if isinstance(c, CCmp):
+        return (f"{constraint_str(c.lhs)} {c.op} "
+                f"{constraint_str(c.rhs)}")
+    if isinstance(c, CBool):
+        return (f"({constraint_str(c.a)} {c.op} "
+                f"{constraint_str(c.b)})")
+    if isinstance(c, CNot):
+        return f"!({constraint_str(c.v)})"
+    return repr(c)
+
+
 @dataclass(frozen=True)
 class Constrained(Pattern):   # TextPatternConstrained  A:[] B:[] :: A.word = B.word
     """Global constraint over captured groups (reference:
     SpanQueryConstrained.java:25; grammar cql.jj:157 constrainedQuery;
-    MatchFilter AST ≙ one Catalyst comparison here)."""
+    the MatchFilter AST compiles to one Catalyst predicate)."""
     clause: Pattern
-    lhs: tuple               # (capture_name, annotation)
-    op: str                  # '=' | '!='
-    rhs: tuple
+    filter: object            # constraint AST (CCmp/CBool/CNot root)
 
 
 @dataclass(frozen=True)
@@ -193,7 +252,7 @@ def pattern_str(p: Pattern) -> str:
         return f"{p.name}:({pattern_str(p.clause)})"
     if isinstance(p, Constrained):
         return (f"CONSTRAINED({pattern_str(p.clause)} :: "
-                f"{p.lhs[0]}.{p.lhs[1]} {p.op} {p.rhs[0]}.{p.rhs[1]})")
+                f"{constraint_str(p.filter)})")
     if isinstance(p, RelMatch):
         return (f"REL({pattern_str(p.source)} -{p.rel_type}-> "
                 f"{pattern_str(p.target)})")

@@ -50,7 +50,7 @@ def _map_children(p: Pattern, fn) -> Pattern:
     if isinstance(p, Capture):
         return Capture(fn(p.clause), p.name)
     if isinstance(p, Constrained):
-        return Constrained(fn(p.clause), p.lhs, p.op, p.rhs)
+        return Constrained(fn(p.clause), p.filter)
     if isinstance(p, RelMatch):
         return RelMatch(fn(p.source), p.rel_type, fn(p.target))
     if isinstance(p, CrossField):

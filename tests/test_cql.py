@@ -340,9 +340,26 @@ def test_fiseq_regex_anchor(idx, monkeypatch):
 def test_parse_constraint():
     p = parse("A:[] B:[] :: A.word = B.word")
     assert isinstance(p, Q.Constrained)
-    assert p.lhs == ("A", "word") and p.op == "=" and p.rhs == ("B", "word")
+    assert p.filter == Q.CCmp(Q.CAnnot("A", "word"), "=",
+                              Q.CAnnot("B", "word"))
     p2 = parse('x:"the" y:[] :: x.word != y.word')
-    assert p2.op == "!="
+    assert p2.filter.op == "!="
+
+
+def test_parse_constraint_full_grammar():
+    """The reference MatchFilter grammar (cql.jj:171-243): literals,
+    default annotation, functions, comparisons, & | -> !, parens."""
+    p = parse('A:[] B:[] :: A = "visa" & (start(A) < end(B) | !(A.pos = B.pos))')
+    f = p.filter
+    assert f == Q.CBool(
+        "&",
+        Q.CCmp(Q.CAnnot("A", "word"), "=", Q.CStr("visa")),
+        Q.CBool("|",
+                Q.CCmp(Q.CFunc("start", "A"), "<", Q.CFunc("end", "B")),
+                Q.CNot(Q.CCmp(Q.CAnnot("A", "pos"), "=",
+                              Q.CAnnot("B", "pos")))))
+    imp = parse('A:[] B:[] :: A.word = B.word -> A.pos = B.pos').filter
+    assert imp.op == "->" and isinstance(imp.a, Q.CCmp)
 
 
 def test_find_constraint_equal(idx, tiny_oracle):
@@ -364,6 +381,70 @@ def test_find_constraint_not_equal(idx, tiny_oracle):
             if toks[p] == "the" and toks[p + 1] != "the":
                 expected.append((d, p, p + 2))
     assert got == sorted(expected) and got
+
+
+def test_find_constraint_literal_and(idx, tiny_oracle):
+    """String literal + '&': adjacent duplicates that aren't 'the'
+    (MatchFilterString / MatchFilterAnd)."""
+    got = hits_of(find(
+        idx, 'A:[] B:[] :: A.word = B.word & A.word != "the"'))
+    expected = [(d, p, p + 2)
+                for d, toks in otoks(tiny_oracle).items()
+                for p in range(len(toks) - 1)
+                if toks[p] == toks[p + 1] and toks[p] != "the"]
+    assert got == sorted(expected) and got
+
+
+def test_find_constraint_functions_implication(idx, tiny_oracle):
+    """start()/end() functions + '->' implication: start(B) = end(A)
+    holds for every adjacency pair, so the result is exactly the
+    implication's filter (A='the' -> B='the')."""
+    got = hits_of(find(
+        idx, 'A:[] B:[] :: start(B) = end(A) & '
+             '(A.word = "the" -> B.word = A.word)'))
+    expected = [(d, p, p + 2)
+                for d, toks in otoks(tiny_oracle).items()
+                for p in range(len(toks) - 1)
+                if toks[p] != "the" or toks[p + 1] == "the"]
+    assert got == sorted(expected) and got
+
+
+def test_find_constraint_or_not_parens(idx, tiny_oracle):
+    """'|' / '!' / parens: A='the' or (not A=B)."""
+    got = hits_of(find(
+        idx, 'A:[] B:[] :: A = "the" | !(A.word = B.word)'))
+    expected = [(d, p, p + 2)
+                for d, toks in otoks(tiny_oracle).items()
+                for p in range(len(toks) - 1)
+                if toks[p] == "the" or toks[p] != toks[p + 1]]
+    assert got == sorted(expected) and got
+
+
+def test_find_constraint_ordering(idx, tiny_oracle):
+    """Ordering comparison '<' over annotation values
+    (MatchFilterCompare, insensitive lexicographic)."""
+    got = hits_of(find(idx, 'A:[] B:[] :: A.word < B.word'))
+    expected = [(d, p, p + 2)
+                for d, toks in otoks(tiny_oracle).items()
+                for p in range(len(toks) - 1)
+                if toks[p] < toks[p + 1]]
+    assert got == sorted(expected) and got
+
+
+def test_constraint_positions_only_needs_no_forward_index(idx):
+    """A constraint over start()/end() alone compiles to a plain
+    filter — no forward-index join (scan count in the plan stays 0
+    for doc_meta beyond the clause itself)."""
+    from blacklab_spark.plans.executor import find as _find
+    df = _find(idx, 'A:[] B:[] :: start(A) < start(B)')
+    # trivially true for adjacency pairs: equals the unconstrained seq
+    base = _find(idx, 'A:[] B:[] :: start(B) = end(A)')
+    assert df.count() == base.count() > 0
+
+
+def test_constraint_bare_value_raises(idx):
+    with pytest.raises(ValueError, match="not a boolean"):
+        find(idx, 'A:[] B:[] :: A.word').count()
 
 
 def test_constraint_errors(idx):
