@@ -1085,6 +1085,15 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select(
             "conv_id", "turn_idx", "start", "end")
 
+    def contextql_contents_and_meta(spark, sf_dir):
+        """The reference's SECOND query language (SRU ContextQL,
+        contextql.jj): 'word = "vis*" and role = "user"' — wildcard
+        contents clause + metadata filter clause combined with and."""
+        eng = micro_engine(spark)
+        hits = eng.find_contextql('word = "vis*" and role = "user"')
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
     def conllu_pos_given(spark, sf_dir):
         """Pre-annotated pos layer: [pos="NOUN"] probes the UPOS values
         the CoNLL-U input supplied (never the derived heuristic —
@@ -1169,6 +1178,7 @@ def gate_queries() -> dict:
         "tags_spans_all": tags_spans_all,
         "cql_tag_attr": cql_tag_attr,
         "cql_tag_within_sentence": cql_tag_within_sentence,
+        "contextql_contents_and_meta": contextql_contents_and_meta,
         "conllu_pos_given": conllu_pos_given,
         "conllu_lemma_given": conllu_lemma_given,
         "conllu_word_folded": conllu_word_folded,
@@ -1387,6 +1397,13 @@ FROM topk
         "cql_tag_attr": _tag_attr_sql("ne", "type", "doc"),
         "cql_tag_within_sentence": _tag_within_sql("visa", "application",
                                                    "s"),
+        "contextql_contents_and_meta": f"""
+WITH {micro_cte()}
+SELECT d.conv_id, d.turn_idx, CAST(t.p AS INT) AS start,
+       CAST(t.p + 1 AS INT) AS "end"
+FROM tpos t JOIN tdocs d USING (doc_id)
+WHERE t.tok LIKE 'vis%' AND lower(d.role) = 'user'
+""",
         "conllu_pos_given": _conllu_layer_sql("upos", "NOUN"),
         "conllu_lemma_given": _conllu_layer_sql("lemma", "be"),
         "conllu_word_folded": _conllu_layer_sql("word", "cafe"),

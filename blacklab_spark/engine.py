@@ -242,6 +242,35 @@ class SearchEngine:
             hits = hits.limit(self.settings.max_hits_to_process)
         return hits
 
+    def find_contextql(self, q: str, role=None, tool=None, conv_id=None,
+                       where=None) -> DataFrame:
+        """SRU Contextual Query Language query — the reference's
+        SECOND query language (query-parser contextql.jj +
+        ContextualQueryLanguageParser.java). The contents side runs
+        through the same executor as corpusql; the metadata side
+        becomes a doc_meta predicate ANDed with any kwarg filters. A
+        pure-metadata query returns the matching docs frame instead
+        of hits."""
+        from blacklab_spark.plans.contextql import parse_contextql
+        from blacklab_spark.plans.executor import find_pattern
+        cq = parse_contextql(q)
+        filt = self._doc_filter(role, tool, conv_id, where)
+        if cq.filter is not None:
+            f2 = F.expr(cq.filter)
+            filt = f2 if filt is None else (filt & f2)
+        if cq.pattern is None:
+            docs = self.index.doc_meta
+            if filt is not None:
+                docs = docs.filter(filt)
+            return docs.select("doc_id", "conv_id", "turn_idx")
+        hits = find_pattern(self.index, cq.pattern)
+        if filt is not None:
+            from blacklab_spark.operators.spans import filter_by_docs
+            hits = filter_by_docs(hits, self.index.doc_meta.filter(filt))
+        if self.settings.max_hits_to_process is not None:
+            hits = hits.limit(self.settings.max_hits_to_process)
+        return hits
+
     def count_hits(self, cql: str, **filters) -> int:
         """Count hits for a query, honoring max_hits_to_count
         (ResultCount analog; None = exact unlimited count)."""

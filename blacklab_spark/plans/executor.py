@@ -456,6 +456,12 @@ def _has_capture(p: Q.Pattern) -> bool:
     return False
 
 
+def find_pattern(index: InvertedIndex, ast: Q.Pattern) -> DataFrame:
+    """Execute an already-built Pattern AST (rewrite + exec) — the
+    entry point for other query languages (plans/contextql.py)."""
+    return _exec(index, rewrite(ast))
+
+
 def find(index: InvertedIndex, cql: str) -> DataFrame:
     """CQL-lite string → hits DataFrame (doc_id, start, end[, match_info]).
 
