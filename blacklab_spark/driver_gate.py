@@ -1085,6 +1085,16 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select(
             "conv_id", "turn_idx", "start", "end")
 
+    def luceneql_docs_filter(spark, sf_dir):
+        """The server's metadata filter language (filterlang=luceneql,
+        Lucene classic QueryParser): docs from
+        'role:user AND turn_idx:[0 TO 3]' — term + inclusive range +
+        boolean."""
+        eng = micro_engine(spark)
+        return eng.docs(
+            filter="role:user AND turn_idx:[0 TO 3]").select(
+            "conv_id", "turn_idx")
+
     def contextql_contents_and_meta(spark, sf_dir):
         """The reference's SECOND query language (SRU ContextQL,
         contextql.jj): 'word = "vis*" and role = "user"' — wildcard
@@ -1178,6 +1188,7 @@ def gate_queries() -> dict:
         "tags_spans_all": tags_spans_all,
         "cql_tag_attr": cql_tag_attr,
         "cql_tag_within_sentence": cql_tag_within_sentence,
+        "luceneql_docs_filter": luceneql_docs_filter,
         "contextql_contents_and_meta": contextql_contents_and_meta,
         "conllu_pos_given": conllu_pos_given,
         "conllu_lemma_given": conllu_lemma_given,
@@ -1397,6 +1408,11 @@ FROM topk
         "cql_tag_attr": _tag_attr_sql("ne", "type", "doc"),
         "cql_tag_within_sentence": _tag_within_sql("visa", "application",
                                                    "s"),
+        "luceneql_docs_filter": f"""
+WITH {micro_cte()}
+SELECT conv_id, turn_idx FROM tdocs
+WHERE lower(role) = 'user' AND turn_idx >= 0 AND turn_idx <= 3
+""",
         "contextql_contents_and_meta": f"""
 WITH {micro_cte()}
 SELECT d.conv_id, d.turn_idx, CAST(t.p AS INT) AS start,

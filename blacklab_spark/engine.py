@@ -242,6 +242,23 @@ class SearchEngine:
             hits = hits.limit(self.settings.max_hits_to_process)
         return hits
 
+    def docs(self, filter: str | None = None, where=None,
+             role=None, tool=None, conv_id=None) -> DataFrame:
+        """Documents from a metadata query — the server's
+        ``/docs?filter=...`` analog. ``filter`` is a Lucene-classic
+        filter-query string (reference filterlang=luceneql,
+        plans/luceneql.py); ``where`` is a raw Spark SQL predicate;
+        kwargs are the structured filters. All AND together."""
+        cond = self._doc_filter(role, tool, conv_id, where)
+        if filter is not None:
+            from blacklab_spark.plans.luceneql import parse_lucene_filter
+            lf = F.expr(parse_lucene_filter(filter))
+            cond = lf if cond is None else (cond & lf)
+        docs = self.index.doc_meta
+        if cond is not None:
+            docs = docs.filter(cond)
+        return docs.select("doc_id", "conv_id", "turn_idx")
+
     def find_contextql(self, q: str, role=None, tool=None, conv_id=None,
                        where=None) -> DataFrame:
         """SRU Contextual Query Language query — the reference's
