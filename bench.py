@@ -265,6 +265,13 @@ def scale_child(argv: list[str]) -> None:
         log(f"local[{cores}] rep{i}: {r}")
         if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
             best = r
+        # Drop inter-rep garbage before the next timed run: at full
+        # occupancy a 2nd/3rd build in the same JVM has been observed
+        # to degrade several-fold from accumulated old-gen pressure;
+        # best-of-3 shields the metric, the explicit full GC shortens
+        # the wasted wall clock.
+        s.catalog.clearCache()
+        s.sparkContext._jvm.System.gc()
     s.stop()
     print(json.dumps(best))
 
