@@ -748,6 +748,17 @@ def gate_queries() -> dict:
         return with_conv(eng, rels.select("doc_id", "start", "end")) \
             .select(_orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_rel_function(spark, sf_dir):
+        """Query extension function rel(type, target, spanMode)
+        through the parser (XFRelations.rel, cql.jj:515
+        queryFunctionCall): det relations whose TARGET matches 'table',
+        reported as the full relation span."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, 'rel("det", "table", "full")')
+        return with_conv(eng, hits.select("doc_id", "start", "end")) \
+            .select(_orig_doc_id(), F.col("start"), F.col("end"))
+
     def relations_backward_source(spark, sf_dir):
         """Direction filter: BACKWARD relations (nn compound edges
         point from the head noun back to its modifier), reported at
@@ -1152,6 +1163,7 @@ def gate_queries() -> dict:
         "cql_constraint_full_grammar": cql_constraint_full_grammar,
         "cql_pos_layer": cql_pos_layer,
         "relations_det_target": relations_det_target,
+        "cql_rel_function": cql_rel_function,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
         "parallel_other_field_hits": parallel_other_field,
@@ -1235,6 +1247,8 @@ WHERE a.tok <> 'the'
         # relation gates: det target span [p+1,p+2); nsubj source span
         # (the verb) [p+1,p+2); det full span [p,p+2) with target word
         "relations_det_target": rel_adjacent_sql("func", "noun", 1, 2),
+        "cql_rel_function": rel_adjacent_sql("func", "noun", 0, 2,
+                                             target_word="table"),
         "relations_backward_source": rel_adjacent_sql("noun", "noun", 1, 2),
         "cql_relation_between": rel_adjacent_sql("func", "noun", 0, 2,
                                                  target_word="table"),

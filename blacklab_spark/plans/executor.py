@@ -405,6 +405,37 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         pred = _compile_constraint(p.filter, layers)
         return S.constrained(index, hits, pred,
                              columns=tuple(sorted(layers)))
+    if isinstance(p, Q.RelFunc):
+        # rel(type[, target[, spanMode[, direction]]]) — relations of
+        # a type, optionally requiring the target span to match a
+        # clause, reported under the span mode (XFRelations.rel /
+        # createRelationQuery: match at TARGET, then adjust — unique
+        # relations guaranteed by the semi-join).
+        from blacklab_spark.operators.relations import (rel_span_adjust,
+                                                        relations)
+        rels = relations(index, p.rel_type, direction=p.direction,
+                         span_mode="target" if p.target is not None
+                         else p.span_mode)
+        if p.target is not None:
+            tgt = _exec(index, p.target).select("doc_id", "start", "end")
+            rels = rels.join(tgt, ["doc_id", "start", "end"],
+                             "left_semi")
+            if p.span_mode != "target":
+                rels = rel_span_adjust(rels, p.span_mode)
+        # operand spans ride along (RelationInfo analog) so
+        # rspan(rel(...), mode) can re-adjust
+        return rels
+    if isinstance(p, Q.RSpan):
+        # rspan(query, mode): clause must produce relation hits (the
+        # -type-> operator or rel()) whose operand spans ride along
+        from blacklab_spark.operators.relations import rel_span_adjust
+        hits = _exec(index, p.clause)
+        if "src_start" not in hits.columns:
+            raise ValueError(
+                "rspan() needs a relation-producing clause "
+                "(rel(...) or source -type-> target)")
+        return rel_span_adjust(hits, p.span_mode).select(
+            "doc_id", "start", "end")
     if isinstance(p, Q.RelMatch):
         # source -type-> target: relations of the type whose source
         # span matches a source hit and target span matches a target

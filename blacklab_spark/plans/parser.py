@@ -31,8 +31,9 @@ import re
 from blacklab_spark.plans.query import (And, AnyToken, Capture, CAnnot,
                                         CBool, CCmp, CFunc, CNot, Constrained,
                                         CrossField, CStr, Fuzzy, Not, Or,
-                                        Pattern, PosFilter, Regex, RelMatch,
-                                        Rep, Seq, Tag, Term, Turn)
+                                        Pattern, PosFilter, Regex, RelFunc,
+                                        RelMatch, Rep, RSpan, Seq, Tag, Term,
+                                        Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -51,9 +52,9 @@ _TOKEN_RE = re.compile(r"""
         [A-Za-z_][A-Za-z0-9_]*:\(  |  # capture open (parenthesized)
         [A-Za-z_][A-Za-z0-9_]*:    |  # capture of the next atom
         !=                         |  # constraint inequality
-        \(|\)|\||&|!|\*|\+|\?      |
+        \(|\)|\||&|!|\*|\+|\?|,    |
         within|containing          |
-        [^\s()\[\]{}|&!*+?:'"~]+       # bare word / regex (no quotes)
+        [^\s()\[\]{}|&!*+?:'"~,]+      # bare word / regex (no quotes)
     )""", re.VERBOSE)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
@@ -325,7 +326,7 @@ class _Parser:
     def seq(self) -> Pattern:
         clauses = [self.unary()]
         while self.peek() is not None and self.peek() not in (
-                ")", "within", "containing", "|", "&", "::", "==>") \
+                ")", ",", "within", "containing", "|", "&", "::", "==>") \
                 and not self._REL_OP.match(self.peek()):
             clauses.append(self.unary())
         return clauses[0] if len(clauses) == 1 else Seq(*clauses)
@@ -413,7 +414,65 @@ class _Parser:
             # default value (reference TextPatternDefaultValue,
             # SpanQueryDefaultValue.java:21): any token here
             return AnyToken(1, 1)
+        if t in ("rel", "rspan") and self.peek() == "(":
+            return self._func_call(t)
         return _word_pattern(t)
+
+    # queryFunctionCall := NAME '(' [arg (',' arg)*] ')' (cql.jj:515;
+    # registry QueryExtensions.java:142 — registered names shadow the
+    # bare term, exactly like the reference)
+    def _func_call(self, name: str) -> Pattern:
+        self.next()                               # '('
+        args: list = []
+        if self.peek() != ")":
+            while True:
+                t = self.peek()
+                if t is not None and t[0] in "\"'" and self.peek_ahead(
+                        1) in (",", ")"):
+                    args.append(("s", self.next()[1:-1]))  # string arg
+                else:
+                    args.append(("q", self.query()))       # query arg
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+        if self.next() != ")":
+            raise ParseError(f"expected ')' closing {name}(...)")
+        return self._build_func(name, args)
+
+    def peek_ahead(self, k: int) -> str | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def _build_func(self, name: str, args: list) -> Pattern:
+        def s_arg(i, default=None, what="a string"):
+            if i >= len(args):
+                return default
+            kind, v = args[i]
+            if kind != "s":
+                raise ParseError(f"{name}() argument {i + 1} must be "
+                                 f"{what} (quoted)")
+            return v
+        if name == "rel":
+            if not args:
+                raise ParseError("rel() needs a relation type")
+            rel_type = s_arg(0, what="the relation type")
+            target = None
+            if len(args) > 1:
+                kind, v = args[1]
+                target = v if kind == "q" else _word_pattern(v)
+                # any-n-gram target ≙ no target (XFRelations:79)
+                if isinstance(target, AnyToken):
+                    target = None
+            span_mode = s_arg(2, "source", "a span mode")
+            direction = s_arg(3, "both", "a direction")
+            return RelFunc(rel_type, target, span_mode, direction)
+        # rspan(query, spanMode)
+        if len(args) != 2:
+            raise ParseError("rspan() takes (query, span mode)")
+        clause = (args[0][1] if args[0][0] == "q"
+                  else _word_pattern(args[0][1]))
+        return RSpan(clause, s_arg(1, what="a span mode"))
 
 
 def parse_with_settings(query: str) -> tuple[Pattern, dict]:

@@ -173,6 +173,28 @@ class Constrained(Pattern):   # TextPatternConstrained  A:[] B:[] :: A.word = B.
 
 
 @dataclass(frozen=True)
+class RelFunc(Pattern):       # rel(type[, target[, spanMode[, direction]]])
+    """Query extension function ``rel(...)`` (reference:
+    XFRelations.java:54 rel — find relations matching type (+target),
+    reported under a span mode; registry QueryExtensions.java:142,
+    grammar cql.jj:515 queryFunctionCall). captureAs is not supported:
+    relation operands ride along as columns, not named captures."""
+    rel_type: str
+    target: Pattern | None = None
+    span_mode: str = "source"
+    direction: str = "both"
+
+
+@dataclass(frozen=True)
+class RSpan(Pattern):         # rspan(query, spanMode)
+    """Query extension function ``rspan(q, mode)`` (XFRelations.java
+    rspan / SpanQueryRelationSpanAdjust): re-report a relation-
+    producing clause's hits under another span mode."""
+    clause: Pattern
+    span_mode: str
+
+
+@dataclass(frozen=True)
 class RelMatch(Pattern):      # source -type-> target
     """Relation operator ``source -type-> target`` (reference:
     SpanQueryCaptureRelationsBetweenSpans.java — relations of a type
@@ -256,6 +278,12 @@ def pattern_str(p: Pattern) -> str:
     if isinstance(p, RelMatch):
         return (f"REL({pattern_str(p.source)} -{p.rel_type}-> "
                 f"{pattern_str(p.target)})")
+    if isinstance(p, RelFunc):
+        tgt = "" if p.target is None else f", {pattern_str(p.target)}"
+        return (f"rel({p.rel_type!r}{tgt}, {p.span_mode}, "
+                f"{p.direction})")
+    if isinstance(p, RSpan):
+        return f"rspan({pattern_str(p.clause)}, {p.span_mode})"
     if isinstance(p, CrossField):
         return (f"CROSSFIELD({pattern_str(p.source)} ==> "
                 f"{pattern_str(p.target)})")

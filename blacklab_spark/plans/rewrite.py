@@ -17,8 +17,8 @@ import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
                                         CrossField, Expand, Not, Or, Pattern,
-                                        PosFilter, Regex, RelMatch, Rep, Seq,
-                                        Term, Turn)
+                                        PosFilter, Regex, RelFunc, RelMatch,
+                                        Rep, RSpan, Seq, Term, Turn)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
@@ -53,6 +53,12 @@ def _map_children(p: Pattern, fn) -> Pattern:
         return Constrained(fn(p.clause), p.filter)
     if isinstance(p, RelMatch):
         return RelMatch(fn(p.source), p.rel_type, fn(p.target))
+    if isinstance(p, RelFunc):
+        return RelFunc(p.rel_type,
+                       fn(p.target) if p.target is not None else None,
+                       p.span_mode, p.direction)
+    if isinstance(p, RSpan):
+        return RSpan(fn(p.clause), p.span_mode)
     if isinstance(p, CrossField):
         # rewrite the source only: the target leaf is interpreted
         # against field b (an any-token elimination or regex→term

@@ -125,3 +125,63 @@ def test_relations_requires_pos_layer(spark, tiny_pdf, tmp_path_factory):
     eng = SearchEngine.open(spark, out)
     with pytest.raises(ValueError, match="pos"):
         eng.relations("det").count()
+
+
+# ---------------- query extension functions rel()/rspan() ------------
+# (reference: XFRelations.java:27-36, registry QueryExtensions.java:142,
+# grammar cql.jj:515 queryFunctionCall)
+def test_rel_function_equals_operator(tiny_engine):
+    eng = tiny_engine
+    got = sorted(map(tuple, eng.find('rel("det")')
+                     .select("doc_id", "start", "end").collect()))
+    want = sorted(map(tuple, relations(eng.index, "det")
+                      .select("doc_id", "start", "end").collect()))
+    assert got == want and got
+
+
+def test_rel_function_span_mode_and_direction(tiny_engine):
+    eng = tiny_engine
+    fwd = eng.find('rel("det|obj", [], "target", "forward")')
+    want = relations(eng.index, "det|obj", direction="forward",
+                     span_mode="target")
+    assert sorted(map(tuple, fwd.select("doc_id", "start", "end")
+                      .collect())) == \
+        sorted(map(tuple, want.select("doc_id", "start", "end")
+                   .collect()))
+
+
+def test_rel_function_with_target(tiny_engine):
+    eng = tiny_engine
+    got = {(r.doc_id, r.start, r.end)
+           for r in eng.find('rel("det", "visa", "target")').collect()}
+    visa = {(r.doc_id, r.start, r.end)
+            for r in eng.find('"visa"').collect()}
+    # matched-at-target relations report exactly visa hits with a det
+    assert got and got <= visa
+    # widening span mode to full grows (or keeps) every span
+    full = eng.find('rel("det", "visa", "full")')
+    assert full.count() == len(got)
+
+
+def test_rspan_adjusts_relation_operator(tiny_engine):
+    eng = tiny_engine
+    full = eng.find('[] -det-> "visa"')
+    tgt = eng.find('rspan([] -det-> "visa", "target")')
+    assert tgt.count() == full.count() > 0
+    rows = {(r.doc_id, r.start, r.end) for r in tgt.collect()}
+    visa = {(r.doc_id, r.start, r.end)
+            for r in eng.find('"visa"').collect()}
+    assert rows <= visa
+
+
+def test_rspan_requires_relation_clause(tiny_engine):
+    with pytest.raises(ValueError, match="relation-producing"):
+        tiny_engine.find('rspan("visa", "target")').count()
+
+
+def test_rel_function_parse_errors():
+    from blacklab_spark.plans.parser import ParseError, parse
+    with pytest.raises(ParseError, match="relation type"):
+        parse("rel()")
+    with pytest.raises(ParseError, match="span mode"):
+        parse('rspan("a")')
