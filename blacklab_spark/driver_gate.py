@@ -748,6 +748,16 @@ def gate_queries() -> dict:
         return with_conv(eng, rels.select("doc_id", "start", "end")) \
             .select(_orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_overlap_keyword(spark, sf_dir):
+        """The 'overlap' operator through the parser (cql.jj:261,
+        TextPatternOverlapping): '"the" [] overlap [] "the"' — overlap
+        regions of the-initial and the-final bigrams."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '"the" [] overlap [] "the"')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_rel_function(spark, sf_dir):
         """Query extension function rel(type, target, spanMode)
         through the parser (XFRelations.rel, cql.jj:515
@@ -1164,6 +1174,7 @@ def gate_queries() -> dict:
         "cql_pos_layer": cql_pos_layer,
         "relations_det_target": relations_det_target,
         "cql_rel_function": cql_rel_function,
+        "cql_overlap_keyword": cql_overlap_keyword,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
         "parallel_other_field_hits": parallel_other_field,
@@ -1249,6 +1260,17 @@ WHERE a.tok <> 'the'
         "relations_det_target": rel_adjacent_sql("func", "noun", 1, 2),
         "cql_rel_function": rel_adjacent_sql("func", "noun", 0, 2,
                                              target_word="table"),
+        "cql_overlap_keyword": f"""
+WITH {_DOC_POS},
+A AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e
+      FROM pos a JOIN pos nx ON nx.doc_id = a.doc_id AND nx.p = a.p + 1
+      WHERE a.tok = 'the'),
+B AS (SELECT b.doc_id, b.p - 1 AS s, b.p + 1 AS e
+      FROM pos b WHERE b.tok = 'the' AND b.p >= 1)
+SELECT DISTINCT a.doc_id, CAST(greatest(a.s, b.s) AS INT) AS start,
+       CAST(least(a.e, b.e) AS INT) AS "end"
+FROM A a JOIN B b ON a.doc_id = b.doc_id AND a.s < b.e AND b.s < a.e
+""",
         "relations_backward_source": rel_adjacent_sql("noun", "noun", 1, 2),
         "cql_relation_between": rel_adjacent_sql("func", "noun", 0, 2,
                                                  target_word="table"),

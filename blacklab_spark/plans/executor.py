@@ -393,6 +393,8 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         if p.operation == "within":
             return S.within(prod, filt, p.invert)
         return S.containing(prod, filt, p.invert)
+    if isinstance(p, Q.Overlap):
+        return S.overlapping(_exec(index, p.a), _exec(index, p.b))
     if isinstance(p, Q.Capture):
         return S.capture(_exec(index, p.clause), p.name)
     if isinstance(p, Q.Constrained):
@@ -559,3 +561,12 @@ def _walk(p: Q.Pattern):
     if hasattr(p, "producer"):
         yield from _walk(p.producer)
         yield from _walk(p.filter)
+    # binary nodes with named operands (Overlap a/b, RelMatch/
+    # CrossField source/target, RelFunc optional target)
+    for attr in ("a", "b", "source"):
+        v = getattr(p, attr, None)
+        if isinstance(v, Q.Pattern):
+            yield from _walk(v)
+    tgt = getattr(p, "target", None)
+    if isinstance(tgt, Q.Pattern):
+        yield from _walk(tgt)

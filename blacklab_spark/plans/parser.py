@@ -31,9 +31,9 @@ import re
 from blacklab_spark.plans.query import (And, AnyToken, Capture, CAnnot,
                                         CBool, CCmp, CFunc, CNot, Constrained,
                                         CrossField, CStr, Fuzzy, Not, Or,
-                                        Pattern, PosFilter, Regex, RelFunc,
-                                        RelMatch, Rep, RSpan, Seq, Tag, Term,
-                                        Turn)
+                                        Overlap, Pattern, PosFilter, Regex,
+                                        RelFunc, RelMatch, Rep, RSpan, Seq,
+                                        Tag, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -53,7 +53,7 @@ _TOKEN_RE = re.compile(r"""
         [A-Za-z_][A-Za-z0-9_]*:    |  # capture of the next atom
         !=                         |  # constraint inequality
         \(|\)|\||&|!|\*|\+|\?|,    |
-        within|containing          |
+        (?:within|containing|overlap)\b |
         [^\s()\[\]{}|&!*+?:'"~,]+      # bare word / regex (no quotes)
     )""", re.VERBOSE)
 
@@ -246,13 +246,15 @@ class _Parser:
             left = Constrained(left, self.constraint())
         return left
 
-    # posfiltered := boolean (within|containing boolean)*
+    # posfiltered := boolean ((within|containing|overlap) boolean)*
+    # (cql.jj:247 containingWithinQuery; 'overlap' → Overlapping)
     def posfiltered(self) -> Pattern:
         left = self.boolean()
-        while self.peek() in ("within", "containing"):
+        while self.peek() in ("within", "containing", "overlap"):
             op = self.next()
             right = self.boolean()
-            left = PosFilter(left, right, op)
+            left = (Overlap(left, right) if op == "overlap"
+                    else PosFilter(left, right, op))
         return left
 
     # constraint := simpleConstraint (('&'|'|'|'->') constraint)?
@@ -326,7 +328,8 @@ class _Parser:
     def seq(self) -> Pattern:
         clauses = [self.unary()]
         while self.peek() is not None and self.peek() not in (
-                ")", ",", "within", "containing", "|", "&", "::", "==>") \
+                ")", ",", "within", "containing", "overlap",
+                "|", "&", "::", "==>") \
                 and not self._REL_OP.match(self.peek()):
             clauses.append(self.unary())
         return clauses[0] if len(clauses) == 1 else Seq(*clauses)

@@ -97,6 +97,14 @@ class PosFilter(Pattern):     # TextPatternPositionFilter (within/containing)
 
 
 @dataclass(frozen=True)
+class Overlap(Pattern):       # TextPatternOverlapping  a overlap b
+    """``a overlap b`` (reference TextPatternOverlapping, grammar
+    cql.jj:261): emit the overlap region of each overlapping pair."""
+    a: Pattern
+    b: Pattern
+
+
+@dataclass(frozen=True)
 class Capture(Pattern):       # TextPatternCaptureGroup  name:(...)
     clause: Pattern
     name: str
@@ -270,6 +278,8 @@ def pattern_str(p: Pattern) -> str:
         inv = "NOT" if p.invert else ""
         return (f"{inv}{p.operation.upper()}({pattern_str(p.producer)}, "
                 f"{pattern_str(p.filter)})")
+    if isinstance(p, Overlap):
+        return f"OVERLAP({pattern_str(p.a)}, {pattern_str(p.b)})"
     if isinstance(p, Capture):
         return f"{p.name}:({pattern_str(p.clause)})"
     if isinstance(p, Constrained):

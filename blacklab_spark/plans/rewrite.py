@@ -16,9 +16,9 @@ from __future__ import annotations
 import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
-                                        CrossField, Expand, Not, Or, Pattern,
-                                        PosFilter, Regex, RelFunc, RelMatch,
-                                        Rep, RSpan, Seq, Term, Turn)
+                                        CrossField, Expand, Not, Or, Overlap,
+                                        Pattern, PosFilter, Regex, RelFunc,
+                                        RelMatch, Rep, RSpan, Seq, Term, Turn)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
@@ -53,6 +53,8 @@ def _map_children(p: Pattern, fn) -> Pattern:
         return Constrained(fn(p.clause), p.filter)
     if isinstance(p, RelMatch):
         return RelMatch(fn(p.source), p.rel_type, fn(p.target))
+    if isinstance(p, Overlap):
+        return Overlap(fn(p.a), fn(p.b))
     if isinstance(p, RelFunc):
         return RelFunc(p.rel_type,
                        fn(p.target) if p.target is not None else None,

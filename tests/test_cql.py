@@ -794,3 +794,20 @@ def test_missing_annotation_layer_raises(spark, tmp_path):
     eng = SearchEngine.open(spark, out)
     with pytest.raises(ValueError, match="not materialized"):
         eng.find('[pos="func"]').count()
+
+
+# ---------------- 'overlap' operator (TextPatternOverlapping) --------
+def test_parse_overlap_keyword():
+    p = parse('"the" [] overlap [] "the"')
+    assert isinstance(p, Q.Overlap)
+    # keyword needs a word boundary: 'overlapping' is a plain term
+    assert isinstance(parse("overlapping"), Q.Term)
+
+
+def test_overlap_keyword_equals_operator(idx):
+    from blacklab_spark.operators.spans import overlapping
+    got = hits_of(find(idx, '"the" [] overlap [] "the"'))
+    a = find(idx, '"the" []')
+    b = find(idx, '[] "the"')
+    want = sorted(map(tuple, overlapping(a, b).collect()))
+    assert got == want and got
