@@ -427,6 +427,19 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         # operand spans ride along (RelationInfo analog) so
         # rspan(rel(...), mode) can re-adjust
         return rels
+    if isinstance(p, Q.RField):
+        # rfield(query, field): report hits in the parallel field's
+        # coordinates (XFRelations.rfield — the source field itself is
+        # a no-op, like the reference's early return)
+        hits = _exec(index, p.clause)
+        if p.field in ("a", "contents"):
+            return hits
+        if p.field != "b":
+            raise ValueError(
+                f"unknown parallel field {p.field!r} (this index has "
+                "fields 'a'/'contents' and 'b')")
+        from blacklab_spark.operators.parallel import other_field_hits
+        return other_field_hits(index, hits)
     if isinstance(p, Q.RSpan):
         # rspan(query, mode): clause must produce relation hits (the
         # -type-> operator or rel()) whose operand spans ride along

@@ -32,8 +32,8 @@ from blacklab_spark.plans.query import (And, AnyToken, Capture, CAnnot,
                                         CBool, CCmp, CFunc, CNot, Constrained,
                                         CrossField, CStr, Fuzzy, Not, Or,
                                         Overlap, Pattern, PosFilter, Regex,
-                                        RelFunc, RelMatch, Rep, RSpan, Seq,
-                                        Tag, Term, Turn)
+                                        RelFunc, RelMatch, Rep, RField, RSpan,
+                                        Seq, Tag, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -417,7 +417,7 @@ class _Parser:
             # default value (reference TextPatternDefaultValue,
             # SpanQueryDefaultValue.java:21): any token here
             return AnyToken(1, 1)
-        if t in ("rel", "rspan") and self.peek() == "(":
+        if t in ("rel", "rspan", "rfield") and self.peek() == "(":
             return self._func_call(t)
         return _word_pattern(t)
 
@@ -470,11 +470,14 @@ class _Parser:
             span_mode = s_arg(2, "source", "a span mode")
             direction = s_arg(3, "both", "a direction")
             return RelFunc(rel_type, target, span_mode, direction)
-        # rspan(query, spanMode)
+        # rspan(query, spanMode) / rfield(query, field)
         if len(args) != 2:
-            raise ParseError("rspan() takes (query, span mode)")
+            raise ParseError(f"{name}() takes (query, "
+                             f"{'span mode' if name == 'rspan' else 'field'})")
         clause = (args[0][1] if args[0][0] == "q"
                   else _word_pattern(args[0][1]))
+        if name == "rfield":
+            return RField(clause, s_arg(1, what="a field name"))
         return RSpan(clause, s_arg(1, what="a span mode"))
 
 

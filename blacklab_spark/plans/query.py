@@ -194,6 +194,16 @@ class RelFunc(Pattern):       # rel(type[, target[, spanMode[, direction]]])
 
 
 @dataclass(frozen=True)
+class RField(Pattern):        # rfield(query, fieldOrVersion)
+    """Query extension function ``rfield(q, field)``
+    (XFRelations.java:131 / SpanQueryOtherFieldHits): report a source-
+    field clause's hits in another (parallel) field's coordinates.
+    The source field itself is a no-op, exactly like the reference."""
+    clause: Pattern
+    field: str
+
+
+@dataclass(frozen=True)
 class RSpan(Pattern):         # rspan(query, spanMode)
     """Query extension function ``rspan(q, mode)`` (XFRelations.java
     rspan / SpanQueryRelationSpanAdjust): re-report a relation-
@@ -294,6 +304,8 @@ def pattern_str(p: Pattern) -> str:
                 f"{p.direction})")
     if isinstance(p, RSpan):
         return f"rspan({pattern_str(p.clause)}, {p.span_mode})"
+    if isinstance(p, RField):
+        return f"rfield({pattern_str(p.clause)}, {p.field})"
     if isinstance(p, CrossField):
         return (f"CROSSFIELD({pattern_str(p.source)} ==> "
                 f"{pattern_str(p.target)})")

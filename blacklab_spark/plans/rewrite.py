@@ -18,7 +18,8 @@ import re
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
                                         CrossField, Expand, Not, Or, Overlap,
                                         Pattern, PosFilter, Regex, RelFunc,
-                                        RelMatch, Rep, RSpan, Seq, Term, Turn)
+                                        RelMatch, Rep, RField, RSpan, Seq,
+                                        Term, Turn)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
@@ -61,6 +62,8 @@ def _map_children(p: Pattern, fn) -> Pattern:
                        p.span_mode, p.direction)
     if isinstance(p, RSpan):
         return RSpan(fn(p.clause), p.span_mode)
+    if isinstance(p, RField):
+        return RField(fn(p.clause), p.field)
     if isinstance(p, CrossField):
         # rewrite the source only: the target leaf is interpreted
         # against field b (an any-token elimination or regex→term

@@ -185,3 +185,25 @@ def test_rel_function_parse_errors():
         parse("rel()")
     with pytest.raises(ParseError, match="span mode"):
         parse('rspan("a")')
+
+
+def test_rfield_function_equals_facade(tiny_engine):
+    """rfield(q, "b") ≙ engine.find_other_field (XFRelations.rfield /
+    SpanQueryOtherFieldHits); source field is a no-op."""
+    eng = tiny_engine
+    got = sorted(map(tuple, eng.find('rfield("the" "visa", "b")')
+                     .select("doc_id", "start", "end").collect()))
+    want = sorted(map(tuple, eng.find_other_field('"the" "visa"')
+                      .select("doc_id", "start", "end").collect()))
+    assert got == want and got
+    noop = sorted(map(tuple,
+                      eng.find('rfield("the" "visa", "contents")')
+                      .select("doc_id", "start", "end").collect()))
+    assert noop == sorted(map(tuple, eng.find('"the" "visa"')
+                              .select("doc_id", "start", "end")
+                              .collect()))
+
+
+def test_rfield_unknown_field_raises(tiny_engine):
+    with pytest.raises(ValueError, match="unknown parallel field"):
+        tiny_engine.find('rfield("the", "nl")').count()
