@@ -101,7 +101,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument("--format", default="parquet",
                    choices=["parquet", "jsonl", "csv", "tsv", "xml",
-                            "conllu", "iceberg"])  # = sources.files.READERS
+                            "conllu", "txt", "iceberg"])  # = sources.files.READERS
     b.add_argument("--out", required=True)
     b.add_argument("--resume", action="store_true")
     b.add_argument("--block-size", type=int, default=128)

@@ -106,6 +106,37 @@ def read_xml(spark: SparkSession, path: str) -> DataFrame:
         F.to_timestamp(_xml_attr(F.col("_turn"), "ts")).alias("ts")))
 
 
+def read_plaintext(spark: SparkSession, path: str) -> DataFrame:
+    """Plain-text transcripts — the reference's most basic input
+    format (``text/plain`` DocIndexer, formats/txt.blf.yaml: one file
+    = one document, no metadata). One ``.txt`` file = one
+    conversation (conv id from the file name); blank-line-separated
+    paragraphs = turns, roles alternating user/assistant (plain text
+    carries no speaker axis — deterministic so rebuilds are
+    identical); ``ts`` is a synthetic per-turn timestamp for the same
+    reason as read_conllu. Wholetext read + JVM split — one file per
+    task, parallel by file count."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+    return (files.select(
+        F.regexp_extract("_file", r"([^/]+?)(?:\.txt)?$", 1)
+        .alias("conv_id"),
+        F.posexplode(F.filter(
+            F.transform(F.split("value", r"\n[ \t]*\n"),
+                        lambda b: F.trim(b)),
+            lambda b: b != "")).alias("turn_idx", "text"))
+        .select(
+            "conv_id", "turn_idx",
+            F.when(F.col("turn_idx") % 2 == 0, "user")
+            .otherwise("assistant").alias("role"),
+            # NB Spark trim() strips spaces only, so collapse all
+            # whitespace first, then trim the space remnants
+            F.trim(F.regexp_replace("text", r"\s+", " ")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_seconds(F.lit(946684800)
+                                + F.col("turn_idx")).alias("ts")))
+
+
 # -- CoNLL-U: pre-tokenized + pre-annotated input ---------------------
 # Columns a source may provide to make the build PRE-ANNOTATED: the
 # input then DEFINES the token stream (never re-tokenized from text)
@@ -203,7 +234,7 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
 
 READERS = {"parquet": read_parquet, "jsonl": read_jsonl, "csv": read_csv,
            "tsv": read_tsv, "xml": read_xml, "conllu": read_conllu,
-           "iceberg": read_iceberg}
+           "txt": read_plaintext, "iceberg": read_iceberg}
 
 
 def read_transcripts(spark: SparkSession, path: str,

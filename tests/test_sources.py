@@ -113,3 +113,32 @@ def test_explain_reports_physical_choice(tiny_engine):
     assert "postings" in s  # leaf strategy reported
     s2 = tiny_engine.explain_cql('"very" "good"')
     assert "postings position-intersection" in s2 or "FiSeq" in s2
+
+
+def test_read_plaintext(spark, tmp_path):
+    (tmp_path / "conv-x.txt").write_text(
+        "Hello there.\n\nHi, how can I  help?\n\n \n\nVisa question.\n")
+    (tmp_path / "conv-y.txt").write_text("Single turn only.")
+    from blacklab_spark.sources.files import read_plaintext
+    rows = {(r["conv_id"], r["turn_idx"]): r
+            for r in read_plaintext(spark, str(tmp_path)).collect()}
+    assert set(rows) == {("conv-x", 0), ("conv-x", 1), ("conv-x", 2),
+                         ("conv-y", 0)}
+    # blank-only paragraph skipped, whitespace collapsed, roles alternate
+    assert rows[("conv-x", 1)]["text"] == "Hi, how can I help?"
+    assert rows[("conv-x", 2)]["text"] == "Visa question."
+    assert rows[("conv-x", 0)]["role"] == "user"
+    assert rows[("conv-x", 1)]["role"] == "assistant"
+    assert rows[("conv-y", 0)]["ts"] is not None
+
+
+def test_plaintext_builds(spark, tmp_path):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.sources.files import read_transcripts
+    (tmp_path / "c.txt").write_text("the visa\n\nvisa approved")
+    out = str(tmp_path / "idx")
+    build_index(spark, read_transcripts(spark, str(tmp_path), fmt="txt"),
+                out, BuildConfig(num_partitions=2))
+    assert SearchEngine.open(spark, out).find('"visa"').count() == 2
