@@ -73,8 +73,15 @@ class SearchEngine:
     # -- filters (role/tool as filterable annotations, SURVEY.md §1.1) --
     @staticmethod
     def _doc_filter(role=None, tool=None, conv_id=None,
-                    where: Column | str | None = None) -> Column | None:
+                    where: Column | str | None = None,
+                    filter: str | None = None) -> Column | None:
+        """``filter`` is a Lucene-classic filter-query string — the
+        server's ``patt=...&filter=...`` combination (parsed by
+        plans/luceneql.py); all conditions AND together."""
         conds = []
+        if filter is not None:
+            from blacklab_spark.plans.luceneql import parse_lucene_filter
+            conds.append(F.expr(parse_lucene_filter(filter)))
         if role is not None:
             conds.append(F.col("role") == role)
         if tool is not None:
@@ -98,11 +105,12 @@ class SearchEngine:
 
     # -- top-k BM25 -----------------------------------------------------
     def topk(self, query: str | list[str], k: int = 10, mode: str = "auto",
-             role=None, tool=None, conv_id=None, where=None) -> DataFrame:
+             role=None, tool=None, conv_id=None, where=None,
+             filter=None) -> DataFrame:
         terms = self._terms(query)
         key = self._cache_key("topk", tuple(terms), k, mode,
-                              role, tool, conv_id, where)
-        filt = self._doc_filter(role, tool, conv_id, where)
+                              role, tool, conv_id, where, filter)
+        filt = self._doc_filter(role, tool, conv_id, where, filter)
         if mode == "auto":
             # cost-based (≙ ClauseCombinerNfa-style statistics choice):
             # the filtered-WAND plan adds a fixed number of extra jobs
@@ -229,12 +237,13 @@ class SearchEngine:
 
     # -- CQL-lite (parse → rewrite → span algebra) ----------------------
     def find(self, cql: str, role=None, tool=None, conv_id=None,
-             where=None) -> DataFrame:
+             where=None, filter=None) -> DataFrame:
         """CQL-lite query → hits frame (BlackLabIndex.find analog,
-        reference: search/BlackLabIndex.java:180-201)."""
+        reference: search/BlackLabIndex.java:180-201). ``filter`` is
+        the server's Lucene-classic metadata filter (patt + filter)."""
         from blacklab_spark.plans.executor import find as _find
         hits = _find(self.index, cql)
-        filt = self._doc_filter(role, tool, conv_id, where)
+        filt = self._doc_filter(role, tool, conv_id, where, filter)
         if filt is not None:
             from blacklab_spark.operators.spans import filter_by_docs
             hits = filter_by_docs(hits, self.index.doc_meta.filter(filt))
@@ -249,11 +258,7 @@ class SearchEngine:
         filter-query string (reference filterlang=luceneql,
         plans/luceneql.py); ``where`` is a raw Spark SQL predicate;
         kwargs are the structured filters. All AND together."""
-        cond = self._doc_filter(role, tool, conv_id, where)
-        if filter is not None:
-            from blacklab_spark.plans.luceneql import parse_lucene_filter
-            lf = F.expr(parse_lucene_filter(filter))
-            cond = lf if cond is None else (cond & lf)
+        cond = self._doc_filter(role, tool, conv_id, where, filter)
         docs = self.index.doc_meta
         if cond is not None:
             docs = docs.filter(cond)

@@ -84,3 +84,20 @@ def test_docs_filter_composes_with_kwargs(tiny_engine):
     want = eng.index.doc_meta.filter(
         "turn_idx = 0 AND role = 'user'").count()
     assert got == want > 0
+
+
+def test_patt_plus_filter_find(tiny_engine):
+    """The server's patt + filter combination on find()."""
+    eng = tiny_engine
+    got = eng.find('"visa"', filter="role:assistant").count()
+    want = eng.find('"visa"', role="assistant").count()
+    assert got == want > 0
+
+
+def test_patt_plus_filter_topk(tiny_engine):
+    eng = tiny_engine
+    got = [tuple(r) for r in eng.topk(
+        "visa", k=5, filter="role:assistant").collect()]
+    want = [tuple(r) for r in eng.topk(
+        "visa", k=5, role="assistant").collect()]
+    assert got == want and got
