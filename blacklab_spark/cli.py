@@ -51,15 +51,27 @@ def _build(args) -> int:
 def _query(args) -> int:
     from blacklab_spark.engine import SearchEngine
     from blacklab_spark.session import get_spark
+    given = [x for x in (args.terms, args.cql, args.contextql)
+             if x is not None]
+    if len(given) != 1:
+        print("exactly one of --terms / --cql / --contextql required",
+              file=sys.stderr)
+        return 2
     spark = get_spark("blacklab-query")
     eng = SearchEngine.open(spark, args.index)
     t0 = time.time()
-    if args.phrase:
-        df = eng.phrase_hits(args.terms, role=args.role, tool=args.tool,
-                             conv_id=args.conv_id)
+    filters = dict(role=args.role, tool=args.tool, conv_id=args.conv_id,
+                   filter=args.filter)
+    if args.cql is not None:
+        # QueryTool ParserCorpusQl analog: hits frame, capped at --k
+        df = eng.find(args.cql, **filters).limit(args.k)
+    elif args.contextql is not None:
+        # QueryTool ParserContextQl analog
+        df = eng.find_contextql(args.contextql, **filters).limit(args.k)
+    elif args.phrase:
+        df = eng.phrase_hits(args.terms, **filters)
     else:
-        df = eng.topk(args.terms, k=args.k, mode=args.mode, role=args.role,
-                      tool=args.tool, conv_id=args.conv_id)
+        df = eng.topk(args.terms, k=args.k, mode=args.mode, **filters)
     rows = [r.asDict() for r in df.collect()]
     dur = time.time() - t0
     if args.json:
@@ -109,9 +121,17 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-positions", action="store_true")
     b.set_defaults(fn=_build)
 
-    q = sub.add_parser("query", help="BM25 top-k / phrase query")
+    q = sub.add_parser("query",
+                       help="BM25 top-k / phrase / CQL / ContextQL "
+                            "(QueryTool analog)")
     q.add_argument("--index", required=True)
-    q.add_argument("--terms", required=True)
+    q.add_argument("--terms", help="BM25 top-k terms (or --phrase)")
+    q.add_argument("--cql", help="corpus query language pattern → hits")
+    q.add_argument("--contextql",
+                   help="SRU contextual query language query")
+    q.add_argument("--filter",
+                   help="Lucene-classic metadata filter (filterlang="
+                        "luceneql), ANDed with --role/--tool/--conv-id")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", default="auto",
                    choices=["auto", "wand", "exhaustive"])

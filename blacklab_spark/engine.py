@@ -144,9 +144,10 @@ class SearchEngine:
 
     # -- positional -----------------------------------------------------
     def phrase_hits(self, phrase: str | list[str], path: str = "postings",
-                    role=None, tool=None, conv_id=None, where=None) -> DataFrame:
+                    role=None, tool=None, conv_id=None, where=None,
+                    filter=None) -> DataFrame:
         terms = self._terms(phrase)
-        filt = self._doc_filter(role, tool, conv_id, where)
+        filt = self._doc_filter(role, tool, conv_id, where, filter)
         if path == "postings" and filt is None:
             df = P.phrase_via_postings(self.index, terms)
         else:
@@ -265,7 +266,7 @@ class SearchEngine:
         return docs.select("doc_id", "conv_id", "turn_idx")
 
     def find_contextql(self, q: str, role=None, tool=None, conv_id=None,
-                       where=None) -> DataFrame:
+                       where=None, filter=None) -> DataFrame:
         """SRU Contextual Query Language query — the reference's
         SECOND query language (query-parser contextql.jj +
         ContextualQueryLanguageParser.java). The contents side runs
@@ -276,7 +277,7 @@ class SearchEngine:
         from blacklab_spark.plans.contextql import parse_contextql
         from blacklab_spark.plans.executor import find_pattern
         cq = parse_contextql(q)
-        filt = self._doc_filter(role, tool, conv_id, where)
+        filt = self._doc_filter(role, tool, conv_id, where, filter)
         if cq.filter is not None:
             f2 = F.expr(cq.filter)
             filt = f2 if filt is None else (filt & f2)

@@ -71,3 +71,31 @@ def test_spark_submit_build_then_query(launch_dir):
     assert 0 < len(rows) <= 5
     assert all(row["score"] > 0 for row in rows)
     assert [row["rank"] for row in rows] == list(range(1, len(rows) + 1))
+
+
+def test_cli_query_languages_inprocess(tiny_index_dir, capsys, monkeypatch):
+    """QueryTool-analog surface: --cql / --contextql / --filter through
+    main() in-process (the spark-submit transport is covered above)."""
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    from blacklab_spark.cli import main
+    assert main(["query", "--index", tiny_index_dir,
+                 "--cql", '"visa" "application"', "--k", "5",
+                 "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert 0 < len(rows) <= 5 and {"doc_id", "start", "end"} <= set(rows[0])
+
+    assert main(["query", "--index", tiny_index_dir,
+                 "--contextql", 'visa and role = "user"', "--k", "5",
+                 "--json"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()
+                      .splitlines()[-1])["rows"]
+
+    assert main(["query", "--index", tiny_index_dir, "--terms", "visa",
+                 "--filter", "role:assistant", "--json"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()
+                      .splitlines()[-1])["rows"]
+
+    # exactly one query arg required
+    assert main(["query", "--index", tiny_index_dir]) == 2
+    assert main(["query", "--index", tiny_index_dir, "--terms", "a",
+                 "--cql", '"a"']) == 2
