@@ -473,7 +473,12 @@ def constrained(index: InvertedIndex, clause: DataFrame,
     if not columns:
         return (clause.filter(predicate)
                 .select(*HIT_COLS, "match_info"))
-    dm = index.doc_meta.select("doc_id", *columns)
+    # rare-clause pushdown (the _fiseq anchor pattern): a constraint
+    # over few hits reads only those docs' forward-index row groups
+    # instead of joining the full doc_meta; hot clauses short-circuit
+    # the probe and fall back to the plain co-partitioned join
+    from blacklab_spark.operators.hits import push_hit_docs
+    dm = push_hit_docs(clause, index.doc_meta).select("doc_id", *columns)
     return (clause.join(dm, "doc_id").filter(predicate)
             .select(*HIT_COLS, "match_info"))
 

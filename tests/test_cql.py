@@ -811,3 +811,15 @@ def test_overlap_keyword_equals_operator(idx):
     b = find(idx, '[] "the"')
     want = sorted(map(tuple, overlapping(a, b).collect()))
     assert got == want and got
+
+
+def test_constraint_rare_clause_pushes_doc_ids(idx):
+    """A constraint over a RARE clause pushes the clause's doc ids
+    into the forward-index scan (the _fiseq anchor pattern): the
+    doc_meta side of the constrained join carries doc_id IN (...) /
+    doc_id = ... instead of a full-table read."""
+    df = find(idx, 'A:"visa" B:[] :: A.word != B.word')
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a 1-element IN-list folds to EqualTo (round-3 note)
+    assert ("In(doc_id" in plan or "INSET" in plan
+            or "EqualTo(doc_id" in plan)
