@@ -59,15 +59,18 @@ def _edge(typ, s0, s1, t0, t1) -> Column:
                     _c(t0).alias("tgt_start"), _c(t1).alias("tgt_end"))
 
 
-def doc_relations(index: InvertedIndex) -> DataFrame:
+def doc_relations(index: InvertedIndex,
+                  dm: DataFrame | None = None) -> DataFrame:
     """All relation edges, one row per edge — derived JVM-side from
     the pos layer with higher-order array functions (no shuffle, no
     Python: the per-doc edge array is built inside the projection and
     exploded).
 
     Requires the ``pos`` annotation layer (same materialization check
-    as the executor's layer leaves)."""
-    dm = index.doc_meta
+    as the executor's layer leaves). Pass ``dm`` (an already-pruned
+    doc_meta scan, e.g. push_hit_docs of an operand's hits) to derive
+    edges only for the anchor docs instead of corpus-wide."""
+    dm = index.doc_meta if dm is None else dm
     if "tokens_pos" not in dm.columns:
         raise ValueError(
             "relations require the 'pos' annotation layer; this index "
@@ -120,7 +123,8 @@ def span_mode_cols(span_mode: str) -> tuple[Column, Column]:
 
 def relations(index: InvertedIndex, rel_type: str | None = None,
               direction: str = "both", span_mode: str = "source",
-              doc_filter: Column | None = None) -> DataFrame:
+              doc_filter: Column | None = None,
+              dm: DataFrame | None = None) -> DataFrame:
     """Relation spans matching a type regex + direction, reported
     under ``span_mode`` (SpanQueryRelations.java:34; the type is
     matched as a regex like the reference's RegexpQuery over relation
@@ -130,7 +134,7 @@ def relations(index: InvertedIndex, rel_type: str | None = None,
     if direction not in DIRECTIONS:
         raise ValueError(f"unknown direction {direction!r} "
                          f"(expected one of {DIRECTIONS})")
-    r = doc_relations(index)
+    r = doc_relations(index, dm=dm)
     if doc_filter is not None:
         allowed = index.doc_meta.filter(doc_filter).select("doc_id")
         r = r.join(allowed, "doc_id", "left_semi")
@@ -186,7 +190,15 @@ def relations_between(index: InvertedIndex, source_hits: DataFrame,
     executes through this). Equi-joins on (doc_id, exact span) keep it
     shuffle-partitioned on doc_id; the reported hit is the FULL
     relation span with both operands as match info."""
-    r = relations(index, rel_type, span_mode="full")
+    from blacklab_spark.operators.hits import push_hit_docs
+    # edges must match BOTH operands, so either side's doc set bounds
+    # the derivation; probe the source first, fall back to the target
+    # when the source is hot (push_hit_docs returns doc_meta itself on
+    # fallback, so the identity check is exact)
+    dm = push_hit_docs(source_hits, index.doc_meta)
+    if dm is index.doc_meta:
+        dm = push_hit_docs(target_hits, index.doc_meta)
+    r = relations(index, rel_type, span_mode="full", dm=dm)
     s = source_hits.select("doc_id", F.col("start").alias("src_start"),
                            F.col("end").alias("src_end"))
     t = target_hits.select("doc_id", F.col("start").alias("tgt_start"),

@@ -413,15 +413,22 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         # clause, reported under the span mode (XFRelations.rel /
         # createRelationQuery: match at TARGET, then adjust — unique
         # relations guaranteed by the semi-join).
+        from blacklab_spark.operators.hits import push_hit_docs
         from blacklab_spark.operators.relations import (rel_span_adjust,
                                                         relations)
-        rels = relations(index, p.rel_type, direction=p.direction,
-                         span_mode="target" if p.target is not None
-                         else p.span_mode)
         if p.target is not None:
+            # rare-target pushdown: derive edges from the target's
+            # docs only (the push_hit_docs anchor pattern)
             tgt = _exec(index, p.target).select("doc_id", "start", "end")
+            rels = relations(index, p.rel_type, direction=p.direction,
+                             span_mode="target",
+                             dm=push_hit_docs(tgt, index.doc_meta))
             rels = rels.join(tgt, ["doc_id", "start", "end"],
                              "left_semi")
+        else:
+            rels = relations(index, p.rel_type, direction=p.direction,
+                             span_mode=p.span_mode)
+        if p.target is not None:
             if p.span_mode != "target":
                 rels = rel_span_adjust(rels, p.span_mode)
         # operand spans ride along (RelationInfo analog) so
