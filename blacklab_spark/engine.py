@@ -190,8 +190,14 @@ class SearchEngine:
         """Relations inside spans of a CQL container query
         (SpansCaptureRelationsWithinSpan analog)."""
         from blacklab_spark.operators import relations as R
-        rels = R.relations(self.index, rel_type)
-        return R.relations_within_span(rels, self.find(container_cql))
+        from blacklab_spark.operators.hits import push_hit_docs
+        containers = self.find(container_cql)
+        # rare-container pushdown: derive edges only for the
+        # containers' docs (push_hit_docs anchor pattern)
+        rels = R.relations(self.index, rel_type,
+                           dm=push_hit_docs(containers,
+                                            self.index.doc_meta))
+        return R.relations_within_span(rels, containers)
 
     # -- parallel corpora (other field + alignment) ----------------------
     def other_field(self, hits: DataFrame) -> DataFrame:
