@@ -1081,6 +1081,14 @@ def gate_queries() -> dict:
         return _rounded_rank_cut(fetched, 5).select(
             "rank", "doc_id", F.round("score", 4).alias("score"))
 
+    def streaming_delta_cql(spark, sf_dir):
+        """CQL across main + two deltas (per-part plan execution,
+        offset-shifted ids — Lucene unmerged-segment search analog):
+        the phrase hits equal a one-shot build's."""
+        dse = delta_engine(spark)
+        return dse.find('"visa" "application"').select(
+            "doc_id", "start", "end")
+
     def tags_spans_all(spark, sf_dir):
         """The stored inline-tag span layer itself: every (tag, span,
         attrs) row the build's map-side stack machine derived —
@@ -1208,6 +1216,7 @@ def gate_queries() -> dict:
         "cql_lemma_multivalue": cql_lemma_multivalue,
         "hits_sample_deterministic": hits_sample_deterministic,
         "streaming_delta_topk": streaming_delta_topk,
+        "streaming_delta_cql": streaming_delta_cql,
         "tags_spans_all": tags_spans_all,
         "cql_tag_attr": cql_tag_attr,
         "cql_tag_within_sentence": cql_tag_within_sentence,
@@ -1421,6 +1430,12 @@ FROM pos
 WHERE tok = 'the'
   AND substr(md5(concat_ws('|', '7', doc_id, p, p + 1)), 1, 8)
       < '40000000'
+""",
+        "streaming_delta_cql": f"""
+WITH {micro_cte()}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
+FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.tok = 'visa' AND b.tok = 'application'
 """,
         "streaming_delta_topk": f"""
 WITH {micro_cte()},

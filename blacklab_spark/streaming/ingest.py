@@ -147,6 +147,29 @@ class DeltaSearchEngine:
                            local_k=k), SCORE_SCHEMA))
         return p.without_deleted(out)
 
+    def find(self, cql: str) -> DataFrame:
+        """CQL over main + deltas (≙ Lucene searching unmerged
+        segments): every part is a complete index, positional
+        semantics are per-document, so each part executes the same
+        plan locally — postings leaves, cost-based sequences, the
+        whole span algebra — its tombstones are honored, local hit
+        doc ids shift by the part's recorded offset, and the results
+        union. Identical to a compacted rebuild's hits by
+        construction (ids are the one-shot build's when parts were
+        appended in (conv_id, turn_idx) order — tested)."""
+        from blacklab_spark.plans.executor import find as _find
+        outs = []
+        for p, off in zip(self.parts, self.offsets):
+            hits = p.without_deleted(_find(p, cql))
+            cols = [c for c in ("doc_id", "start", "end", "match_info")
+                    if c in hits.columns]
+            outs.append(hits.select(*cols).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(off)))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        return out
+
     def topk(self, terms: list[str], k: int = 10, mode: str = "auto",
              role=None, tool=None, conv_id=None, seed_blocks: int = 64):
         """Top-k over main + deltas with union-corpus BM25 stats,

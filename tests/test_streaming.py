@@ -90,3 +90,25 @@ def test_stream_ingest_available_now(spark, split_fixture):
     assert any(d.startswith("batch") for d in deltas)
     dse = DeltaSearchEngine(spark, f"{root}/main")
     assert dse.n_docs == len(parts["conv00000"]) + len(parts["conv00001"])
+
+
+def test_delta_find_cql_equals_compacted(spark, split_fixture):
+    """CQL over main + deltas ≡ the compacted rebuild's hits —
+    per-part plan execution with offset-shifted global ids (parts
+    appended in conv order ⇒ ids equal the one-shot build's)."""
+    root, cfg, parts = split_fixture
+    append_delta(spark, f"{root}/main",
+                 spark.createDataFrame(parts["conv00001"]), cfg, "d1")
+    append_delta(spark, f"{root}/main",
+                 spark.createDataFrame(parts["conv00002"]), cfg, "d2")
+    dse = DeltaSearchEngine(spark, f"{root}/main")
+    compact(spark, f"{root}/main", f"{root}/compacted2", cfg)
+    ceng = SearchEngine.open(spark, f"{root}/compacted2")
+    for q in ['"visa"', '"visa" [] "application"', '"the"+',
+              '[pos="noun"]']:
+        got = sorted(map(tuple, dse.find(q)
+                         .select("doc_id", "start", "end").collect()))
+        want = sorted(map(tuple, ceng.find(q)
+                          .select("doc_id", "start", "end").collect()))
+        assert got == want, q
+    assert sorted(map(tuple, dse.find('"visa"').collect()))
