@@ -549,6 +549,30 @@ WHERE a.tag = '{tag_a}' AND b.tag = '{tag_b}' {word_cond}
 """
 
 
+def _rcapture_sql() -> str:
+    """Oracle for rcapture([]{5,5}, 'rels', 'det'): one row per
+    (5-gram, det relation fully inside it)."""
+    from blacklab_spark.annotations import duckdb_pos_tags
+    return f"""
+WITH {_DOC_POS},
+posl AS (SELECT doc_id, {duckdb_pos_tags('ts')} AS ps FROM toks),
+ppos AS (SELECT doc_id, unnest(ps) AS tag,
+                generate_subscripts(ps, 1) - 1 AS p FROM posl),
+det AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e
+        FROM ppos a JOIN ppos b
+          ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        WHERE a.tag = 'func' AND b.tag = 'noun'),
+lens AS (SELECT doc_id, len(ts) AS n FROM toks),
+grams AS (SELECT doc_id, unnest(range(0, n - 4)) AS gs
+          FROM lens WHERE n >= 5)
+SELECT g.doc_id, CAST(g.gs AS INT) AS start,
+       CAST(g.gs + 5 AS INT) AS "end",
+       CAST(d.s AS INT) AS rel_start, CAST(d.e AS INT) AS rel_end
+FROM grams g JOIN det d
+  ON d.doc_id = g.doc_id AND d.s >= g.gs AND d.e <= g.gs + 5
+"""
+
+
 _FIELD_B_CTE = (
     "tb AS (SELECT doc_id, list_transform("
     "generate_series(0, CAST(ceil(len(ts) / 2.0) AS INT) - 1), "
@@ -747,6 +771,24 @@ def gate_queries() -> dict:
         rels = eng.relations("det", span_mode="target")
         return with_conv(eng, rels.select("doc_id", "start", "end")) \
             .select(_orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_rcapture_function(spark, sf_dir):
+        """rcapture(q, name, type) through the parser
+        (SpanQueryCaptureRelationsWithinSpan / XFRelations.rcapture):
+        det relations captured inside every 5-gram, emitted one row
+        per (hit, captured relation)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, 'rcapture([]{5,5}, "rels", "det")')
+        caps = hits.select(
+            "doc_id", "start", "end",
+            F.explode("match_info").alias("_k", "_v")).select(
+            "doc_id", "start", "end",
+            F.col("_v.s").alias("rel_start"),
+            F.col("_v.e").alias("rel_end"))
+        return with_conv(eng, caps).select(
+            _orig_doc_id(), F.col("start"), F.col("end"),
+            F.col("rel_start"), F.col("rel_end"))
 
     def cql_overlap_keyword(spark, sf_dir):
         """The 'overlap' operator through the parser (cql.jj:261,
@@ -1183,6 +1225,7 @@ def gate_queries() -> dict:
         "relations_det_target": relations_det_target,
         "cql_rel_function": cql_rel_function,
         "cql_overlap_keyword": cql_overlap_keyword,
+        "cql_rcapture_function": cql_rcapture_function,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
         "parallel_other_field_hits": parallel_other_field,
@@ -1269,6 +1312,7 @@ WHERE a.tok <> 'the'
         "relations_det_target": rel_adjacent_sql("func", "noun", 1, 2),
         "cql_rel_function": rel_adjacent_sql("func", "noun", 0, 2,
                                              target_word="table"),
+        "cql_rcapture_function": _rcapture_sql(),
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},
 A AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e

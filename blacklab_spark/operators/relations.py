@@ -206,3 +206,45 @@ def relations_between(index: InvertedIndex, source_hits: DataFrame,
     return (r.join(s, ["doc_id", "src_start", "src_end"])
             .join(t, ["doc_id", "tgt_start", "tgt_end"])
             .select("doc_id", "start", "end", *_EDGE_FIELDS))
+
+
+def capture_relations_within(index: InvertedIndex, hits: DataFrame,
+                             capture_as: str,
+                             rel_type: str | None = None) -> DataFrame:
+    """``rcapture(query, captureAs, relationType)`` —
+    SpanQueryCaptureRelationsWithinSpan.java:25 / XFRelations.rcapture:
+    every hit passes through unchanged; relations of the type whose
+    FULL span lies inside the hit are captured into match_info. The
+    reference captures a LIST under one name; match_info is a
+    map<name, span>, so the list is index-keyed
+    (``<captureAs>_0``, ``_1``, … in (start, end) order) — same
+    information, flat encoding. Edge derivation is pruned to the
+    hits' docs (push_hit_docs anchor pattern)."""
+    from blacklab_spark.operators.hits import push_hit_docs
+    if "match_info" in hits.columns:
+        raise ValueError(
+            "rcapture() must wrap a capture-free clause (match_info "
+            "is grouped on, and Spark cannot group by a map column)")
+    rels = relations(index, rel_type, span_mode="full",
+                     dm=push_hit_docs(hits, index.doc_meta))
+    h = hits.select("doc_id", "start", "end").alias("h")
+    r = rels.select("doc_id", F.col("start").alias("r_start"),
+                    F.col("end").alias("r_end")).alias("r")
+    cond = (F.col("h.doc_id") == F.col("r.doc_id")) & \
+           (F.col("r.r_start") >= F.col("h.start")) & \
+           (F.col("r.r_end") <= F.col("h.end"))
+    j = h.join(r, cond, "left_outer")
+    # collect_list skips NULLs, so relation-free hits get an empty map
+    captured = F.sort_array(F.collect_list(F.when(
+        F.col("r.r_start").isNotNull(),
+        F.struct(F.col("r.r_start").alias("s"),
+                 F.col("r.r_end").alias("e")))))
+    g = j.groupBy(F.col("h.doc_id").alias("doc_id"),
+                  F.col("h.start").alias("start"),
+                  F.col("h.end").alias("end")) \
+        .agg(captured.alias("_rs"))
+    mi = F.map_from_entries(F.transform(
+        F.col("_rs"),
+        lambda e, i: F.struct(
+            F.concat(F.lit(capture_as + "_"), i.cast("string")), e)))
+    return g.select("doc_id", "start", "end", mi.alias("match_info"))

@@ -434,6 +434,11 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         # operand spans ride along (RelationInfo analog) so
         # rspan(rel(...), mode) can re-adjust
         return rels
+    if isinstance(p, Q.RCapture):
+        from blacklab_spark.operators.relations import \
+            capture_relations_within
+        return capture_relations_within(index, _exec(index, p.clause),
+                                        p.capture_as, p.rel_type)
     if isinstance(p, Q.RField):
         # rfield(query, field): report hits in the parallel field's
         # coordinates (XFRelations.rfield — the source field itself is

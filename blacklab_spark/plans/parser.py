@@ -31,9 +31,9 @@ import re
 from blacklab_spark.plans.query import (And, AnyToken, Capture, CAnnot,
                                         CBool, CCmp, CFunc, CNot, Constrained,
                                         CrossField, CStr, Fuzzy, Not, Or,
-                                        Overlap, Pattern, PosFilter, Regex,
-                                        RelFunc, RelMatch, Rep, RField, RSpan,
-                                        Seq, Tag, Term, Turn)
+                                        Overlap, Pattern, PosFilter, RCapture,
+                                        Regex, RelFunc, RelMatch, Rep, RField,
+                                        RSpan, Seq, Tag, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -417,7 +417,8 @@ class _Parser:
             # default value (reference TextPatternDefaultValue,
             # SpanQueryDefaultValue.java:21): any token here
             return AnyToken(1, 1)
-        if t in ("rel", "rspan", "rfield") and self.peek() == "(":
+        if t in ("rel", "rspan", "rfield", "rcapture") \
+                and self.peek() == "(":
             return self._func_call(t)
         return _word_pattern(t)
 
@@ -470,6 +471,15 @@ class _Parser:
             span_mode = s_arg(2, "source", "a span mode")
             direction = s_arg(3, "both", "a direction")
             return RelFunc(rel_type, target, span_mode, direction)
+        if name == "rcapture":
+            # rcapture(query[, captureAs[, relationType]])
+            if not args:
+                raise ParseError("rcapture() requires at least a query")
+            clause = (args[0][1] if args[0][0] == "q"
+                      else _word_pattern(args[0][1]))
+            return RCapture(clause,
+                            s_arg(1, "captured_rels", "a capture name"),
+                            s_arg(2, None, "a relation type"))
         # rspan(query, spanMode) / rfield(query, field)
         if len(args) != 2:
             raise ParseError(f"{name}() takes (query, "

@@ -194,6 +194,17 @@ class RelFunc(Pattern):       # rel(type[, target[, spanMode[, direction]]])
 
 
 @dataclass(frozen=True)
+class RCapture(Pattern):      # rcapture(query[, captureAs[, type]])
+    """Query extension function ``rcapture(...)``
+    (XFRelations.java:170 / SpanQueryCaptureRelationsWithinSpan):
+    hits pass through; relations inside each hit are captured into
+    match_info (index-keyed — the reference's list, flat-encoded)."""
+    clause: Pattern
+    capture_as: str = "captured_rels"
+    rel_type: str | None = None
+
+
+@dataclass(frozen=True)
 class RField(Pattern):        # rfield(query, fieldOrVersion)
     """Query extension function ``rfield(q, field)``
     (XFRelations.java:131 / SpanQueryOtherFieldHits): report a source-
@@ -306,6 +317,9 @@ def pattern_str(p: Pattern) -> str:
         return f"rspan({pattern_str(p.clause)}, {p.span_mode})"
     if isinstance(p, RField):
         return f"rfield({pattern_str(p.clause)}, {p.field})"
+    if isinstance(p, RCapture):
+        return (f"rcapture({pattern_str(p.clause)}, {p.capture_as}"
+                f"{', ' + p.rel_type if p.rel_type else ''})")
     if isinstance(p, CrossField):
         return (f"CROSSFIELD({pattern_str(p.source)} ==> "
                 f"{pattern_str(p.target)})")

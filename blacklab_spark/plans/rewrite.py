@@ -17,9 +17,9 @@ import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
                                         CrossField, Expand, Not, Or, Overlap,
-                                        Pattern, PosFilter, Regex, RelFunc,
-                                        RelMatch, Rep, RField, RSpan, Seq,
-                                        Term, Turn)
+                                        Pattern, PosFilter, RCapture, Regex,
+                                        RelFunc, RelMatch, Rep, RField, RSpan,
+                                        Seq, Term, Turn)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
@@ -64,6 +64,8 @@ def _map_children(p: Pattern, fn) -> Pattern:
         return RSpan(fn(p.clause), p.span_mode)
     if isinstance(p, RField):
         return RField(fn(p.clause), p.field)
+    if isinstance(p, RCapture):
+        return RCapture(fn(p.clause), p.capture_as, p.rel_type)
     if isinstance(p, CrossField):
         # rewrite the source only: the target leaf is interpreted
         # against field b (an any-token elimination or regex→term

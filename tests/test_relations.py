@@ -207,3 +207,29 @@ def test_rfield_function_equals_facade(tiny_engine):
 def test_rfield_unknown_field_raises(tiny_engine):
     with pytest.raises(ValueError, match="unknown parallel field"):
         tiny_engine.find('rfield("the", "nl")').count()
+
+
+def test_rcapture_function(tiny_engine, expected_edges):
+    """rcapture(q, name, type): hits pass through; relations inside
+    each hit land in match_info as name_0, name_1, ... (index-keyed
+    list encoding of SpanQueryCaptureRelationsWithinSpan)."""
+    eng = tiny_engine
+    rows = eng.find('rcapture([]{5,5}, "rels", "det")').collect()
+    base = eng.find("[]{5,5}")
+    assert len(rows) == base.count() > 0
+    dets = {}  # full det spans per doc
+    for (d, ty, s0, s1, t0, t1) in expected_edges:
+        if ty == "det":
+            dets.setdefault(d, []).append((min(s0, t0), max(s1, t1)))
+    for r in rows:
+        inside = sorted((s, e) for (s, e) in dets.get(r["doc_id"], [])
+                        if s >= r["start"] and e <= r["end"])
+        got = sorted((v["s"], v["e"]) for k, v in r["match_info"].items())
+        assert got == inside, (r["doc_id"], r["start"], r["end"])
+        for i in range(len(got)):
+            assert f"rels_{i}" in r["match_info"]
+
+
+def test_rcapture_rejects_captured_clause(tiny_engine):
+    with pytest.raises(ValueError, match="capture-free"):
+        tiny_engine.find('rcapture(A:"the", "r")').count()
