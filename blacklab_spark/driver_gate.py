@@ -573,6 +573,19 @@ FROM grams g JOIN det d
 """
 
 
+def _root_relation_sql() -> str:
+    """Oracle for '^--> [pos="noun"]': every non-empty doc has one
+    root relation at [0,1); it matches iff the first token is a
+    noun."""
+    from blacklab_spark.annotations import duckdb_pos_tags
+    return f"""
+WITH {_DOC_TOKS},
+posl AS (SELECT doc_id, {duckdb_pos_tags('ts')} AS ps FROM toks)
+SELECT doc_id, CAST(0 AS INT) AS start, CAST(1 AS INT) AS "end"
+FROM posl WHERE len(ps) >= 1 AND ps[1] = 'noun'
+"""
+
+
 _FIELD_B_CTE = (
     "tb AS (SELECT doc_id, list_transform("
     "generate_series(0, CAST(ceil(len(ts) / 2.0) AS INT) - 1), "
@@ -770,6 +783,16 @@ def gate_queries() -> dict:
         eng = docs_engine(spark, sf_dir)
         rels = eng.relations("det", span_mode="target")
         return with_conv(eng, rels.select("doc_id", "start", "end")) \
+            .select(_orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_root_relation(spark, sf_dir):
+        """Root-relation operator '^--> [pos="noun"]' (ROOT_DEP_OP,
+        cql.jj:102): sourceless relations whose target matches,
+        reported at the target [0,1)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '^--> [pos="noun"]')
+        return with_conv(eng, hits.select("doc_id", "start", "end")) \
             .select(_orig_doc_id(), F.col("start"), F.col("end"))
 
     def cql_rcapture_function(spark, sf_dir):
@@ -1226,6 +1249,7 @@ def gate_queries() -> dict:
         "cql_rel_function": cql_rel_function,
         "cql_overlap_keyword": cql_overlap_keyword,
         "cql_rcapture_function": cql_rcapture_function,
+        "cql_root_relation": cql_root_relation,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
         "parallel_other_field_hits": parallel_other_field,
@@ -1313,6 +1337,7 @@ WHERE a.tok <> 'the'
         "cql_rel_function": rel_adjacent_sql("func", "noun", 0, 2,
                                              target_word="table"),
         "cql_rcapture_function": _rcapture_sql(),
+        "cql_root_relation": _root_relation_sql(),
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},
 A AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e

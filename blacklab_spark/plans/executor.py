@@ -434,6 +434,16 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         # operand spans ride along (RelationInfo analog) so
         # rspan(rel(...), mode) can re-adjust
         return rels
+    if isinstance(p, Q.RootRel):
+        # ^--> target: relations without a source whose target matches
+        # the clause, reported AT the target (rootRelationType)
+        from blacklab_spark.operators.hits import push_hit_docs
+        from blacklab_spark.operators.relations import relations
+        tgt = _exec(index, p.target).select("doc_id", "start", "end")
+        rels = relations(index, p.rel_type, direction="root",
+                         span_mode="target",
+                         dm=push_hit_docs(tgt, index.doc_meta))
+        return rels.join(tgt, ["doc_id", "start", "end"], "left_semi")
     if isinstance(p, Q.RCapture):
         from blacklab_spark.operators.relations import \
             capture_relations_within

@@ -33,7 +33,7 @@ from blacklab_spark.plans.query import (And, AnyToken, Capture, CAnnot,
                                         CrossField, CStr, Fuzzy, Not, Or,
                                         Overlap, Pattern, PosFilter, RCapture,
                                         Regex, RelFunc, RelMatch, Rep, RField,
-                                        RSpan, Seq, Tag, Term, Turn)
+                                        RootRel, RSpan, Seq, Tag, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
     \s*(
@@ -225,8 +225,16 @@ class _Parser:
     # like -det|obj->; reference BCQL relation operator, matched as a
     # RegexpQuery over relation types)
     _REL_OP = re.compile(r"^-([A-Za-z_][A-Za-z0-9_.*|?]*)->$")
+    # root-relation prefix operator ^--> / ^-type-> (cql.jj:102
+    # ROOT_DEP_OP, rootRelationType production)
+    _ROOT_OP = re.compile(r"^\^-([A-Za-z_][A-Za-z0-9_.*|?]*)?->$")
 
     def query(self) -> Pattern:
+        t0 = self.peek()
+        mroot = self._ROOT_OP.match(t0) if t0 else None
+        if mroot:
+            self.next()
+            return RootRel(mroot.group(1), self.posfiltered())
         left = self.posfiltered()
         t = self.peek()
         m = self._REL_OP.match(t) if t else None

@@ -224,6 +224,16 @@ class RSpan(Pattern):         # rspan(query, spanMode)
 
 
 @dataclass(frozen=True)
+class RootRel(Pattern):       # ^--> target  /  ^-type-> target
+    """Root-relation operator (grammar cql.jj:102 ROOT_DEP_OP, :332
+    rootRelationType): relations WITHOUT a source whose target span
+    matches the clause — reported at the target ('root relations are
+    indexed at the target')."""
+    rel_type: str | None
+    target: Pattern
+
+
+@dataclass(frozen=True)
 class RelMatch(Pattern):      # source -type-> target
     """Relation operator ``source -type-> target`` (reference:
     SpanQueryCaptureRelationsBetweenSpans.java — relations of a type
@@ -308,6 +318,9 @@ def pattern_str(p: Pattern) -> str:
                 f"{constraint_str(p.filter)})")
     if isinstance(p, RelMatch):
         return (f"REL({pattern_str(p.source)} -{p.rel_type}-> "
+                f"{pattern_str(p.target)})")
+    if isinstance(p, RootRel):
+        return (f"ROOTREL(^-{p.rel_type or ''}-> "
                 f"{pattern_str(p.target)})")
     if isinstance(p, RelFunc):
         tgt = "" if p.target is None else f", {pattern_str(p.target)}"

@@ -18,8 +18,8 @@ import re
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
                                         CrossField, Expand, Not, Or, Overlap,
                                         Pattern, PosFilter, RCapture, Regex,
-                                        RelFunc, RelMatch, Rep, RField, RSpan,
-                                        Seq, Term, Turn)
+                                        RelFunc, RelMatch, Rep, RField,
+                                        RootRel, RSpan, Seq, Term, Turn)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
@@ -66,6 +66,8 @@ def _map_children(p: Pattern, fn) -> Pattern:
         return RField(fn(p.clause), p.field)
     if isinstance(p, RCapture):
         return RCapture(fn(p.clause), p.capture_as, p.rel_type)
+    if isinstance(p, RootRel):
+        return RootRel(p.rel_type, fn(p.target))
     if isinstance(p, CrossField):
         # rewrite the source only: the target leaf is interpreted
         # against field b (an any-token elimination or regex→term

@@ -233,3 +233,23 @@ def test_rcapture_function(tiny_engine, expected_edges):
 def test_rcapture_rejects_captured_clause(tiny_engine):
     with pytest.raises(ValueError, match="capture-free"):
         tiny_engine.find('rcapture(A:"the", "r")').count()
+
+
+def test_root_relation_operator(tiny_engine):
+    """^--> target (ROOT_DEP_OP, cql.jj:102): root relations (no
+    source) whose target matches, reported at the target [0,1)."""
+    eng = tiny_engine
+    all_roots = eng.find('^--> []')
+    n_docs = eng.index.doc_meta.filter("n_tokens >= 1").count()
+    assert all_roots.count() == n_docs
+    rows = all_roots.select("doc_id", "start", "end").collect()
+    assert all(r["start"] == 0 and r["end"] == 1 for r in rows)
+    # target narrows to docs whose first token matches
+    the_roots = {r["doc_id"] for r in eng.find('^--> "the"').collect()}
+    first_tok = {r["doc_id"] for r in eng.index.doc_meta
+                 .filter("tokens[0] = 'the'").select("doc_id").collect()}
+    assert the_roots == first_tok and the_roots
+    # explicit type spelling
+    assert eng.find('^-root-> "the"').count() == len(the_roots)
+    # unknown root type matches nothing
+    assert eng.find('^-det-> []').count() == 0
