@@ -478,10 +478,19 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         # span matches a source hit and target span matches a target
         # hit (SpanQueryCaptureRelationsBetweenSpans analog). The hit
         # is the FULL relation span; both operand spans ride along.
+        # Negated (!-type->): source hits WITHOUT such a relation —
+        # an anti-join on the matched source spans; the hit is the
+        # source span itself.
         from blacklab_spark.operators.relations import relations_between
         src = _exec(index, p.source).select("doc_id", "start", "end")
         tgt = _exec(index, p.target).select("doc_id", "start", "end")
-        return relations_between(index, src, tgt, p.rel_type)
+        matched = relations_between(index, src, tgt, p.rel_type)
+        if not p.negate:
+            return matched
+        bad = matched.select(
+            "doc_id", F.col("src_start").alias("start"),
+            F.col("src_end").alias("end"))
+        return src.join(bad, ["doc_id", "start", "end"], "left_anti")
     if isinstance(p, Q.CrossField):
         # source ==> target: the target leaf runs against FIELD B's
         # token layer (SpansOverrideField analog), then the alignment

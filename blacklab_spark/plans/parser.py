@@ -238,11 +238,18 @@ class _Parser:
         left = self.posfiltered()
         t = self.peek()
         m = self._REL_OP.match(t) if t else None
-        if m:
-            # source -type-> target (SpanQueryCaptureRelationsBetween-
-            # Spans analog). Top-level only, like the :: constraint.
+        neg_next = self.peek_ahead(1)
+        mneg = (self._REL_OP.match(neg_next)
+                if t == "!" and neg_next else None)
+        if m or mneg:
+            # source [!]-type-> target (SpanQueryCaptureRelations-
+            # BetweenSpans analog; '!' = DEP_OP negation, cql.jj:103).
+            # Top-level only, like the :: constraint.
             self.next()
-            left = RelMatch(left, m.group(1), self.posfiltered())
+            if mneg:
+                self.next()
+            left = RelMatch(left, (m or mneg).group(1),
+                            self.posfiltered(), negate=bool(mneg))
         elif t == "==>":
             # source ==> target: cross-field alignment (reference BCQL
             # parallel-corpora operator; target clause runs against
@@ -338,7 +345,9 @@ class _Parser:
         while self.peek() is not None and self.peek() not in (
                 ")", ",", "within", "containing", "overlap",
                 "|", "&", "::", "==>") \
-                and not self._REL_OP.match(self.peek()):
+                and not self._REL_OP.match(self.peek()) \
+                and not (self.peek() == "!" and self.peek_ahead(1)
+                         and self._REL_OP.match(self.peek_ahead(1))):
             clauses.append(self.unary())
         return clauses[0] if len(clauses) == 1 else Seq(*clauses)
 

@@ -234,15 +234,19 @@ class RootRel(Pattern):       # ^--> target  /  ^-type-> target
 
 
 @dataclass(frozen=True)
-class RelMatch(Pattern):      # source -type-> target
+class RelMatch(Pattern):      # source -type-> target / !-type->
     """Relation operator ``source -type-> target`` (reference:
     SpanQueryCaptureRelationsBetweenSpans.java — relations of a type
     whose source span matches the left clause and target span matches
     the right clause; type is a regex like the reference's
-    RegexpQuery rewrite). Top-level only in v1 (like Constrained)."""
+    RegexpQuery rewrite). Top-level only in v1 (like Constrained).
+    ``negate`` is the DEP_OP ``!`` prefix (cql.jj:103): source hits
+    WITHOUT such a relation to a matching target — the hit is then
+    the source span itself."""
     source: Pattern
     rel_type: str
     target: Pattern
+    negate: bool = False
 
 
 @dataclass(frozen=True)
@@ -317,7 +321,8 @@ def pattern_str(p: Pattern) -> str:
         return (f"CONSTRAINED({pattern_str(p.clause)} :: "
                 f"{constraint_str(p.filter)})")
     if isinstance(p, RelMatch):
-        return (f"REL({pattern_str(p.source)} -{p.rel_type}-> "
+        neg = "!" if p.negate else ""
+        return (f"REL({pattern_str(p.source)} {neg}-{p.rel_type}-> "
                 f"{pattern_str(p.target)})")
     if isinstance(p, RootRel):
         return (f"ROOTREL(^-{p.rel_type or ''}-> "

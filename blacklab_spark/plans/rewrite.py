@@ -53,7 +53,7 @@ def _map_children(p: Pattern, fn) -> Pattern:
     if isinstance(p, Constrained):
         return Constrained(fn(p.clause), p.filter)
     if isinstance(p, RelMatch):
-        return RelMatch(fn(p.source), p.rel_type, fn(p.target))
+        return RelMatch(fn(p.source), p.rel_type, fn(p.target), p.negate)
     if isinstance(p, Overlap):
         return Overlap(fn(p.a), fn(p.b))
     if isinstance(p, RelFunc):

@@ -253,3 +253,25 @@ def test_root_relation_operator(tiny_engine):
     assert eng.find('^-root-> "the"').count() == len(the_roots)
     # unknown root type matches nothing
     assert eng.find('^-det-> []').count() == 0
+
+
+def test_negated_relation_operator(tiny_engine, expected_edges):
+    """A !-det-> B (DEP_OP '!' prefix, cql.jj:103): source hits
+    without a det relation to a matching target — hit = the source
+    span; positive + negative partition the source hits."""
+    eng = tiny_engine
+    pos = {(r["doc_id"], r["src_start"], r["src_end"])
+           for r in eng.find('[pos="func"] -det-> [pos="noun"]')
+           .collect()}
+    neg = {(r["doc_id"], r["start"], r["end"])
+           for r in eng.find('[pos="func"] !-det-> [pos="noun"]')
+           .collect()}
+    allsrc = {(r["doc_id"], r["start"], r["end"])
+              for r in eng.find('[pos="func"]').collect()}
+    assert pos | neg == allsrc and not (pos & neg) and pos and neg
+    # negation parses distinctly; plain '!' before a term still works
+    from blacklab_spark.plans.parser import parse
+    from blacklab_spark.plans import query as Q
+    p = parse('"the" !-det-> []')
+    assert isinstance(p, Q.RelMatch) and p.negate
+    assert isinstance(parse("!the"), Q.Not)
