@@ -586,6 +586,24 @@ FROM posl WHERE len(ps) >= 1 AND ps[1] = 'noun'
 """
 
 
+def _neg_relation_sql() -> str:
+    """Oracle for '[pos="func"] !-det-> [pos="noun"]': func positions
+    with NO det edge to a noun — in the adjacency grammar, func
+    tokens whose following tag isn't noun (or that are doc-final)."""
+    from blacklab_spark.annotations import duckdb_pos_tags
+    return f"""
+WITH {_DOC_TOKS},
+posl AS (SELECT doc_id, {duckdb_pos_tags('ts')} AS ps FROM toks),
+ppos AS (SELECT doc_id, unnest(ps) AS tag,
+                generate_subscripts(ps, 1) - 1 AS p,
+                len(ps) AS n FROM posl)
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 1 AS INT) AS "end"
+FROM ppos a LEFT JOIN ppos b
+  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.tag = 'func' AND (b.p IS NULL OR b.tag <> 'noun')
+"""
+
+
 _FIELD_B_CTE = (
     "tb AS (SELECT doc_id, list_transform("
     "generate_series(0, CAST(ceil(len(ts) / 2.0) AS INT) - 1), "
@@ -792,6 +810,17 @@ def gate_queries() -> dict:
         eng = docs_engine(spark, sf_dir)
         from blacklab_spark.plans.executor import find
         hits = find(eng.index, '^--> [pos="noun"]')
+        return with_conv(eng, hits.select("doc_id", "start", "end")) \
+            .select(_orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_neg_relation(spark, sf_dir):
+        """Negated relation operator '[pos="func"] !-det-> [pos=
+        "noun"]' (DEP_OP '!' prefix): func tokens WITHOUT a det
+        relation to a noun — in the synthetic grammar, exactly the
+        func tokens not followed by a noun."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '[pos="func"] !-det-> [pos="noun"]')
         return with_conv(eng, hits.select("doc_id", "start", "end")) \
             .select(_orig_doc_id(), F.col("start"), F.col("end"))
 
@@ -1250,6 +1279,7 @@ def gate_queries() -> dict:
         "cql_overlap_keyword": cql_overlap_keyword,
         "cql_rcapture_function": cql_rcapture_function,
         "cql_root_relation": cql_root_relation,
+        "cql_neg_relation": cql_neg_relation,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
         "parallel_other_field_hits": parallel_other_field,
@@ -1338,6 +1368,7 @@ WHERE a.tok <> 'the'
                                              target_word="table"),
         "cql_rcapture_function": _rcapture_sql(),
         "cql_root_relation": _root_relation_sql(),
+        "cql_neg_relation": _neg_relation_sql(),
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},
 A AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e
