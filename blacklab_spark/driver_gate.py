@@ -604,6 +604,26 @@ WHERE a.tag = 'func' AND (b.p IS NULL OR b.tag <> 'noun')
 """
 
 
+def _noun3_sql(start_off: int, end_off: int) -> str:
+    """Oracle for the multi-branch relation operators: positions j
+    with nouns at j-1, j and j+1 are exactly the spans sourcing BOTH
+    an nmod and an nn edge (operators/relations.py grammar), reported
+    as [j+start_off, j+end_off)."""
+    from blacklab_spark.annotations import duckdb_pos_tags
+    return f"""
+WITH {_DOC_TOKS},
+posl AS (SELECT doc_id, {duckdb_pos_tags('ts')} AS ps FROM toks),
+ppos AS (SELECT doc_id, unnest(ps) AS tag,
+                generate_subscripts(ps, 1) - 1 AS p FROM posl)
+SELECT a.doc_id, CAST(a.p + {start_off} AS INT) AS start,
+       CAST(a.p + {end_off} AS INT) AS "end"
+FROM ppos a
+JOIN ppos l ON l.doc_id = a.doc_id AND l.p = a.p - 1
+JOIN ppos r ON r.doc_id = a.doc_id AND r.p = a.p + 1
+WHERE a.tag = 'noun' AND l.tag = 'noun' AND r.tag = 'noun'
+"""
+
+
 _FIELD_B_CTE = (
     "tb AS (SELECT doc_id, list_transform("
     "generate_series(0, CAST(ceil(len(ts) / 2.0) AS INT) - 1), "
@@ -821,6 +841,28 @@ def gate_queries() -> dict:
         eng = docs_engine(spark, sf_dir)
         from blacklab_spark.plans.executor import find
         hits = find(eng.index, '[pos="func"] !-det-> [pos="noun"]')
+        return with_conv(eng, hits.select("doc_id", "start", "end")) \
+            .select(_orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_relmulti_branches(spark, sf_dir):
+        """Multi-branch relation query '[pos="noun"] -nmod-> [] ;
+        -nn-> []' (cql.jj:282 ';'-separated childRelations →
+        SpanQueryAnd with requireUniqueRelations): nouns sourcing
+        both an nmod and an nn edge = middle nouns of noun^3
+        trigrams; hit = envelope [j-1, j+2)."""
+        eng = docs_engine(spark, sf_dir)
+        hits = eng.find('[pos="noun"] -nmod-> [] ; -nn-> []')
+        return with_conv(eng, hits.select("doc_id", "start", "end")) \
+            .select(_orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_rmatch_function(spark, sf_dir):
+        """rmatch(rel("nmod", _, "source"), rel("nn", _, "source"))
+        (XFRelations.java:152 → createRelMatchQuery): same-span AND
+        of the two relation sets with unique relations — the shared
+        source span [j, j+1) of noun^3 centres."""
+        eng = docs_engine(spark, sf_dir)
+        hits = eng.find(
+            'rmatch(rel("nmod", _, "source"), rel("nn", _, "source"))')
         return with_conv(eng, hits.select("doc_id", "start", "end")) \
             .select(_orig_doc_id(), F.col("start"), F.col("end"))
 
@@ -1280,6 +1322,8 @@ def gate_queries() -> dict:
         "cql_rcapture_function": cql_rcapture_function,
         "cql_root_relation": cql_root_relation,
         "cql_neg_relation": cql_neg_relation,
+        "cql_relmulti_branches": cql_relmulti_branches,
+        "cql_rmatch_function": cql_rmatch_function,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
         "parallel_other_field_hits": parallel_other_field,
@@ -1369,6 +1413,8 @@ WHERE a.tok <> 'the'
         "cql_rcapture_function": _rcapture_sql(),
         "cql_root_relation": _root_relation_sql(),
         "cql_neg_relation": _neg_relation_sql(),
+        "cql_relmulti_branches": _noun3_sql(-1, 2),
+        "cql_rmatch_function": _noun3_sql(0, 1),
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},
 A AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e

@@ -28,6 +28,11 @@ Synthetic grammar (all spans are [start, end) token intervals):
 * ``nn``    — pos[i]=noun, pos[i+1]=noun → source [i+1,i+2) (the
   second noun is the head, UD-compound style) → target [i,i+1): a
   BACKWARD relation
+* ``nmod``  — pos[i]=noun, pos[i+1]=noun → source [i,i+1) → target
+  [i+1,i+2): the head-initial FORWARD companion of ``nn`` (UD
+  flat-style). Together they give the middle noun of a noun³
+  trigram two same-source edges of different types — the shape the
+  multi-branch relation operator (relations_match_multi) needs
 * ``nsubj`` — pos[i]=noun, pos[i+1]=verb → source [i+1,i+2) (the
   verb) → target [i,i+1): BACKWARD
 * ``root``  — every non-empty doc has one root relation with no
@@ -93,13 +98,15 @@ def doc_relations(index: InvertedIndex,
                       lambda i: _edge("obj", i, i + 1, i + 1, i + 2))
     nn = F.transform(adj("noun", "noun"),
                      lambda i: _edge("nn", i + 1, i + 2, i, i + 1))
+    nmod = F.transform(adj("noun", "noun"),
+                       lambda i: _edge("nmod", i, i + 1, i + 1, i + 2))
     nsubj = F.transform(adj("noun", "verb"),
                         lambda i: _edge("nsubj", i + 1, i + 2, i, i + 1))
     root = F.when(n >= 1, F.array(_edge("root", None, None, 0, 1))) \
         .otherwise(F.array().cast(
             "array<struct<rel_type:string,src_start:int,src_end:int,"
             "tgt_start:int,tgt_end:int>>"))
-    edges = F.concat(det, obj, nn, nsubj, root)
+    edges = F.concat(det, obj, nn, nmod, nsubj, root)
     return (dm.select("doc_id", F.explode(edges).alias("e"))
             .select("doc_id", *[F.col(f"e.{f}") for f in _EDGE_FIELDS]))
 
@@ -206,6 +213,99 @@ def relations_between(index: InvertedIndex, source_hits: DataFrame,
     return (r.join(s, ["doc_id", "src_start", "src_end"])
             .join(t, ["doc_id", "tgt_start", "tgt_end"])
             .select("doc_id", "start", "end", *_EDGE_FIELDS))
+
+
+_EDGE_ARRAY_T = ("array<struct<rel_type:string,src_start:int,"
+                 "src_end:int,tgt_start:int,tgt_end:int>>")
+
+
+def _edge_struct() -> Column:
+    return F.struct(*_EDGE_FIELDS)
+
+
+def relations_match_multi(index: InvertedIndex, source_hits: DataFrame,
+                          branches: list) -> DataFrame:
+    """Multi-branch relation match ``src -t1-> a ; -t2-> b`` (reference
+    TextPatternRelationMatch.createRelMatchQuery → SpanQueryAnd with
+    setRequireUniqueRelations(true), physically
+    SpansAndMultiUniqueRelations.java:51). ``branches`` is a list of
+    ``(rel_type, target_hits, negate)``.
+
+    Every positive branch must contribute a relation edge of its type
+    whose SOURCE span equals the shared parent span and whose target
+    span matches a branch target hit; one combination may not reuse
+    the same edge twice (unique-relations AND — enforced per
+    combination by filtering each joined edge against the combo's
+    accumulated edge array). Negated branches anti-join parent spans
+    that have any such edge (RelMatch ``!`` semantics). The hit is
+    the distinct envelope of the parent span and all matched relation
+    spans (RelMatch's full-span convention; the reference reports the
+    source span and widens display via captured relations)."""
+    from blacklab_spark.operators.hits import push_hit_docs
+    src = (source_hits.select("doc_id",
+                              F.col("start").alias("s_start"),
+                              F.col("end").alias("s_end"))
+           .dropDuplicates())
+    # one pruned doc_meta scan feeds every branch's edge derivation
+    dm = push_hit_docs(source_hits, index.doc_meta)
+    acc = (src.withColumn("_env_start", F.col("s_start"))
+              .withColumn("_env_end", F.col("s_end"))
+              .withColumn("_edges", F.array().cast(_EDGE_ARRAY_T)))
+    for rel_type, target_hits, negate in branches:
+        r = relations(index, rel_type, span_mode="full", dm=dm)
+        t = target_hits.select(
+            "doc_id", F.col("start").alias("tgt_start"),
+            F.col("end").alias("tgt_end")).dropDuplicates()
+        bi = (r.join(t, ["doc_id", "tgt_start", "tgt_end"])
+              .select("doc_id",
+                      F.col("src_start").alias("s_start"),
+                      F.col("src_end").alias("s_end"),
+                      F.col("start").alias("_b_start"),
+                      F.col("end").alias("_b_end"),
+                      _edge_struct().alias("_b_edge")))
+        if negate:
+            bad = bi.select("doc_id", "s_start", "s_end")
+            acc = acc.join(bad, ["doc_id", "s_start", "s_end"],
+                           "left_anti")
+            continue
+        acc = (acc.join(bi, ["doc_id", "s_start", "s_end"])
+               .filter(~F.array_contains("_edges", F.col("_b_edge")))
+               .withColumn("_env_start",
+                           F.least("_env_start", "_b_start"))
+               .withColumn("_env_end", F.greatest("_env_end", "_b_end"))
+               .withColumn("_edges",
+                           F.concat("_edges", F.array("_b_edge")))
+               .drop("_b_start", "_b_end", "_b_edge"))
+    return (acc.select("doc_id",
+                       F.col("_env_start").cast("int").alias("start"),
+                       F.col("_env_end").cast("int").alias("end"))
+            .dropDuplicates())
+
+
+def rmatch_same_span(frames: list) -> DataFrame:
+    """``rmatch(q1, q2, ...)`` combine step (XFRelations.java:152 →
+    createRelMatchQuery → SpanQueryAnd(requireUniqueRelations)):
+    same-span intersection of the clause hit sets. When EVERY clause
+    carries relation match info (the edge columns rel() hits ride
+    along), a combination may not match the same relation edge twice
+    — the unique-relations rule; otherwise it is a plain same-span
+    AND (and_, with its documented dedup divergence)."""
+    has_rel = all(set(_EDGE_FIELDS) <= set(f.columns) for f in frames)
+    if not has_rel:
+        from blacklab_spark.operators.spans import and_
+        return and_(*frames)
+    acc = frames[0].select(
+        "doc_id", "start", "end",
+        F.array(_edge_struct()).alias("_edges"))
+    for f in frames[1:]:
+        fi = f.select("doc_id", "start", "end",
+                      _edge_struct().alias("_b_edge"))
+        acc = (acc.join(fi, ["doc_id", "start", "end"])
+               .filter(~F.array_contains("_edges", F.col("_b_edge")))
+               .withColumn("_edges",
+                           F.concat("_edges", F.array("_b_edge")))
+               .drop("_b_edge"))
+    return acc.select("doc_id", "start", "end").dropDuplicates()
 
 
 def capture_relations_within(index: InvertedIndex, hits: DataFrame,

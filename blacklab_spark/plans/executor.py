@@ -491,6 +491,33 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             "doc_id", F.col("src_start").alias("start"),
             F.col("src_end").alias("end"))
         return src.join(bad, ["doc_id", "start", "end"], "left_anti")
+    if isinstance(p, Q.RelMulti):
+        # src -t1-> a ; -t2-> b: every branch's relation shares the
+        # parent span as its source; no edge satisfies two branches
+        # (SpansAndMultiUniqueRelations analog — see
+        # operators/relations.py:relations_match_multi)
+        from blacklab_spark.operators.relations import \
+            relations_match_multi
+        src = _exec(index, p.source).select("doc_id", "start", "end")
+        branches = [(b.rel_type,
+                     _exec(index, b.target).select("doc_id", "start",
+                                                   "end"),
+                     b.negate) for b in p.branches]
+        return relations_match_multi(index, src, branches)
+    if isinstance(p, Q.RMatch):
+        # rmatch(q1, q2, ...): drop any-n-gram clauses (they match
+        # everywhere — XFRelations/createRelMatchQuery does the same),
+        # then same-span AND with unique relations
+        from blacklab_spark.operators.relations import rmatch_same_span
+        kept = [c for c in p.clauses
+                if not (isinstance(c, Q.AnyToken) and c.max_len is None)]
+        if not kept:
+            raise ValueError(
+                "rmatch() of only any-n-gram clauses matches "
+                "everything — give it at least one real clause")
+        if len(kept) == 1:
+            return _exec(index, kept[0])
+        return rmatch_same_span([_exec(index, c) for c in kept])
     if isinstance(p, Q.CrossField):
         # source ==> target: the target leaf runs against FIELD B's
         # token layer (SpansOverrideField analog), then the alignment
@@ -614,3 +641,5 @@ def _walk(p: Q.Pattern):
     tgt = getattr(p, "target", None)
     if isinstance(tgt, Q.Pattern):
         yield from _walk(tgt)
+    for br in getattr(p, "branches", ()):   # RelMulti child relations
+        yield from _walk(br.target)

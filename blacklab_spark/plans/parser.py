@@ -32,7 +32,8 @@ from blacklab_spark.plans.query import (And, AnyToken, Capture, CAnnot,
                                         CBool, CCmp, CFunc, CNot, Constrained,
                                         CrossField, CStr, Fuzzy, Not, Or,
                                         Overlap, Pattern, PosFilter, RCapture,
-                                        Regex, RelFunc, RelMatch, Rep, RField,
+                                        Regex, RelBranch, RelFunc, RelMatch,
+                                        RelMulti, RMatch, Rep, RField,
                                         RootRel, RSpan, Seq, Tag, Term, Turn)
 
 _TOKEN_RE = re.compile(r"""
@@ -52,9 +53,9 @@ _TOKEN_RE = re.compile(r"""
         [A-Za-z_][A-Za-z0-9_]*:\(  |  # capture open (parenthesized)
         [A-Za-z_][A-Za-z0-9_]*:    |  # capture of the next atom
         !=                         |  # constraint inequality
-        \(|\)|\||&|!|\*|\+|\?|,    |
+        \(|\)|\||&|!|\*|\+|\?|,|;  |
         (?:within|containing|overlap)\b |
-        [^\s()\[\]{}|&!*+?:'"~,]+      # bare word / regex (no quotes)
+        [^\s()\[\]{}|&!*+?:'"~,;]+     # bare word / regex (no quotes)
     )""", re.VERBOSE)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
@@ -244,12 +245,37 @@ class _Parser:
         if m or mneg:
             # source [!]-type-> target (SpanQueryCaptureRelations-
             # BetweenSpans analog; '!' = DEP_OP negation, cql.jj:103).
-            # Top-level only, like the :: constraint.
+            # Top-level only, like the :: constraint. Further
+            # ';'-separated branches (cql.jj:293) share the same
+            # source span → RelMulti (unique-relations AND).
             self.next()
             if mneg:
                 self.next()
-            left = RelMatch(left, (m or mneg).group(1),
-                            self.posfiltered(), negate=bool(mneg))
+            branches = [RelBranch((m or mneg).group(1),
+                                  self.posfiltered(), bool(mneg))]
+            while self.peek() == ";":
+                self.next()
+                t2 = self.peek()
+                m2 = self._REL_OP.match(t2) if t2 else None
+                neg2 = self.peek_ahead(1)
+                mneg2 = (self._REL_OP.match(neg2)
+                         if t2 == "!" and neg2 else None)
+                if not (m2 or mneg2):
+                    raise ParseError(
+                        "expected a relation operator after ';' "
+                        f"(got {t2!r})")
+                self.next()
+                if mneg2:
+                    self.next()
+                branches.append(RelBranch((m2 or mneg2).group(1),
+                                          self.posfiltered(),
+                                          bool(mneg2)))
+            if len(branches) == 1:
+                b = branches[0]
+                left = RelMatch(left, b.rel_type, b.target,
+                                negate=b.negate)
+            else:
+                left = RelMulti(left, tuple(branches))
         elif t == "==>":
             # source ==> target: cross-field alignment (reference BCQL
             # parallel-corpora operator; target clause runs against
@@ -343,7 +369,7 @@ class _Parser:
     def seq(self) -> Pattern:
         clauses = [self.unary()]
         while self.peek() is not None and self.peek() not in (
-                ")", ",", "within", "containing", "overlap",
+                ")", ",", ";", "within", "containing", "overlap",
                 "|", "&", "::", "==>") \
                 and not self._REL_OP.match(self.peek()) \
                 and not (self.peek() == "!" and self.peek_ahead(1)
@@ -434,7 +460,7 @@ class _Parser:
             # default value (reference TextPatternDefaultValue,
             # SpanQueryDefaultValue.java:21): any token here
             return AnyToken(1, 1)
-        if t in ("rel", "rspan", "rfield", "rcapture") \
+        if t in ("rel", "rmatch", "rspan", "rfield", "rcapture") \
                 and self.peek() == "(":
             return self._func_call(t)
         return _word_pattern(t)
@@ -488,6 +514,15 @@ class _Parser:
             span_mode = s_arg(2, "source", "a span mode")
             direction = s_arg(3, "both", "a direction")
             return RelFunc(rel_type, target, span_mode, direction)
+        if name == "rmatch":
+            # rmatch(q1, q2, ...) — XFRelations.java:152: one or more
+            # queries, same-span AND with unique relations
+            if not args:
+                raise ParseError(
+                    "rmatch() requires one or more queries")
+            clauses = tuple(v if kind == "q" else _word_pattern(v)
+                            for kind, v in args)
+            return RMatch(clauses)
         if name == "rcapture":
             # rcapture(query[, captureAs[, relationType]])
             if not args:

@@ -250,6 +250,43 @@ class RelMatch(Pattern):      # source -type-> target / !-type->
 
 
 @dataclass(frozen=True)
+class RelBranch:              # one ';'-separated child relation
+    """One child-relation branch of a multi-branch relation query
+    (cql.jj:308 childRelation: ``[label ':'] -type-> target``).
+    ``negate`` mirrors RelMatch's DEP_OP ``!`` prefix."""
+    rel_type: str
+    target: Pattern
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class RelMulti(Pattern):      # src -t1-> a ; -t2-> b ; ...
+    """Multi-branch relation query ``source -t1-> tgt1 ; -t2-> tgt2``
+    (cql.jj:282 relationQuery with >1 childRelation; reference
+    TextPatternRelationMatch.createRelMatchQuery → SpanQueryAnd with
+    requireUniqueRelations — SpansAndMultiUniqueRelations.java:51):
+    every positive branch must find a relation of its type whose
+    SOURCE is the same parent span and whose target matches the
+    branch clause; the same relation edge may not satisfy two
+    branches (unique-relations AND). Hit = envelope of the parent
+    span and all matched relation spans (consistent with RelMatch's
+    full-span convention; the reference reports the source span and
+    widens display via captured relations)."""
+    source: Pattern
+    branches: tuple  # of RelBranch, len >= 2
+
+
+@dataclass(frozen=True)
+class RMatch(Pattern):        # rmatch(q1, q2, ...)
+    """``rmatch(q1, q2, ...)`` extension function (XFRelations.java:152
+    rmatch → createRelMatchQuery): same-span AND of the argument
+    queries after dropping any-n-gram arguments, with the
+    unique-relations requirement applied when every clause carries
+    relation match info (rel() hits)."""
+    clauses: tuple  # of Pattern
+
+
+@dataclass(frozen=True)
 class CrossField(Pattern):    # source ==> target
     """Cross-field alignment operator ``source ==> target`` (reference
     BCQL parallel-corpora syntax; SpanQueryCaptureRelationsBetween-

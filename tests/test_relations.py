@@ -25,6 +25,7 @@ def py_edges(tokens: list[str]) -> list[tuple]:
             out.append(("obj", i, i + 1, i + 1, i + 2))
         if pos[i] == "noun" and pos[i + 1] == "noun":
             out.append(("nn", i + 1, i + 2, i, i + 1))
+            out.append(("nmod", i, i + 1, i + 1, i + 2))
         if pos[i] == "noun" and pos[i + 1] == "verb":
             out.append(("nsubj", i + 1, i + 2, i, i + 1))
     if pos:
@@ -275,3 +276,87 @@ def test_negated_relation_operator(tiny_engine, expected_edges):
     p = parse('"the" !-det-> []')
     assert isinstance(p, Q.RelMatch) and p.negate
     assert isinstance(parse("!the"), Q.Not)
+
+
+# ---------------- multi-branch relation match / rmatch() -------------
+# (reference: cql.jj:282 relationQuery with ';'-separated branches,
+# TextPatternRelationMatch.createRelMatchQuery → SpanQueryAnd with
+# requireUniqueRelations — SpansAndMultiUniqueRelations.java:51;
+# rmatch(): XFRelations.java:152)
+def _noun3_centres(tiny_engine):
+    """(doc_id, j) of every noun at j with nouns at j-1 and j+1 — the
+    only spans that source two different edge types (nn + nmod)."""
+    rows = tiny_engine.index.doc_meta.select("doc_id",
+                                             "tokens").collect()
+    out = set()
+    for r in rows:
+        pos = [py_pos_tag(t) for t in r["tokens"]]
+        for j in range(1, len(pos) - 1):
+            if pos[j - 1] == pos[j] == pos[j + 1] == "noun":
+                out.add((r["doc_id"], j))
+    return out
+
+
+def test_relmulti_two_branches_envelope(tiny_engine):
+    """[pos="noun"] -nmod-> [] ; -nn-> []: middle nouns of noun^3
+    trigrams; hit = envelope of source + both relation spans =
+    [j-1, j+2)."""
+    got = {(r.doc_id, r.start, r.end) for r in tiny_engine.find(
+        '[pos="noun"] -nmod-> [] ; -nn-> []').collect()}
+    want = {(d, j - 1, j + 2) for d, j in _noun3_centres(tiny_engine)}
+    assert got == want and got
+
+
+def test_relmulti_unique_relations(tiny_engine):
+    """Repeating the same branch type must find a SECOND distinct
+    edge of that type from the same source — the grammar has at most
+    one nn edge per source, so the result is empty (while a single
+    branch matches plenty). This is the requireUniqueRelations rule."""
+    single = tiny_engine.find('[pos="noun"] -nn-> []')
+    double = tiny_engine.find('[pos="noun"] -nn-> [] ; -nn-> []')
+    assert single.count() > 0 and double.count() == 0
+
+
+def test_relmulti_negated_branch(tiny_engine):
+    """[pos="noun"] -nmod-> [] ; !-nn-> []: nouns starting a noun-noun
+    pair WITHOUT an incoming-source nn edge — i.e. pos[j+1]=noun and
+    (j==0 or pos[j-1]!=noun). Envelope = source + nmod full span."""
+    got = {(r.doc_id, r.start, r.end) for r in tiny_engine.find(
+        '[pos="noun"] -nmod-> [] ; !-nn-> []').collect()}
+    rows = tiny_engine.index.doc_meta.select("doc_id",
+                                             "tokens").collect()
+    want = set()
+    for r in rows:
+        pos = [py_pos_tag(t) for t in r["tokens"]]
+        for j in range(len(pos) - 1):
+            if pos[j] == "noun" and pos[j + 1] == "noun" \
+                    and (j == 0 or pos[j - 1] != "noun"):
+                want.add((r["doc_id"], j, j + 2))
+    assert got == want and got
+
+
+def test_rmatch_same_span_unique_relations(tiny_engine):
+    """rmatch(rel("nmod", _, "source"), rel("nn", _, "source")) —
+    source spans carrying both edge types = noun^3 centres, reported
+    as the shared source span [j, j+1)."""
+    got = {(r.doc_id, r.start, r.end) for r in tiny_engine.find(
+        'rmatch(rel("nmod", _, "source"), rel("nn", _, "source"))'
+    ).collect()}
+    want = {(d, j, j + 1) for d, j in _noun3_centres(tiny_engine)}
+    assert got == want and got
+    # same clause twice: the only candidate edge is shared → empty
+    dup = tiny_engine.find(
+        'rmatch(rel("nn", _, "source"), rel("nn", _, "source"))')
+    assert dup.count() == 0
+
+
+def test_rmatch_single_and_plain_clauses(tiny_engine):
+    """One real clause passes through; non-relation clauses fall back
+    to the plain same-span AND."""
+    one = tiny_engine.find('rmatch(rel("det"))')
+    assert one.count() == tiny_engine.find('rel("det")').count() > 0
+    # plain clauses: same-span AND of two word patterns
+    both = tiny_engine.find('rmatch("visa", [word="v.*"])')
+    visa = tiny_engine.find('"visa"')
+    assert both.count() == visa.dropDuplicates(
+        ["doc_id", "start", "end"]).count() > 0
