@@ -844,6 +844,31 @@ def gate_queries() -> dict:
         return with_conv(eng, hits.select("doc_id", "start", "end")) \
             .select(_orig_doc_id(), F.col("start"), F.col("end"))
 
+    def server_hits_lifecycle(spark, sf_dir):
+        """FULL serving lifecycle (SURVEY §3.1): HTTP GET
+        /blacklab-server/<corpus>/hits?patt=... against a live
+        BlsServer → parse the BLS JSON response → hit rows. Proves
+        request parsing, CQL execution, KWIC assembly and JSON
+        serialization end-to-end against the same SQL oracle as the
+        raw executor gate."""
+        import json as _json
+        import urllib.request
+        from blacklab_spark.server import BlsServer
+        eng = docs_engine(spark, sf_dir)
+        srv = BlsServer(eng, corpus="corpus")
+        port = srv.start()
+        try:
+            url = (f"http://127.0.0.1:{port}/blacklab-server/corpus/"
+                   f"hits?patt=%22vector%22&number=1000000")
+            with urllib.request.urlopen(url) as resp:
+                body = _json.loads(resp.read().decode())
+        finally:
+            srv.stop()
+        rows = [(int(h["docPid"].split(":")[0][3:11]),
+                 h["start"], h["end"]) for h in body["hits"]]
+        return spark.createDataFrame(
+            rows, "doc_id long, start int, end int")
+
     def cql_relmulti_branches(spark, sf_dir):
         """Multi-branch relation query '[pos="noun"] -nmod-> [] ;
         -nn-> []' (cql.jj:282 ';'-separated childRelations →
@@ -1324,6 +1349,7 @@ def gate_queries() -> dict:
         "cql_neg_relation": cql_neg_relation,
         "cql_relmulti_branches": cql_relmulti_branches,
         "cql_rmatch_function": cql_rmatch_function,
+        "server_hits_lifecycle": server_hits_lifecycle,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
         "parallel_other_field_hits": parallel_other_field,
@@ -1415,6 +1441,7 @@ WHERE a.tok <> 'the'
         "cql_neg_relation": _neg_relation_sql(),
         "cql_relmulti_branches": _noun3_sql(-1, 2),
         "cql_rmatch_function": _noun3_sql(0, 1),
+        "server_hits_lifecycle": term_positions_sql("vector"),
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},
 A AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e

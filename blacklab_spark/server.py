@@ -1,0 +1,386 @@
+"""BLS-style HTTP serving facade — the reference's primary entry point
+(SURVEY §3.1: ``GET /blacklab-server/<corpus>/hits?patt=...&filter=...
+&sort=...&group=...``) re-expressed over :class:`SearchEngine`.
+
+Reference surface mirrored (server/src/main/java/nl/inl/blacklab/
+server/requesthandlers/*, response shapes wslib/.../results/
+ResponseStreamer.java; operation enum common/.../webservice/
+WebserviceOperation.java:13-52):
+
+* ``GET /blacklab-server``                      — server info
+* ``GET /blacklab-server/<corpus>``             — corpus info
+* ``GET /blacklab-server/<corpus>/status``      — index status
+* ``GET /blacklab-server/<corpus>/hits``        — params ``patt``
+  (+ ``pattlang=corpusql|contextql``), ``filter`` (Lucene-classic),
+  ``sort`` / ``group`` (hit-property DSL), ``first`` / ``number``
+  paging, ``wordsaroundhit`` KWIC width — RequestHandlerHits
+* ``GET /blacklab-server/<corpus>/docs``        — metadata query
+  (``filter``) or per-doc results of ``patt`` — RequestHandlerDocs
+* ``GET /blacklab-server/<corpus>/docs/<pid>``  — doc info
+* ``GET /blacklab-server/<corpus>/docs/<pid>/contents`` — content
+  store read-back (RequestHandlerDocContents)
+* ``GET /blacklab-server/<corpus>/termfreq``    — corpus-wide term
+  frequencies (RequestHandlerTermFreq)
+
+Response bodies follow the BLS JSON shape (``summary`` with
+``searchParam`` / window stats / ``numberOfHits``, ``hits`` with
+``docPid`` + ``left/match/right`` word arrays, ``docInfos``,
+``hitGroups``); errors use BLS's ``{"error": {code, message}}``
+envelope. JSON only (the reference also streams XML/CSV).
+
+Scale note: the HTTP layer holds NO state and collects only the
+requested window (sort → limit(first+number) → slice) plus tiny
+driver-side aggregates (counts, group sizes ≤ number); everything
+heavy stays in Spark jobs, so the same handler fronts a cluster-sized
+engine unchanged. It is a serving facade for functional parity — a
+production deployment would put the engine behind a real app server.
+
+Stdlib-only (http.server), daemon-threaded; ``port=0`` picks a free
+port (tests use this).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import functions as F
+
+from blacklab_spark import __version__
+from blacklab_spark.engine import SearchEngine
+
+_PREFIX = "/blacklab-server"
+DEFAULT_PAGE_SIZE = 50          # BLS defaultPageSize
+DEFAULT_CONTEXT = 5             # BlackLabIndex.DEFAULT_CONTEXT_SIZE
+
+
+class BlsError(Exception):
+    """Maps to the BLS error envelope (HttpStatus + code + message)."""
+
+    def __init__(self, status: int, code: str, message: str):
+        super().__init__(message)
+        self.status, self.code, self.message = status, code, message
+
+
+def _pid(conv_id: str, turn_idx) -> str:
+    return f"{conv_id}:{turn_idx}"
+
+
+class BlsApp:
+    """Request → JSON-dict dispatcher (transport-free, directly
+    testable; the HTTP handler is a thin shell around ``handle``)."""
+
+    def __init__(self, engine: SearchEngine, corpus: str = "corpus"):
+        self.engine = engine
+        self.corpus = corpus
+        self._token_count: int | None = None
+
+    # ---- helpers ----------------------------------------------------
+    def _tokens_total(self) -> int:
+        if self._token_count is None:
+            self._token_count = int(
+                self.engine.index.doc_meta.agg(
+                    F.sum("n_tokens")).collect()[0][0] or 0)
+        return self._token_count
+
+    @staticmethod
+    def _int(params: dict, key: str, default: int) -> int:
+        try:
+            return int(params.get(key, [default])[0])
+        except ValueError:
+            raise BlsError(400, "ILLEGAL_ARGUMENT",
+                           f"parameter {key} must be an integer") from None
+
+    @staticmethod
+    def _str(params: dict, key: str, default: str | None = None):
+        v = params.get(key)
+        return v[0] if v else default
+
+    def _find(self, params: dict):
+        """patt/pattlang/filter → hits frame (RequestHandlerHits
+        parse step; WebserviceParamsUtils.parsePattern analog)."""
+        patt = self._str(params, "patt")
+        if not patt:
+            raise BlsError(400, "NO_PATTERN_GIVEN",
+                           "Text search pattern required (patt)")
+        lang = self._str(params, "pattlang", "corpusql")
+        filt = self._str(params, "filter")
+        try:
+            if lang == "corpusql":
+                return self.engine.find(patt, filter=filt)
+            if lang == "contextql":
+                return self.engine.find_contextql(patt, filter=filt)
+        except ValueError as e:
+            raise BlsError(400, "PATT_SYNTAX_ERROR", str(e)) from None
+        raise BlsError(400, "UNKNOWN_PATT_LANG",
+                       f"unknown pattern language {lang!r}")
+
+    def _doc_infos(self, doc_ids: list[int]) -> tuple[dict, dict]:
+        """(pid → docInfo, doc_id → pid) for a bounded id list (≤ one
+        page of docs; the id list is pushed into the doc_meta scan)."""
+        if not doc_ids:
+            return {}, {}
+        meta = (self.engine.index.doc_meta
+                .filter(F.col("doc_id").isin(doc_ids))
+                .select("doc_id", "conv_id", "turn_idx", "role",
+                        "n_tokens").collect())
+        infos = {_pid(r["conv_id"], r["turn_idx"]): {
+            "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+            "role": r["role"], "lengthInTokens": r["n_tokens"],
+        } for r in meta}
+        pid_of = {r["doc_id"]: _pid(r["conv_id"], r["turn_idx"])
+                  for r in meta}
+        return infos, pid_of
+
+    # ---- operations -------------------------------------------------
+    def server_info(self) -> dict:
+        return {"apiVersion": "5.0",
+                "implementation": f"blacklab_spark/{__version__}",
+                "corpora": {self.corpus: {"status": "available"}}}
+
+    def corpus_info(self) -> dict:
+        idx = self.engine.index
+        layers = [c[len("tokens_"):] for c in idx.doc_meta.columns
+                  if c.startswith("tokens_")]
+        return {
+            "indexName": self.corpus,
+            "status": "available",
+            "documentCount": idx.n_docs,
+            "tokenCount": self._tokens_total(),
+            "fieldInfo": {"mainAnnotatedField": "contents"},
+            "annotatedFields": {"contents": {
+                "mainAnnotation": "word",
+                "annotations": ["word"] + layers}},
+            "metadataFields": ["conv_id", "turn_idx", "role", "tool",
+                               "ts"],
+        }
+
+    def status(self) -> dict:
+        return {"indexName": self.corpus, "status": "available",
+                "tokenCount": self._tokens_total()}
+
+    def hits(self, params: dict) -> dict:
+        hits = self._find(params)
+        first = self._int(params, "first", 0)
+        number = self._int(params, "number", DEFAULT_PAGE_SIZE)
+        context = self._int(params, "wordsaroundhit", DEFAULT_CONTEXT)
+        group = self._str(params, "group")
+        sort = self._str(params, "sort")
+        search_param = {k: v[0] for k, v in params.items()}
+
+        if group:
+            from blacklab_spark.operators.properties import group_hits
+            try:
+                g = group_hits(self.engine.index, hits, group)
+            except ValueError as e:
+                raise BlsError(400, "UNKNOWN_GROUP_PROPERTY",
+                               str(e)) from None
+            keys = [c for c in g.columns if c.startswith("key_")]
+            rows = (g.orderBy(F.desc("count"), *keys)
+                    .limit(first + number).collect()[first:])
+            total = g.agg(F.sum("count"), F.count("*")).collect()[0]
+            return {
+                "summary": {"searchParam": search_param,
+                            "numberOfHits": int(total[0] or 0),
+                            "numberOfGroups": int(total[1])},
+                "hitGroups": [{
+                    "identity": ":".join(str(r[k]) for k in keys),
+                    "size": r["count"]} for r in rows],
+            }
+
+        if sort:
+            from blacklab_spark.operators.properties import sort_hits
+            try:
+                hits = sort_hits(self.engine.index, hits, sort)
+                window = hits.limit(first + number).collect()[first:]
+            except ValueError as e:
+                raise BlsError(400, "UNKNOWN_SORT_PROPERTY",
+                               str(e)) from None
+        else:
+            from blacklab_spark.operators.hits import window_hits
+            window = window_hits(hits, first, number).collect()
+
+        from blacklab_spark.operators.hits import kwic
+        spark = self.engine.index.spark
+        wdf = spark.createDataFrame(
+            [(r["doc_id"], r["start"], r["end"]) for r in window],
+            "doc_id long, start int, end int")
+        krows = kwic(self.engine.index, wdf, context).collect()
+        by_key = {(r["doc_id"], r["start"], r["end"]): r for r in krows}
+        out_hits = []
+        for r in window:             # preserve the window's order
+            k = by_key.get((r["doc_id"], r["start"], r["end"]))
+            if k is None:
+                continue
+            out_hits.append({
+                "docPid": _pid(k["conv_id"], k["turn_idx"]),
+                "start": k["start"], "end": k["end"],
+                "left": {"word": list(k["left"])},
+                "match": {"word": list(k["match"])},
+                "right": {"word": list(k["right"])},
+            })
+        n_hits = self.engine.count_hits(
+            self._str(params, "patt"),
+            filter=self._str(params, "filter")) \
+            if self._str(params, "pattlang", "corpusql") == "corpusql" \
+            else hits.count()
+        n_docs = hits.select("doc_id").distinct().count()
+        return {
+            "summary": {
+                "searchParam": search_param,
+                "windowFirstResult": first,
+                "requestedWindowSize": number,
+                "actualWindowSize": len(out_hits),
+                "numberOfHits": n_hits,
+                "numberOfDocs": n_docs,
+                "stillCounting": False,
+            },
+            "hits": out_hits,
+            "docInfos": self._doc_infos(
+                sorted({r["doc_id"] for r in window}))[0],
+        }
+
+    def docs(self, params: dict) -> dict:
+        first = self._int(params, "first", 0)
+        number = self._int(params, "number", DEFAULT_PAGE_SIZE)
+        if self._str(params, "patt"):
+            hits = self._find(params)
+            from blacklab_spark.operators.hits import docs_from_hits
+            d = docs_from_hits(self.engine.index, hits)
+            rows = (d.orderBy("doc_id").limit(first + number)
+                    .collect()[first:])
+            n = d.count()
+            infos, pid_of = self._doc_infos([r["doc_id"] for r in rows])
+            docs_out = [{"docPid": pid_of[r["doc_id"]],
+                         "numberOfHits": r["n_hits"]} for r in rows]
+        else:
+            try:
+                d = self.engine.docs(filter=self._str(params, "filter"))
+            except ValueError as e:
+                raise BlsError(400, "FILTER_SYNTAX_ERROR",
+                               str(e)) from None
+            rows = (d.orderBy("doc_id").limit(first + number)
+                    .collect()[first:])
+            n = d.count()
+            docs_out = [{"docPid": _pid(r["conv_id"], r["turn_idx"])}
+                        for r in rows]
+            infos, _ = self._doc_infos([r["doc_id"] for r in rows])
+        return {"summary": {"windowFirstResult": first,
+                            "requestedWindowSize": number,
+                            "numberOfDocs": n},
+                "docs": docs_out, "docInfos": infos}
+
+    def doc_info(self, pid: str) -> dict:
+        conv_id, _, turn = pid.rpartition(":")
+        rows = self.engine.index.doc_meta.filter(
+            (F.col("conv_id") == conv_id)
+            & (F.col("turn_idx") == int(turn))).select(
+            "doc_id", "conv_id", "turn_idx", "role",
+            "n_tokens").collect()
+        if not rows:
+            raise BlsError(404, "DOC_NOT_FOUND",
+                           f"document {pid!r} not found")
+        r = rows[0]
+        return {"docPid": pid, "docInfo": {
+            "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+            "role": r["role"], "lengthInTokens": r["n_tokens"]}}
+
+    def doc_contents(self, pid: str) -> str:
+        conv_id, _, turn = pid.rpartition(":")
+        rows = self.engine.index.doc_meta.filter(
+            (F.col("conv_id") == conv_id)
+            & (F.col("turn_idx") == int(turn))).select("text").collect()
+        if not rows:
+            raise BlsError(404, "DOC_NOT_FOUND",
+                           f"document {pid!r} not found")
+        return rows[0]["text"]
+
+    def termfreq(self, params: dict) -> dict:
+        number = self._int(params, "number", DEFAULT_PAGE_SIZE)
+        tf = (self.engine.term_frequencies()
+              .orderBy(F.desc("count"), "term").limit(number).collect())
+        return {"termFreq": {r["term"]: r["count"] for r in tf}}
+
+    # ---- dispatch ----------------------------------------------------
+    def handle(self, path: str, params: dict) -> tuple[int, str, str]:
+        """→ (http status, content type, body)."""
+        try:
+            parts = [p for p in path.split("/") if p]
+            if not parts or parts[0] != _PREFIX.strip("/"):
+                raise BlsError(404, "UNKNOWN_OPERATION",
+                               f"unknown path {path!r}")
+            parts = parts[1:]
+            if not parts:
+                body = self.server_info()
+            elif parts[0] != self.corpus:
+                raise BlsError(404, "CANNOT_OPEN_INDEX",
+                               f"unknown corpus {parts[0]!r}")
+            elif len(parts) == 1:
+                body = self.corpus_info()
+            elif parts[1] == "status":
+                body = self.status()
+            elif parts[1] == "hits":
+                body = self.hits(params)
+            elif parts[1] == "termfreq":
+                body = self.termfreq(params)
+            elif parts[1] == "docs":
+                if len(parts) == 2:
+                    body = self.docs(params)
+                elif len(parts) == 3:
+                    body = self.doc_info(unquote(parts[2]))
+                elif len(parts) == 4 and parts[3] == "contents":
+                    return (200, "text/plain; charset=utf-8",
+                            self.doc_contents(unquote(parts[2])))
+                else:
+                    raise BlsError(404, "UNKNOWN_OPERATION",
+                                   f"unknown path {path!r}")
+            else:
+                raise BlsError(404, "UNKNOWN_OPERATION",
+                               f"unknown operation {parts[1]!r}")
+        except BlsError as e:
+            return (e.status, "application/json",
+                    json.dumps({"error": {"code": e.code,
+                                          "message": e.message}}))
+        return (200, "application/json", json.dumps(body))
+
+
+class BlsServer:
+    """Threaded HTTP shell around :class:`BlsApp`."""
+
+    def __init__(self, engine: SearchEngine, corpus: str = "corpus",
+                 port: int = 0):
+        self.app = BlsApp(engine, corpus)
+        app = self.app
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):          # noqa: N802 (http.server API)
+                u = urlparse(self.path)
+                status, ctype, body = app.handle(u.path,
+                                                 parse_qs(u.query))
+                data = body.encode("utf-8")
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # silence per-request stderr
+                pass
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> int:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

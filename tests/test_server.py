@@ -1,0 +1,159 @@
+"""BLS-style HTTP serving facade (blacklab_spark/server.py) — real
+HTTP round-trips against a live engine, response shapes per the
+reference's ResponseStreamer JSON (SURVEY §3.1)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from blacklab_spark.server import BlsServer
+
+
+@pytest.fixture(scope="module")
+def server(tiny_engine):
+    srv = BlsServer(tiny_engine, corpus="tiny")
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _get(server, path, expect_status=200):
+    url = f"http://127.0.0.1:{server.port}{path}"
+    try:
+        with urllib.request.urlopen(url) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        assert e.code == expect_status, (e.code, e.read())
+        return e.code, e.read().decode()
+
+
+def _get_json(server, path, expect_status=200):
+    status, body = _get(server, path, expect_status)
+    assert status == expect_status
+    return json.loads(body)
+
+
+def test_server_and_corpus_info(server, tiny_engine):
+    info = _get_json(server, "/blacklab-server")
+    assert "tiny" in info["corpora"]
+    ci = _get_json(server, "/blacklab-server/tiny")
+    assert ci["documentCount"] == tiny_engine.index.n_docs
+    assert ci["tokenCount"] > 0
+    assert "word" in ci["annotatedFields"]["contents"]["annotations"]
+    st = _get_json(server, "/blacklab-server/tiny/status")
+    assert st["status"] == "available"
+
+
+def test_hits_basic_and_counts(server, tiny_engine):
+    r = _get_json(server, "/blacklab-server/tiny/hits?patt=%22visa%22")
+    want = tiny_engine.find('"visa"').count()
+    assert r["summary"]["numberOfHits"] == want > 0
+    assert r["summary"]["actualWindowSize"] == len(r["hits"]) <= 50
+    for h in r["hits"]:
+        assert h["match"]["word"] == ["visa"]
+        assert h["docPid"] in r["docInfos"]
+    # docInfos carry metadata for every hit doc
+    assert all("role" in i for i in r["docInfos"].values())
+
+
+def test_hits_paging_disjoint_and_ordered(server):
+    q = "/blacklab-server/tiny/hits?patt=%22the%22&number=5"
+    p1 = _get_json(server, q + "&first=0")
+    p2 = _get_json(server, q + "&first=5")
+    assert p1["summary"]["windowFirstResult"] == 0
+    assert p2["summary"]["windowFirstResult"] == 5
+    k1 = {(h["docPid"], h["start"]) for h in p1["hits"]}
+    k2 = {(h["docPid"], h["start"]) for h in p2["hits"]}
+    assert len(k1) == len(k2) == 5 and not (k1 & k2)
+
+
+def test_hits_wordsaroundhit(server):
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&wordsaroundhit=2&number=10")
+    assert all(len(h["left"]["word"]) <= 2
+               and len(h["right"]["word"]) <= 2 for h in r["hits"])
+
+
+def test_hits_sort_property(server):
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%5B%5D%22visa%22&sort=hit:word:i&number=20")
+    # [] "visa" hits sorted by matched text: first tokens nondecreasing
+    firsts = [h["match"]["word"][0] for h in r["hits"]]
+    assert firsts == sorted(firsts) and firsts
+
+
+def test_hits_group_by_doc_field(server, tiny_engine):
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&group=field:role")
+    total = sum(g["size"] for g in r["hitGroups"])
+    assert total == r["summary"]["numberOfHits"] \
+        == tiny_engine.find('"visa"').count()
+    sizes = [g["size"] for g in r["hitGroups"]]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_hits_metadata_filter(server, tiny_engine):
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&filter=role:user")
+    want = tiny_engine.find('"visa"', filter="role:user").count()
+    assert r["summary"]["numberOfHits"] == want > 0
+    assert all(i["role"] == "user" for i in r["docInfos"].values())
+
+
+def test_hits_contextql(server, tiny_engine):
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=visa&pattlang=contextql&number=5")
+    assert r["summary"]["numberOfHits"] == \
+        tiny_engine.find('"visa"').count()
+
+
+def test_docs_endpoints(server, tiny_engine):
+    r = _get_json(server, "/blacklab-server/tiny/docs?filter=role:user"
+                          "&number=5")
+    n_user = tiny_engine.docs(filter="role:user").count()
+    assert r["summary"]["numberOfDocs"] == n_user > 0
+    assert len(r["docs"]) == 5
+    pid = r["docs"][0]["docPid"]
+    # per-doc hit counts with patt
+    rp = _get_json(server,
+                   "/blacklab-server/tiny/docs?patt=%22visa%22&number=3")
+    assert all(d["numberOfHits"] >= 1 for d in rp["docs"])
+    # single-doc info + contents round-trip (content store analog)
+    di = _get_json(server, f"/blacklab-server/tiny/docs/{pid}")
+    assert di["docPid"] == pid and di["docInfo"]["role"] == "user"
+    status, text = _get(server, f"/blacklab-server/tiny/docs/{pid}/contents")
+    conv, _, turn = pid.rpartition(":")
+    from pyspark.sql import functions as F
+    want = tiny_engine.index.doc_meta.filter(
+        (F.col("conv_id") == conv)
+        & (F.col("turn_idx") == int(turn))).select("text").collect()
+    assert status == 200 and text == want[0]["text"]
+
+
+def test_termfreq(server, tiny_engine):
+    r = _get_json(server, "/blacklab-server/tiny/termfreq?number=10")
+    assert len(r["termFreq"]) == 10
+    # spot-check one frequency against the engine
+    term, freq = next(iter(r["termFreq"].items()))
+    from pyspark.sql import functions as F
+    want = tiny_engine.term_frequencies().filter(
+        F.col("term") == term).collect()[0]["count"]
+    assert freq == want
+
+
+def test_error_envelopes(server):
+    e = _get_json(server, "/blacklab-server/tiny/hits", 400)
+    assert e["error"]["code"] == "NO_PATTERN_GIVEN"
+    e = _get_json(server,
+                  "/blacklab-server/tiny/hits?patt=%22unclosed", 400)
+    assert e["error"]["code"] == "PATT_SYNTAX_ERROR"
+    e = _get_json(server, "/blacklab-server/nope/hits?patt=%22a%22", 404)
+    assert e["error"]["code"] == "CANNOT_OPEN_INDEX"
+    e = _get_json(server, "/blacklab-server/tiny/docs/zzz:0", 404)
+    assert e["error"]["code"] == "DOC_NOT_FOUND"
+    e = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22a%22&first=x", 400)
+    assert e["error"]["code"] == "ILLEGAL_ARGUMENT"
