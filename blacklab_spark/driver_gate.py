@@ -891,6 +891,21 @@ def gate_queries() -> dict:
         return with_conv(eng, hits.select("doc_id", "start", "end")) \
             .select(_orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_relation_capture_label(spark, sf_dir):
+        """Relation capture label '[] d:-det-> "table"' (cql.jj:308
+        childRelation captureLabel): the matched relation's span is
+        recorded in match_info under 'd' — here identical to the hit's
+        full span, emitted as extra columns for the oracle."""
+        eng = docs_engine(spark, sf_dir)
+        hits = eng.find('[] d:-det-> "table"')
+        caps = hits.select(
+            "doc_id", "start", "end",
+            F.col("match_info")["d"]["s"].alias("rel_start"),
+            F.col("match_info")["d"]["e"].alias("rel_end"))
+        return with_conv(eng, caps).select(
+            _orig_doc_id(), F.col("start"), F.col("end"),
+            F.col("rel_start"), F.col("rel_end"))
+
     def cql_rcapture_function(spark, sf_dir):
         """rcapture(q, name, type) through the parser
         (SpanQueryCaptureRelationsWithinSpan / XFRelations.rcapture):
@@ -1349,6 +1364,7 @@ def gate_queries() -> dict:
         "cql_neg_relation": cql_neg_relation,
         "cql_relmulti_branches": cql_relmulti_branches,
         "cql_rmatch_function": cql_rmatch_function,
+        "cql_relation_capture_label": cql_relation_capture_label,
         "server_hits_lifecycle": server_hits_lifecycle,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
@@ -1441,6 +1457,10 @@ WHERE a.tok <> 'the'
         "cql_neg_relation": _neg_relation_sql(),
         "cql_relmulti_branches": _noun3_sql(-1, 2),
         "cql_rmatch_function": _noun3_sql(0, 1),
+        "cql_relation_capture_label": f"""
+SELECT doc_id, start, "end", start AS rel_start, "end" AS rel_end
+FROM ({rel_adjacent_sql("func", "noun", 0, 2, target_word="table")})
+""",
         "server_hits_lifecycle": term_positions_sql("vector"),
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},

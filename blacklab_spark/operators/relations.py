@@ -229,7 +229,9 @@ def relations_match_multi(index: InvertedIndex, source_hits: DataFrame,
     TextPatternRelationMatch.createRelMatchQuery → SpanQueryAnd with
     setRequireUniqueRelations(true), physically
     SpansAndMultiUniqueRelations.java:51). ``branches`` is a list of
-    ``(rel_type, target_hits, negate)``.
+    ``(rel_type, target_hits, negate[, label])``; a labeled positive
+    branch records its matched relation's full span in match_info
+    under the label (childRelation captureLabel, cql.jj:308).
 
     Every positive branch must contribute a relation edge of its type
     whose SOURCE span equals the shared parent span and whose target
@@ -251,7 +253,10 @@ def relations_match_multi(index: InvertedIndex, source_hits: DataFrame,
     acc = (src.withColumn("_env_start", F.col("s_start"))
               .withColumn("_env_end", F.col("s_end"))
               .withColumn("_edges", F.array().cast(_EDGE_ARRAY_T)))
-    for rel_type, target_hits, negate in branches:
+    caps: list[str] = []
+    for br in branches:
+        rel_type, target_hits, negate = br[0], br[1], br[2]
+        label = br[3] if len(br) > 3 else None
         r = relations(index, rel_type, span_mode="full", dm=dm)
         t = target_hits.select(
             "doc_id", F.col("start").alias("tgt_start"),
@@ -274,12 +279,33 @@ def relations_match_multi(index: InvertedIndex, source_hits: DataFrame,
                            F.least("_env_start", "_b_start"))
                .withColumn("_env_end", F.greatest("_env_end", "_b_end"))
                .withColumn("_edges",
-                           F.concat("_edges", F.array("_b_edge")))
-               .drop("_b_start", "_b_end", "_b_edge"))
-    return (acc.select("doc_id",
-                       F.col("_env_start").cast("int").alias("start"),
-                       F.col("_env_end").cast("int").alias("end"))
-            .dropDuplicates())
+                           F.concat("_edges", F.array("_b_edge"))))
+        if label:
+            acc = (acc.withColumn(f"_cap_{label}_s", F.col("_b_start"))
+                   .withColumn(f"_cap_{label}_e", F.col("_b_end")))
+            caps.append(label)
+        acc = acc.drop("_b_start", "_b_end", "_b_edge")
+    cols = [F.col("doc_id"),
+            F.col("_env_start").cast("int").alias("start"),
+            F.col("_env_end").cast("int").alias("end")]
+    if caps:
+        cols.append(F.create_map(*[
+            x for lbl in caps for x in (
+                F.lit(lbl),
+                F.struct(F.col(f"_cap_{lbl}_s").cast("int").alias("s"),
+                         F.col(f"_cap_{lbl}_e").cast("int").alias("e")))
+        ]).alias("match_info"))
+        # distinct capture combinations stay distinct hits (the map
+        # itself can't be a dedup key, its entry columns can)
+        return acc.select(
+            *cols, *[F.col(f"_cap_{lbl}_{x}")
+                     for lbl in caps for x in ("s", "e")]) \
+            .dropDuplicates(
+                ["doc_id", "start", "end"]
+                + [f"_cap_{lbl}_{x}" for lbl in caps
+                   for x in ("s", "e")]) \
+            .select("doc_id", "start", "end", "match_info")
+    return acc.select(*cols).dropDuplicates()
 
 
 def rmatch_same_span(frames: list) -> DataFrame:

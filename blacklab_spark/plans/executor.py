@@ -443,7 +443,15 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         rels = relations(index, p.rel_type, direction="root",
                          span_mode="target",
                          dm=push_hit_docs(tgt, index.doc_meta))
-        return rels.join(tgt, ["doc_id", "start", "end"], "left_semi")
+        out = rels.join(tgt, ["doc_id", "start", "end"], "left_semi")
+        if p.label:
+            # 'label: ^--> tgt' captures the root relation's span
+            # (childRelation captureLabel, cql.jj:335)
+            out = out.withColumn("match_info", F.create_map(
+                F.lit(p.label),
+                F.struct(F.col("start").alias("s"),
+                         F.col("end").alias("e"))))
+        return out
     if isinstance(p, Q.RCapture):
         from blacklab_spark.operators.relations import \
             capture_relations_within
@@ -486,6 +494,13 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         tgt = _exec(index, p.target).select("doc_id", "start", "end")
         matched = relations_between(index, src, tgt, p.rel_type)
         if not p.negate:
+            if p.label:
+                # 'label: -type-> tgt' captures the matched relation's
+                # full span under the label (RelationTarget.captureAs)
+                matched = matched.withColumn("match_info", F.create_map(
+                    F.lit(p.label),
+                    F.struct(F.col("start").alias("s"),
+                             F.col("end").alias("e"))))
             return matched
         bad = matched.select(
             "doc_id", F.col("src_start").alias("start"),
@@ -502,7 +517,7 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         branches = [(b.rel_type,
                      _exec(index, b.target).select("doc_id", "start",
                                                    "end"),
-                     b.negate) for b in p.branches]
+                     b.negate, b.label) for b in p.branches]
         return relations_match_multi(index, src, branches)
     if isinstance(p, Q.RMatch):
         # rmatch(q1, q2, ...): drop any-n-gram clauses (they match

@@ -229,14 +229,39 @@ class _Parser:
     # root-relation prefix operator ^--> / ^-type-> (cql.jj:102
     # ROOT_DEP_OP, rootRelationType production)
     _ROOT_OP = re.compile(r"^\^-([A-Za-z_][A-Za-z0-9_.*|?]*)?->$")
+    # capture label before a relation operator: 'label: -type-> tgt'
+    # (cql.jj:308 childRelation / :335 rootRelationType captureLabel)
+    _CAP_TOK = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*:$")
+
+    def _rel_label(self) -> str | None:
+        """Consume and return a capture label iff the current token is
+        ``name:`` immediately followed by a (possibly negated)
+        relation operator; else leave the stream untouched."""
+        t = self.peek()
+        if not (t and self._CAP_TOK.match(t)):
+            return None
+        nxt = self.peek_ahead(1)
+        if nxt and (self._REL_OP.match(nxt) or self._ROOT_OP.match(nxt)
+                    or (nxt == "!" and self.peek_ahead(2)
+                        and self._REL_OP.match(self.peek_ahead(2)))):
+            return self.next()[:-1]
+        return None
 
     def query(self) -> Pattern:
         t0 = self.peek()
+        root_label = None
+        if t0 and self._CAP_TOK.match(t0):
+            nxt = self.peek_ahead(1)
+            if nxt and self._ROOT_OP.match(nxt):
+                root_label = self.next()[:-1]
+                t0 = self.peek()
         mroot = self._ROOT_OP.match(t0) if t0 else None
         if mroot:
             self.next()
-            return RootRel(mroot.group(1), self.posfiltered())
+            return RootRel(mroot.group(1), self.posfiltered(),
+                           label=root_label)
         left = self.posfiltered()
+        label = self._rel_label()
         t = self.peek()
         m = self._REL_OP.match(t) if t else None
         neg_next = self.peek_ahead(1)
@@ -252,9 +277,11 @@ class _Parser:
             if mneg:
                 self.next()
             branches = [RelBranch((m or mneg).group(1),
-                                  self.posfiltered(), bool(mneg))]
+                                  self.posfiltered(), bool(mneg),
+                                  label)]
             while self.peek() == ";":
                 self.next()
+                label2 = self._rel_label()
                 t2 = self.peek()
                 m2 = self._REL_OP.match(t2) if t2 else None
                 neg2 = self.peek_ahead(1)
@@ -269,11 +296,11 @@ class _Parser:
                     self.next()
                 branches.append(RelBranch((m2 or mneg2).group(1),
                                           self.posfiltered(),
-                                          bool(mneg2)))
+                                          bool(mneg2), label2))
             if len(branches) == 1:
                 b = branches[0]
                 left = RelMatch(left, b.rel_type, b.target,
-                                negate=b.negate)
+                                negate=b.negate, label=b.label)
             else:
                 left = RelMulti(left, tuple(branches))
         elif t == "==>":
@@ -373,9 +400,23 @@ class _Parser:
                 "|", "&", "::", "==>") \
                 and not self._REL_OP.match(self.peek()) \
                 and not (self.peek() == "!" and self.peek_ahead(1)
-                         and self._REL_OP.match(self.peek_ahead(1))):
+                         and self._REL_OP.match(self.peek_ahead(1))) \
+                and not self._label_starts_relation():
             clauses.append(self.unary())
         return clauses[0] if len(clauses) == 1 else Seq(*clauses)
+
+    def _label_starts_relation(self) -> bool:
+        """True when the upcoming tokens are ``label: [!]-type->`` —
+        a relation capture label, which belongs to the enclosing
+        relationQuery, not to this sequence."""
+        t = self.peek()
+        if not (t and self._CAP_TOK.match(t)):
+            return False
+        nxt = self.peek_ahead(1)
+        return bool(nxt and (
+            self._REL_OP.match(nxt)
+            or (nxt == "!" and self.peek_ahead(2)
+                and self._REL_OP.match(self.peek_ahead(2)))))
 
     def unary(self) -> Pattern:
         if self.peek() == "!":

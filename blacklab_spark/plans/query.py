@@ -231,6 +231,7 @@ class RootRel(Pattern):       # ^--> target  /  ^-type-> target
     indexed at the target')."""
     rel_type: str | None
     target: Pattern
+    label: str | None = None  # 'label: ^--> tgt' capture (cql.jj:335)
 
 
 @dataclass(frozen=True)
@@ -247,16 +248,23 @@ class RelMatch(Pattern):      # source -type-> target / !-type->
     rel_type: str
     target: Pattern
     negate: bool = False
+    #: capture label (cql.jj:308 ``[label ':'] relType target``): the
+    #: matched relation's span is recorded in match_info under this
+    #: name (reference: RelationTarget.captureAs; default name is
+    #: derived from the type — here: no capture unless labeled)
+    label: str | None = None
 
 
 @dataclass(frozen=True)
 class RelBranch:              # one ';'-separated child relation
     """One child-relation branch of a multi-branch relation query
     (cql.jj:308 childRelation: ``[label ':'] -type-> target``).
-    ``negate`` mirrors RelMatch's DEP_OP ``!`` prefix."""
+    ``negate`` mirrors RelMatch's DEP_OP ``!`` prefix; ``label``
+    captures the branch's relation span in match_info."""
     rel_type: str
     target: Pattern
     negate: bool = False
+    label: str | None = None
 
 
 @dataclass(frozen=True)

@@ -18,7 +18,8 @@ import re
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
                                         CrossField, Expand, Not, Or, Overlap,
                                         Pattern, PosFilter, RCapture, Regex,
-                                        RelFunc, RelMatch, Rep, RField,
+                                        RelBranch, RelFunc, RelMatch,
+                                        RelMulti, RMatch, Rep, RField,
                                         RootRel, RSpan, Seq, Term, Turn)
 
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
@@ -53,7 +54,14 @@ def _map_children(p: Pattern, fn) -> Pattern:
     if isinstance(p, Constrained):
         return Constrained(fn(p.clause), p.filter)
     if isinstance(p, RelMatch):
-        return RelMatch(fn(p.source), p.rel_type, fn(p.target), p.negate)
+        return RelMatch(fn(p.source), p.rel_type, fn(p.target), p.negate,
+                        p.label)
+    if isinstance(p, RelMulti):
+        return RelMulti(fn(p.source), tuple(
+            RelBranch(b.rel_type, fn(b.target), b.negate, b.label)
+            for b in p.branches))
+    if isinstance(p, RMatch):
+        return RMatch(tuple(fn(c) for c in p.clauses))
     if isinstance(p, Overlap):
         return Overlap(fn(p.a), fn(p.b))
     if isinstance(p, RelFunc):
@@ -67,7 +75,7 @@ def _map_children(p: Pattern, fn) -> Pattern:
     if isinstance(p, RCapture):
         return RCapture(fn(p.clause), p.capture_as, p.rel_type)
     if isinstance(p, RootRel):
-        return RootRel(p.rel_type, fn(p.target))
+        return RootRel(p.rel_type, fn(p.target), p.label)
     if isinstance(p, CrossField):
         # rewrite the source only: the target leaf is interpreted
         # against field b (an any-token elimination or regex→term

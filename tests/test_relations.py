@@ -360,3 +360,28 @@ def test_rmatch_single_and_plain_clauses(tiny_engine):
     visa = tiny_engine.find('"visa"')
     assert both.count() == visa.dropDuplicates(
         ["doc_id", "start", "end"]).count() > 0
+
+
+def test_relation_capture_labels(tiny_engine):
+    """'label: -type-> tgt' records the matched relation's full span
+    in match_info (childRelation captureLabel, cql.jj:308)."""
+    hits = tiny_engine.find('[pos="func"] d:-det-> [pos="noun"]')
+    rows = hits.collect()
+    assert rows and all(
+        r["match_info"]["d"] == (r["start"], r["end"]) for r in rows)
+    # multi-branch: each labeled branch gets its own entry
+    multi = tiny_engine.find(
+        '[pos="noun"] a:-nmod-> [] ; b:-nn-> []').collect()
+    assert multi
+    for r in multi:
+        mi = r["match_info"]
+        # nmod full span sits right of the source, nn left of it
+        assert mi["a"]["s"] + 1 == mi["b"]["s"] + 2 == r["start"] + 2
+        assert (mi["a"]["e"], mi["b"]["e"]) == (r["end"], r["end"] - 1)
+    # unlabeled queries keep the bare schema
+    bare = tiny_engine.find('[pos="noun"] -nmod-> [] ; -nn-> []')
+    assert "match_info" not in bare.columns
+    # root-relation label
+    root = tiny_engine.find('c: ^--> [pos="noun"]').limit(5).collect()
+    assert root and all(
+        r["match_info"]["c"] == (r["start"], r["end"]) for r in root)
