@@ -19,8 +19,18 @@ WebserviceOperation.java:13-52):
 * ``GET /blacklab-server/<corpus>/docs/<pid>``  — doc info
 * ``GET /blacklab-server/<corpus>/docs/<pid>/contents`` — content
   store read-back (RequestHandlerDocContents)
+* ``GET /blacklab-server/<corpus>/docs/<pid>/snippet`` — KWIC snippet
+  around an explicit hit (``hitstart``/``hitend``/``wordsaroundhit``
+  — RequestHandlerDocSnippet)
 * ``GET /blacklab-server/<corpus>/termfreq``    — corpus-wide term
   frequencies (RequestHandlerTermFreq)
+* ``GET /blacklab-server/<corpus>/autocomplete/<annotation>?term=…``
+  — prefix completion over the terms dictionary
+  (RequestHandlerAutocomplete)
+
+``outputformat=csv`` on ``/hits`` streams the window as CSV
+(ResponseStreamer's CSV analog, flat columns); everything else is
+JSON.
 
 Response bodies follow the BLS JSON shape (``summary`` with
 ``searchParam`` / window stats / ``numberOfHits``, ``hits`` with
@@ -272,30 +282,66 @@ class BlsApp:
                             "numberOfDocs": n},
                 "docs": docs_out, "docInfos": infos}
 
-    def doc_info(self, pid: str) -> dict:
+    def _doc_row(self, pid: str, cols: list[str]):
         conv_id, _, turn = pid.rpartition(":")
+        try:
+            turn_i = int(turn)
+        except ValueError:
+            raise BlsError(404, "DOC_NOT_FOUND",
+                           f"malformed document pid {pid!r}") from None
         rows = self.engine.index.doc_meta.filter(
             (F.col("conv_id") == conv_id)
-            & (F.col("turn_idx") == int(turn))).select(
-            "doc_id", "conv_id", "turn_idx", "role",
-            "n_tokens").collect()
+            & (F.col("turn_idx") == turn_i)).select(*cols).collect()
         if not rows:
             raise BlsError(404, "DOC_NOT_FOUND",
                            f"document {pid!r} not found")
-        r = rows[0]
+        return rows[0]
+
+    def doc_info(self, pid: str) -> dict:
+        r = self._doc_row(pid, ["conv_id", "turn_idx", "role",
+                                "n_tokens"])
         return {"docPid": pid, "docInfo": {
             "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
             "role": r["role"], "lengthInTokens": r["n_tokens"]}}
 
     def doc_contents(self, pid: str) -> str:
-        conv_id, _, turn = pid.rpartition(":")
-        rows = self.engine.index.doc_meta.filter(
-            (F.col("conv_id") == conv_id)
-            & (F.col("turn_idx") == int(turn))).select("text").collect()
-        if not rows:
-            raise BlsError(404, "DOC_NOT_FOUND",
-                           f"document {pid!r} not found")
-        return rows[0]["text"]
+        return self._doc_row(pid, ["text"])["text"]
+
+    def doc_snippet(self, pid: str, params: dict) -> dict:
+        """KWIC snippet around an explicit hit span
+        (RequestHandlerDocSnippet: hitstart/hitend/wordsaroundhit)."""
+        hitstart = self._int(params, "hitstart", 0)
+        hitend = self._int(params, "hitend", hitstart + 1)
+        ctx = self._int(params, "wordsaroundhit", DEFAULT_CONTEXT)
+        toks = list(self._doc_row(pid, ["tokens"])["tokens"])
+        if not (0 <= hitstart <= hitend <= len(toks)):
+            raise BlsError(400, "ILLEGAL_ARGUMENT",
+                           f"hit [{hitstart},{hitend}) outside "
+                           f"document ({len(toks)} tokens)")
+        return {"docPid": pid,
+                "left": {"word": toks[max(0, hitstart - ctx):hitstart]},
+                "match": {"word": toks[hitstart:hitend]},
+                "right": {"word": toks[hitend:hitend + ctx]}}
+
+    def autocomplete(self, annotation: str, params: dict) -> list:
+        """Prefix completion over the terms dictionary
+        (RequestHandlerAutocomplete; the dictionary holds the @i
+        layer, so the prefix is folded the same way)."""
+        if annotation != "word":
+            raise BlsError(400, "UNKNOWN_ANNOTATION",
+                           "autocomplete serves the 'word' annotation "
+                           "(the indexed terms dictionary)")
+        prefix = self._str(params, "term")
+        if not prefix:
+            raise BlsError(400, "NO_TERM_GIVEN",
+                           "autocomplete needs a term prefix (term)")
+        number = self._int(params, "number", 30)
+        from blacklab_spark.tokenizer import py_fold_insensitive
+        rows = (self.engine.index.terms
+                .filter(F.col("term").startswith(
+                    py_fold_insensitive(prefix)))
+                .orderBy("term").limit(number).collect())
+        return [r["term"] for r in rows]
 
     def termfreq(self, params: dict) -> dict:
         number = self._int(params, "number", DEFAULT_PAGE_SIZE)
@@ -323,8 +369,13 @@ class BlsApp:
                 body = self.status()
             elif parts[1] == "hits":
                 body = self.hits(params)
+                if self._str(params, "outputformat") == "csv":
+                    return (200, "text/csv; charset=utf-8",
+                            _hits_csv(body))
             elif parts[1] == "termfreq":
                 body = self.termfreq(params)
+            elif parts[1] == "autocomplete" and len(parts) == 3:
+                body = self.autocomplete(unquote(parts[2]), params)
             elif parts[1] == "docs":
                 if len(parts) == 2:
                     body = self.docs(params)
@@ -333,6 +384,8 @@ class BlsApp:
                 elif len(parts) == 4 and parts[3] == "contents":
                     return (200, "text/plain; charset=utf-8",
                             self.doc_contents(unquote(parts[2])))
+                elif len(parts) == 4 and parts[3] == "snippet":
+                    body = self.doc_snippet(unquote(parts[2]), params)
                 else:
                     raise BlsError(404, "UNKNOWN_OPERATION",
                                    f"unknown path {path!r}")
@@ -344,6 +397,29 @@ class BlsApp:
                     json.dumps({"error": {"code": e.code,
                                           "message": e.message}}))
         return (200, "application/json", json.dumps(body))
+
+
+def _hits_csv(body: dict) -> str:
+    """Flat CSV of a hits (or grouped-hits) response window — the
+    ResponseStreamer CSV analog (flat columns, word lists
+    space-joined)."""
+    import csv
+    import io
+    out = io.StringIO()
+    w = csv.writer(out, lineterminator="\n")
+    if "hitGroups" in body:
+        w.writerow(["identity", "size"])
+        for g in body["hitGroups"]:
+            w.writerow([g["identity"], g["size"]])
+    else:
+        w.writerow(["docPid", "start", "end", "left_context",
+                    "match", "right_context"])
+        for h in body["hits"]:
+            w.writerow([h["docPid"], h["start"], h["end"],
+                        " ".join(h["left"]["word"]),
+                        " ".join(h["match"]["word"]),
+                        " ".join(h["right"]["word"])])
+    return out.getvalue()
 
 
 class BlsServer:

@@ -157,3 +157,50 @@ def test_error_envelopes(server):
     e = _get_json(server, "/blacklab-server/tiny/hits"
                           "?patt=%22a%22&first=x", 400)
     assert e["error"]["code"] == "ILLEGAL_ARGUMENT"
+
+
+def test_doc_snippet(server, tiny_engine):
+    r = _get_json(server, "/blacklab-server/tiny/docs?number=1")
+    pid = r["docs"][0]["docPid"]
+    s = _get_json(server, f"/blacklab-server/tiny/docs/{pid}/snippet"
+                          "?hitstart=1&hitend=2&wordsaroundhit=1")
+    conv, _, turn = pid.rpartition(":")
+    from pyspark.sql import functions as F
+    toks = tiny_engine.index.doc_meta.filter(
+        (F.col("conv_id") == conv) & (F.col("turn_idx") == int(turn))
+    ).select("tokens").collect()[0]["tokens"]
+    assert s["match"]["word"] == list(toks[1:2])
+    assert s["left"]["word"] == list(toks[0:1])
+    assert s["right"]["word"] == list(toks[2:3])
+    # out-of-range hit is a 400, not a stacktrace
+    e = _get_json(server, f"/blacklab-server/tiny/docs/{pid}/snippet"
+                          "?hitstart=100000&hitend=100001", 400)
+    assert e["error"]["code"] == "ILLEGAL_ARGUMENT"
+
+
+def test_autocomplete(server, tiny_engine):
+    terms = _get_json(server,
+                      "/blacklab-server/tiny/autocomplete/word?term=vi")
+    assert terms and all(t.startswith("vi") for t in terms)
+    assert "visa" in terms and terms == sorted(terms)
+    # folded prefix: uppercase input completes against the @i layer
+    up = _get_json(server,
+                   "/blacklab-server/tiny/autocomplete/word?term=VI")
+    assert up == terms
+    e = _get_json(server,
+                  "/blacklab-server/tiny/autocomplete/pos?term=n", 400)
+    assert e["error"]["code"] == "UNKNOWN_ANNOTATION"
+
+
+def test_hits_csv_output(server):
+    status, body = _get(server, "/blacklab-server/tiny/hits"
+                                "?patt=%22visa%22&number=3"
+                                "&outputformat=csv")
+    lines = body.strip().split("\n")
+    assert lines[0] == "docPid,start,end,left_context,match,right_context"
+    assert len(lines) == 4 and all(",visa," in ln for ln in lines[1:])
+    status, gbody = _get(server, "/blacklab-server/tiny/hits"
+                                 "?patt=%22visa%22&group=field:role"
+                                 "&outputformat=csv")
+    glines = gbody.strip().split("\n")
+    assert glines[0] == "identity,size" and len(glines) >= 3
