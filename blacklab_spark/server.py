@@ -12,10 +12,13 @@ WebserviceOperation.java:13-52):
 * ``GET /blacklab-server/<corpus>/status``      — index status
 * ``GET /blacklab-server/<corpus>/hits``        — params ``patt``
   (+ ``pattlang=corpusql|contextql``), ``filter`` (Lucene-classic),
-  ``sort`` / ``group`` (hit-property DSL), ``first`` / ``number``
-  paging, ``wordsaroundhit`` KWIC width — RequestHandlerHits
+  ``sort`` / ``group`` (hit-property DSL), ``viewgroup`` (one
+  group's hits), ``sample``/``sampleseed`` (percentage sampling),
+  ``first`` / ``number`` paging, ``wordsaroundhit`` KWIC width —
+  RequestHandlerHits
 * ``GET /blacklab-server/<corpus>/docs``        — metadata query
-  (``filter``) or per-doc results of ``patt`` — RequestHandlerDocs
+  (``filter``) or per-doc results of ``patt``; ``facets=`` doc
+  counts per metadata field — RequestHandlerDocs
 * ``GET /blacklab-server/<corpus>/docs/<pid>``  — doc info
 * ``GET /blacklab-server/<corpus>/docs/<pid>/contents`` — content
   store read-back (RequestHandlerDocContents)
@@ -180,6 +183,39 @@ class BlsApp:
         sort = self._str(params, "sort")
         search_param = {k: v[0] for k, v in params.items()}
 
+        # sample before anything downstream (BLS samplenum/sampleseed:
+        # HitsAbstract.sample; fraction-of-hits form)
+        sample = self._str(params, "sample")
+        if sample is not None:
+            try:
+                frac = float(sample) / 100.0
+            except ValueError:
+                raise BlsError(400, "ILLEGAL_ARGUMENT",
+                               "sample must be a percentage") from None
+            seed = self._int(params, "sampleseed", 42)
+            hits = hits.sample(fraction=min(max(frac, 0.0), 1.0),
+                               seed=seed)
+
+        viewgroup = self._str(params, "viewgroup")
+        if group and viewgroup is not None:
+            # view ONE group's hits (BLS viewgroup=): filter by the
+            # same compiled property the grouping used, then fall
+            # through to the ordinary windowed-hits response
+            from blacklab_spark.operators.properties import (
+                _parse_keys, _with_meta, compile_property)
+            try:
+                keys = _parse_keys(group)
+                ident = F.concat_ws(":", *[
+                    compile_property(k).cast("string")
+                    for k, _ in keys])
+            except ValueError as e:
+                raise BlsError(400, "UNKNOWN_GROUP_PROPERTY",
+                               str(e)) from None
+            hits = (_with_meta(self.engine.index, hits)
+                    .filter(ident == viewgroup)
+                    .select("doc_id", "start", "end"))
+            group = None
+
         if group:
             from blacklab_spark.operators.properties import group_hits
             try:
@@ -231,10 +267,14 @@ class BlsApp:
                 "match": {"word": list(k["match"])},
                 "right": {"word": list(k["right"])},
             })
+        # the cached full count only matches when the hit set wasn't
+        # narrowed by sampling or viewgroup selection
+        plain = sample is None and viewgroup is None
         n_hits = self.engine.count_hits(
             self._str(params, "patt"),
             filter=self._str(params, "filter")) \
-            if self._str(params, "pattlang", "corpusql") == "corpusql" \
+            if plain and self._str(params, "pattlang",
+                                   "corpusql") == "corpusql" \
             else hits.count()
         n_docs = hits.select("doc_id").distinct().count()
         return {
@@ -277,10 +317,30 @@ class BlsApp:
             docs_out = [{"docPid": _pid(r["conv_id"], r["turn_idx"])}
                         for r in rows]
             infos, _ = self._doc_infos([r["doc_id"] for r in rows])
-        return {"summary": {"windowFirstResult": first,
-                            "requestedWindowSize": number,
-                            "numberOfDocs": n},
-                "docs": docs_out, "docInfos": infos}
+        out = {"summary": {"windowFirstResult": first,
+                           "requestedWindowSize": number,
+                           "numberOfDocs": n},
+               "docs": docs_out, "docInfos": infos}
+        fac = self._str(params, "facets")
+        if fac:
+            # BLS facets= multi-criteria counts over the SAME doc
+            # result set (Facets.java:9-31; sizes only)
+            from blacklab_spark.operators.properties import facets
+            fields = [f[len("field:"):] if f.startswith("field:")
+                      else f for f in fac.split(",")]
+            dm = self.engine.index.doc_meta
+            bad = [f for f in fields if f not in dm.columns]
+            if bad:
+                raise BlsError(400, "UNKNOWN_FACET_FIELD",
+                               f"unknown facet field(s) {bad}")
+            dmf = dm.join(d.select("doc_id"), "doc_id", "left_semi")
+            out["facets"] = {
+                f: [{"value": str(r["value"]), "size": r["count"]}
+                    for r in fr.orderBy(F.desc("count"), "value")
+                    .limit(50).collect()]
+                for f, fr in facets(self.engine.index, dmf,
+                                    fields).items()}
+        return out
 
     def _doc_row(self, pid: str, cols: list[str]):
         conv_id, _, turn = pid.rpartition(":")

@@ -204,3 +204,50 @@ def test_hits_csv_output(server):
                                  "&outputformat=csv")
     glines = gbody.strip().split("\n")
     assert glines[0] == "identity,size" and len(glines) >= 3
+
+
+def test_hits_viewgroup(server, tiny_engine):
+    """group= + viewgroup=: the hits of ONE group, windowed like a
+    plain hits request (BLS viewgroup parameter)."""
+    g = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&group=field:role")
+    want = {x["identity"]: x["size"] for x in g["hitGroups"]}
+    v = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&group=field:role"
+                          "&viewgroup=user&number=1000")
+    assert v["summary"]["numberOfHits"] == want["user"]
+    assert all(h["match"]["word"] == ["visa"] for h in v["hits"])
+    assert all(i["role"] == "user" for i in v["docInfos"].values())
+
+
+def test_hits_sample(server):
+    full = _get_json(server, "/blacklab-server/tiny/hits"
+                             "?patt=%22the%22&number=1")
+    s = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22the%22&sample=20&sampleseed=7"
+                          "&number=1")
+    n_full, n_s = (full["summary"]["numberOfHits"],
+                   s["summary"]["numberOfHits"])
+    assert 0 < n_s < n_full
+    # seeded: same request → same count
+    s2 = _get_json(server, "/blacklab-server/tiny/hits"
+                           "?patt=%22the%22&sample=20&sampleseed=7"
+                           "&number=1")
+    assert s2["summary"]["numberOfHits"] == n_s
+
+
+def test_docs_facets(server, tiny_engine):
+    r = _get_json(server, "/blacklab-server/tiny/docs"
+                          "?filter=role:user&facets=field:role,conv_id"
+                          "&number=1")
+    fac = r["facets"]
+    # the facet runs over the SAME filtered doc set
+    assert fac["role"] == [{"value": "user",
+                            "size": r["summary"]["numberOfDocs"]}]
+    # conv_id facet is truncated to the top 50 groups
+    assert sum(x["size"] for x in fac["conv_id"]) \
+        <= r["summary"]["numberOfDocs"]
+    assert fac["conv_id"]
+    e = _get_json(server, "/blacklab-server/tiny/docs"
+                          "?facets=nope", 400)
+    assert e["error"]["code"] == "UNKNOWN_FACET_FIELD"
