@@ -105,6 +105,34 @@ def _compact(args) -> int:
     return 0
 
 
+def start_server(index: str, corpus: str = "corpus", port: int = 8080,
+                 cache_size: int = 128):
+    """Open the index and start the BLS-style HTTP server (returns
+    the running BlsServer; the CLI wrapper blocks on it)."""
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.server import BlsServer
+    from blacklab_spark.session import get_spark
+    spark = get_spark("blacklab-serve")
+    eng = SearchEngine.open(spark, index, cache_size=cache_size)
+    srv = BlsServer(eng, corpus=corpus, port=port)
+    srv.start()
+    return srv
+
+
+def _serve(args) -> int:
+    srv = start_server(args.index, args.corpus, args.port,
+                       args.cache_size)
+    print(json.dumps({"serving": f"http://127.0.0.1:{srv.port}"
+                                 f"/blacklab-server/{args.corpus}",
+                      "port": srv.port}), flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="blacklab_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -156,6 +184,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=_compact)
+
+    s = sub.add_parser("serve",
+                       help="serve the index over HTTP with the "
+                            "BLS-style endpoints (server.py)")
+    s.add_argument("--index", required=True)
+    s.add_argument("--corpus", default="corpus")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--cache-size", type=int, default=128,
+                   help="serving result cache entries (0 = off)")
+    s.set_defaults(fn=_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

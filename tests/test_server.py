@@ -251,3 +251,23 @@ def test_docs_facets(server, tiny_engine):
     e = _get_json(server, "/blacklab-server/tiny/docs"
                           "?facets=nope", 400)
     assert e["error"]["code"] == "UNKNOWN_FACET_FIELD"
+
+
+def test_cli_start_server(tiny_index_dir):
+    """CLI serve wiring: start_server opens the index and serves the
+    BLS endpoints (the standalone-server analog of BLS's war)."""
+    from blacklab_spark.cli import start_server
+    srv = start_server(tiny_index_dir, corpus="tiny", port=0,
+                       cache_size=8)
+    try:
+        r = _get_json(srv, "/blacklab-server/tiny/hits"
+                           "?patt=%22visa%22&number=1")
+        assert r["summary"]["numberOfHits"] > 0
+        # cache_size wired through: repeated count served from cache
+        assert srv.app.engine.cache.get_or is not None
+        r2 = _get_json(srv, "/blacklab-server/tiny/hits"
+                            "?patt=%22visa%22&number=1")
+        assert r2["summary"]["numberOfHits"] == \
+            r["summary"]["numberOfHits"]
+    finally:
+        srv.stop()
