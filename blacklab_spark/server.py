@@ -10,11 +10,16 @@ WebserviceOperation.java:13-52):
 * ``GET /blacklab-server``                      — server info
 * ``GET /blacklab-server/<corpus>``             — corpus info
 * ``GET /blacklab-server/<corpus>/status``      — index status
+* ``GET /blacklab-server/<corpus>/cache-info``  — serving-cache stats
+  + per-operation request metrics (cache-info handler /
+  instrumentation analog)
 * ``GET /blacklab-server/<corpus>/hits``        — params ``patt``
   (+ ``pattlang=corpusql|contextql``), ``filter`` (Lucene-classic),
-  ``sort`` / ``group`` (hit-property DSL), ``viewgroup`` (one
-  group's hits), ``sample``/``sampleseed`` (percentage sampling),
-  ``first`` / ``number`` paging, ``wordsaroundhit`` KWIC width —
+  ``sort`` / ``group`` (hit-property DSL; grouped results sort by
+  ``size``/``identity``), ``viewgroup`` (one group's hits),
+  ``hitfiltercrit``/``hitfilterval`` (property filter),
+  ``sample``/``sampleseed`` (percentage sampling), ``first`` /
+  ``number`` paging, ``wordsaroundhit`` KWIC width —
   RequestHandlerHits
 * ``GET /blacklab-server/<corpus>/docs``        — metadata query
   (``filter``) or per-doc results of ``patt``; ``facets=`` doc
@@ -89,6 +94,9 @@ class BlsApp:
         self.engine = engine
         self.corpus = corpus
         self._token_count: int | None = None
+        #: op name → [request count, total wall ms] (the reference's
+        #: Prometheus instrumentation analog, exposed via cache-info)
+        self._metrics: dict[str, list] = {}
 
     # ---- helpers ----------------------------------------------------
     def _tokens_total(self) -> int:
@@ -174,6 +182,20 @@ class BlsApp:
         return {"indexName": self.corpus, "status": "available",
                 "tokenCount": self._tokens_total()}
 
+    def cache_info(self) -> dict:
+        """Serving-cache stats + per-operation request metrics
+        (reference cache-info handler / BlsCache status +
+        instrumentation module)."""
+        c = self.engine.cache
+        return {
+            "cacheStatus": {"maxSize": c.maxsize,
+                            "size": len(c._entries),
+                            "hits": c.hits, "misses": c.misses},
+            "requests": {op: {"count": m[0],
+                              "totalMs": round(m[1], 1)}
+                         for op, m in sorted(self._metrics.items())},
+        }
+
     def hits(self, params: dict) -> dict:
         hits = self._find(params)
         first = self._int(params, "first", 0)
@@ -195,6 +217,22 @@ class BlsApp:
             seed = self._int(params, "sampleseed", 42)
             hits = hits.sample(fraction=min(max(frac, 0.0), 1.0),
                                seed=seed)
+
+        # hitfiltercrit/hitfilterval (BLS HitsFiltered analog): keep
+        # hits whose compiled property equals the value
+        fcrit = self._str(params, "hitfiltercrit")
+        fval = self._str(params, "hitfilterval")
+        if fcrit is not None and fval is not None:
+            from blacklab_spark.operators.properties import (
+                _with_meta, compile_property)
+            try:
+                prop = compile_property(fcrit).cast("string")
+            except ValueError as e:
+                raise BlsError(400, "UNKNOWN_FILTER_PROPERTY",
+                               str(e)) from None
+            hits = (_with_meta(self.engine.index, hits)
+                    .filter(prop == fval)
+                    .select("doc_id", "start", "end"))
 
         viewgroup = self._str(params, "viewgroup")
         if group and viewgroup is not None:
@@ -224,7 +262,22 @@ class BlsApp:
                 raise BlsError(400, "UNKNOWN_GROUP_PROPERTY",
                                str(e)) from None
             keys = [c for c in g.columns if c.startswith("key_")]
-            rows = (g.orderBy(F.desc("count"), *keys)
+            # grouped results accept sort=size|identity (±) — the
+            # HitGroupProperty{Size,Identity} pair; default: size desc
+            ident_col = F.concat_ws(":", *[F.col(k).cast("string")
+                                           for k in keys])
+            gsort = sort or "-size"
+            desc = gsort.startswith("-")
+            gkey = gsort.lstrip("-")
+            if gkey == "size":
+                oc = F.col("count")
+            elif gkey == "identity":
+                oc = ident_col
+            else:
+                raise BlsError(400, "UNKNOWN_SORT_PROPERTY",
+                               "grouped results sort by 'size' or "
+                               "'identity' (optionally '-'-prefixed)")
+            rows = (g.orderBy(oc.desc() if desc else oc.asc(), *keys)
                     .limit(first + number).collect()[first:])
             total = g.agg(F.sum("count"), F.count("*")).collect()[0]
             return {
@@ -268,8 +321,8 @@ class BlsApp:
                 "right": {"word": list(k["right"])},
             })
         # the cached full count only matches when the hit set wasn't
-        # narrowed by sampling or viewgroup selection
-        plain = sample is None and viewgroup is None
+        # narrowed by sampling, property filtering or viewgroup
+        plain = sample is None and viewgroup is None and fcrit is None
         n_hits = self.engine.count_hits(
             self._str(params, "patt"),
             filter=self._str(params, "filter")) \
@@ -412,6 +465,18 @@ class BlsApp:
     # ---- dispatch ----------------------------------------------------
     def handle(self, path: str, params: dict) -> tuple[int, str, str]:
         """→ (http status, content type, body)."""
+        import time
+        t0 = time.time()
+        out = self._dispatch(path, params)
+        parts = [p for p in path.split("/") if p]
+        op = parts[2] if len(parts) > 2 else \
+            ("corpus-info" if len(parts) == 2 else "server-info")
+        m = self._metrics.setdefault(op, [0, 0.0])
+        m[0] += 1
+        m[1] += (time.time() - t0) * 1000.0
+        return out
+
+    def _dispatch(self, path: str, params: dict) -> tuple[int, str, str]:
         try:
             parts = [p for p in path.split("/") if p]
             if not parts or parts[0] != _PREFIX.strip("/"):
@@ -427,6 +492,8 @@ class BlsApp:
                 body = self.corpus_info()
             elif parts[1] == "status":
                 body = self.status()
+            elif parts[1] == "cache-info":
+                body = self.cache_info()
             elif parts[1] == "hits":
                 body = self.hits(params)
                 if self._str(params, "outputformat") == "csv":

@@ -271,3 +271,37 @@ def test_cli_start_server(tiny_index_dir):
             r["summary"]["numberOfHits"]
     finally:
         srv.stop()
+
+
+def test_hitfilter_property(server, tiny_engine):
+    """hitfiltercrit/hitfilterval (HitsFiltered analog): keep hits
+    whose property equals the value."""
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&hitfiltercrit=field:role"
+                          "&hitfilterval=assistant&number=1000")
+    want = tiny_engine.find('"visa"', role="assistant").count()
+    assert r["summary"]["numberOfHits"] == want > 0
+    assert all(i["role"] == "assistant"
+               for i in r["docInfos"].values())
+
+
+def test_group_sorting(server):
+    by_id = _get_json(server, "/blacklab-server/tiny/hits"
+                              "?patt=%22visa%22&group=field:role"
+                              "&sort=identity")
+    ids = [g["identity"] for g in by_id["hitGroups"]]
+    assert ids == sorted(ids) and len(ids) >= 3
+    by_size_asc = _get_json(server, "/blacklab-server/tiny/hits"
+                                    "?patt=%22visa%22&group=field:role"
+                                    "&sort=size")
+    sizes = [g["size"] for g in by_size_asc["hitGroups"]]
+    assert sizes == sorted(sizes)
+
+
+def test_cache_info_and_metrics(server):
+    _get_json(server, "/blacklab-server/tiny/hits?patt=%22visa%22"
+                      "&number=1")
+    ci = _get_json(server, "/blacklab-server/tiny/cache-info")
+    assert ci["cacheStatus"]["maxSize"] == 0  # tiny_engine: cache off
+    assert ci["requests"]["hits"]["count"] >= 1
+    assert ci["requests"]["hits"]["totalMs"] > 0
