@@ -369,6 +369,15 @@ def pattern_str(p: Pattern) -> str:
         neg = "!" if p.negate else ""
         return (f"REL({pattern_str(p.source)} {neg}-{p.rel_type}-> "
                 f"{pattern_str(p.target)})")
+    if isinstance(p, RelMulti):
+        brs = " ; ".join(
+            f"{b.label + ':' if b.label else ''}"
+            f"{'!' if b.negate else ''}-{b.rel_type}-> "
+            f"{pattern_str(b.target)}" for b in p.branches)
+        return f"RELMULTI({pattern_str(p.source)} {brs})"
+    if isinstance(p, RMatch):
+        return ("rmatch(" +
+                ", ".join(pattern_str(c) for c in p.clauses) + ")")
     if isinstance(p, RootRel):
         return (f"ROOTREL(^-{p.rel_type or ''}-> "
                 f"{pattern_str(p.target)})")

@@ -182,6 +182,54 @@ class BlsApp:
         return {"indexName": self.corpus, "status": "available",
                 "tokenCount": self._tokens_total()}
 
+    def relations_info(self) -> dict:
+        """Relation-type inventory with counts (RequestHandlerRelations
+        analog; the reference reports classes → types → counts, our
+        derived layer has a single implicit class)."""
+        from blacklab_spark.operators.relations import doc_relations
+        try:
+            rows = (doc_relations(self.engine.index)
+                    .groupBy("rel_type").count()
+                    .orderBy("rel_type").collect())
+        except ValueError as e:
+            raise BlsError(400, "NO_RELATIONS", str(e)) from None
+        return {"relations": {r["rel_type"]: r["count"] for r in rows}}
+
+    def field_info(self, name: str, params: dict) -> dict:
+        """Metadata-field info + top values (RequestHandlerFieldInfo:
+        fieldValues with valueListComplete)."""
+        meta_fields = ["conv_id", "turn_idx", "role", "tool", "ts"]
+        if name not in meta_fields:
+            raise BlsError(404, "UNKNOWN_FIELD",
+                           f"unknown metadata field {name!r}")
+        number = self._int(params, "number", 20)
+        dm = self.engine.index.doc_meta
+        vals = (dm.groupBy(F.col(name).cast("string").alias("value"))
+                .count().orderBy(F.desc("count"), "value")
+                .limit(number + 1).collect())
+        return {"fieldName": name,
+                "type": dict(dm.dtypes)[name],
+                "fieldValues": {r["value"]: r["count"]
+                                for r in vals[:number]},
+                "valueListComplete": len(vals) <= number}
+
+    def parse_pattern(self, params: dict) -> dict:
+        """patt → normalized AST string without executing (the
+        parse-pattern debug operation)."""
+        patt = self._str(params, "patt")
+        if not patt:
+            raise BlsError(400, "NO_PATTERN_GIVEN",
+                           "Text search pattern required (patt)")
+        from blacklab_spark.plans.parser import parse
+        from blacklab_spark.plans.query import pattern_str
+        from blacklab_spark.plans.rewrite import rewrite
+        try:
+            ast = parse(patt)
+        except ValueError as e:
+            raise BlsError(400, "PATT_SYNTAX_ERROR", str(e)) from None
+        return {"patt": patt, "parsed": pattern_str(ast),
+                "rewritten": pattern_str(rewrite(ast))}
+
     def cache_info(self) -> dict:
         """Serving-cache stats + per-operation request metrics
         (reference cache-info handler / BlsCache status +
@@ -494,6 +542,15 @@ class BlsApp:
                 body = self.status()
             elif parts[1] == "cache-info":
                 body = self.cache_info()
+            elif parts[1] == "cache-clear":
+                self.engine.cache.clear()
+                body = {"status": "cache cleared"}
+            elif parts[1] == "relations":
+                body = self.relations_info()
+            elif parts[1] == "parse-pattern":
+                body = self.parse_pattern(params)
+            elif parts[1] == "fields" and len(parts) == 3:
+                body = self.field_info(unquote(parts[2]), params)
             elif parts[1] == "hits":
                 body = self.hits(params)
                 if self._str(params, "outputformat") == "csv":

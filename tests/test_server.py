@@ -305,3 +305,28 @@ def test_cache_info_and_metrics(server):
     assert ci["cacheStatus"]["maxSize"] == 0  # tiny_engine: cache off
     assert ci["requests"]["hits"]["count"] >= 1
     assert ci["requests"]["hits"]["totalMs"] > 0
+
+
+def test_relations_fields_parse_cacheclear(server, tiny_engine):
+    # relation-type inventory (RequestHandlerRelations analog)
+    r = _get_json(server, "/blacklab-server/tiny/relations")
+    from blacklab_spark.operators.relations import doc_relations
+    want = doc_relations(tiny_engine.index).count()
+    assert sum(r["relations"].values()) == want
+    assert set(r["relations"]) >= {"det", "nn", "nmod", "root"}
+    # metadata field info with top values
+    f = _get_json(server, "/blacklab-server/tiny/fields/role")
+    assert f["fieldName"] == "role" and f["valueListComplete"]
+    assert sum(f["fieldValues"].values()) == tiny_engine.index.n_docs
+    e = _get_json(server, "/blacklab-server/tiny/fields/nope", 404)
+    assert e["error"]["code"] == "UNKNOWN_FIELD"
+    # parse-pattern: AST + rewritten forms, no execution
+    p = _get_json(server, "/blacklab-server/tiny/parse-pattern"
+                          "?patt=%22the%22%20%5B%5D%7B0,2%7D%20%22cat%22")
+    assert "SEQ" in p["parsed"] and p["rewritten"]
+    e = _get_json(server, "/blacklab-server/tiny/parse-pattern"
+                          "?patt=%22x", 400)
+    assert e["error"]["code"] == "PATT_SYNTAX_ERROR"
+    # cache-clear resets the serving cache
+    c = _get_json(server, "/blacklab-server/tiny/cache-clear")
+    assert c["status"] == "cache cleared"
