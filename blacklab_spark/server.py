@@ -37,8 +37,11 @@ WebserviceOperation.java:13-52):
   (RequestHandlerAutocomplete)
 
 ``outputformat=csv`` on ``/hits`` streams the window as CSV
-(ResponseStreamer's CSV analog, flat columns); everything else is
-JSON.
+(ResponseStreamer's CSV analog, flat columns); ``outputformat=xml``
+on any JSON operation renders the same response tree as BLS-style
+XML (<blacklabResponse> root, lists as repeated singular elements,
+word arrays as <w> elements, non-name map keys as
+<entry key="...">); default is JSON.
 
 Response bodies follow the BLS JSON shape (``summary`` with
 ``searchParam`` / window stats / ``numberOfHits``, ``hits`` with
@@ -60,6 +63,7 @@ port (tests use this).
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
@@ -577,10 +581,71 @@ class BlsApp:
                 raise BlsError(404, "UNKNOWN_OPERATION",
                                f"unknown operation {parts[1]!r}")
         except BlsError as e:
-            return (e.status, "application/json",
-                    json.dumps({"error": {"code": e.code,
-                                          "message": e.message}}))
+            err = {"error": {"code": e.code, "message": e.message}}
+            if self._str(params, "outputformat") == "xml":
+                return (e.status, "application/xml; charset=utf-8",
+                        _to_xml(err))
+            return (e.status, "application/json", json.dumps(err))
+        if self._str(params, "outputformat") == "xml":
+            return (200, "application/xml; charset=utf-8",
+                    _to_xml(body))
         return (200, "application/json", json.dumps(body))
+
+
+_XML_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_.-]*$")
+#: plural container → singular child element (BLS XML convention:
+#: <hits><hit>…, <docs><doc>…, left/match/right word lists as <w>)
+_XML_SINGULAR = {"hits": "hit", "docs": "doc", "hitGroups": "hitGroup",
+                 "word": "w", "annotations": "annotation",
+                 "metadataFields": "metadataField", "corpora": "corpus",
+                 # autocomplete's body is a bare term list
+                 "blacklabResponse": "term"}
+
+
+def _xml_esc(s: str) -> str:
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _xml(tag: str, obj) -> str:
+    """Recursive BLS-style XML rendering of a response tree."""
+    if isinstance(obj, dict):
+        if tag in ("left", "match", "right") \
+                and set(obj) == {"word"}:
+            # BLS KWIC convention: <match><w>tok</w>…</match> (the
+            # annotation name lives on the w element, not a wrapper)
+            return (f"<{tag}>"
+                    + "".join(_xml("w", t) for t in obj["word"])
+                    + f"</{tag}>")
+        inner = []
+        for k, v in obj.items():
+            if _XML_NAME.match(str(k)):
+                inner.append(_xml(str(k), v))
+            else:   # e.g. docInfos keyed by pid, termFreq by term
+                inner.append(f'<entry key="{_xml_esc(k)}">'
+                             f'{_xml_body(v)}</entry>')
+        return f"<{tag}>{''.join(inner)}</{tag}>"
+    if isinstance(obj, list):
+        child = _XML_SINGULAR.get(tag, tag)
+        return (f"<{tag}>"
+                + "".join(_xml(child, x) for x in obj) + f"</{tag}>")
+    if obj is None:
+        return f"<{tag}/>"
+    if isinstance(obj, bool):
+        return f"<{tag}>{'true' if obj else 'false'}</{tag}>"
+    return f"<{tag}>{_xml_esc(obj)}</{tag}>"
+
+
+def _xml_body(v) -> str:
+    """Render a value without a wrapping element (entry contents)."""
+    if isinstance(v, (dict, list)):
+        return _xml("value", v)
+    return _xml_esc(v) if v is not None else ""
+
+
+def _to_xml(body) -> str:
+    return ('<?xml version="1.0" encoding="utf-8" ?>'
+            + _xml("blacklabResponse", body))
 
 
 def _hits_csv(body: dict) -> str:

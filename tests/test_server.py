@@ -330,3 +330,33 @@ def test_relations_fields_parse_cacheclear(server, tiny_engine):
     # cache-clear resets the serving cache
     c = _get_json(server, "/blacklab-server/tiny/cache-clear")
     assert c["status"] == "cache cleared"
+
+
+def test_xml_output(server, tiny_engine):
+    """outputformat=xml renders the same response tree as BLS-style
+    XML (reference's default output format)."""
+    import xml.etree.ElementTree as ET
+    status, body = _get(server, "/blacklab-server/tiny/hits"
+                                "?patt=%22visa%22&number=3"
+                                "&outputformat=xml")
+    root = ET.fromstring(body)
+    assert root.tag == "blacklabResponse"
+    want = tiny_engine.find('"visa"').count()
+    assert int(root.findtext("summary/numberOfHits")) == want
+    hits = root.findall("hits/hit")
+    assert len(hits) == 3
+    for h in hits:
+        assert [w.text for w in h.findall("match/w")] == ["visa"]
+        assert h.findtext("docPid")
+    # docInfos pids (non-name keys) render as <entry key="...">
+    assert root.findall("docInfos/entry")[0].get("key")
+    # errors honor the format too
+    status, err = _get(server, "/blacklab-server/tiny/hits"
+                               "?outputformat=xml", 400)
+    e = ET.fromstring(err)
+    assert e.findtext("error/code") == "NO_PATTERN_GIVEN"
+    # autocomplete's bare list → <term> elements
+    status, ac = _get(server, "/blacklab-server/tiny/autocomplete/"
+                              "word?term=vi&outputformat=xml")
+    terms = [t.text for t in ET.fromstring(ac).findall("term")]
+    assert "visa" in terms
