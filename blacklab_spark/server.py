@@ -397,7 +397,46 @@ class BlsApp:
                 sorted({r["doc_id"] for r in window}))[0],
         }
 
+    def _doc_set(self, params: dict):
+        """doc_id frame of the /docs result set (patt or filter)."""
+        if self._str(params, "patt"):
+            from blacklab_spark.operators.hits import docs_from_hits
+            return docs_from_hits(self.engine.index,
+                                  self._find(params)).select("doc_id")
+        try:
+            return self.engine.docs(
+                filter=self._str(params, "filter")).select("doc_id")
+        except ValueError as e:
+            raise BlsError(400, "FILTER_SYNTAX_ERROR", str(e)) from None
+
+    def doc_groups(self, params: dict) -> dict:
+        """``/docs?group=field:...`` — DocGroups (DocProperty-keyed
+        grouping, sizes only; DocResults.java:359)."""
+        first = self._int(params, "first", 0)
+        number = self._int(params, "number", DEFAULT_PAGE_SIZE)
+        group = self._str(params, "group")
+        fields = [g[len("field:"):] if g.startswith("field:") else g
+                  for g in group.split(",")]
+        dm = self.engine.index.doc_meta
+        bad = [f for f in fields if f not in dm.columns]
+        if bad:
+            raise BlsError(400, "UNKNOWN_GROUP_PROPERTY",
+                           f"unknown doc field(s) {bad}")
+        dmf = dm.join(self._doc_set(params), "doc_id", "left_semi")
+        key = F.concat_ws(":", *[F.col(f).cast("string")
+                                 for f in fields])
+        g = dmf.groupBy(key.alias("identity")).count()
+        total = g.agg(F.sum("count"), F.count("*")).collect()[0]
+        rows = (g.orderBy(F.desc("count"), "identity")
+                .limit(first + number).collect()[first:])
+        return {"summary": {"numberOfDocs": int(total[0] or 0),
+                            "numberOfGroups": int(total[1])},
+                "docGroups": [{"identity": r["identity"],
+                               "size": r["count"]} for r in rows]}
+
     def docs(self, params: dict) -> dict:
+        if self._str(params, "group"):
+            return self.doc_groups(params)
         first = self._int(params, "first", 0)
         number = self._int(params, "number", DEFAULT_PAGE_SIZE)
         if self._str(params, "patt"):

@@ -360,3 +360,18 @@ def test_xml_output(server, tiny_engine):
                               "word?term=vi&outputformat=xml")
     terms = [t.text for t in ET.fromstring(ac).findall("term")]
     assert "visa" in terms
+
+
+def test_docs_grouped(server, tiny_engine):
+    """/docs?group=field:role — DocGroups, sizes only."""
+    r = _get_json(server, "/blacklab-server/tiny/docs?group=field:role")
+    got = {g["identity"]: g["size"] for g in r["docGroups"]}
+    assert sum(got.values()) == r["summary"]["numberOfDocs"] \
+        == tiny_engine.index.n_docs
+    assert r["summary"]["numberOfGroups"] == len(got) >= 3
+    # grouped over a filtered set
+    rf = _get_json(server, "/blacklab-server/tiny/docs"
+                           "?filter=role:user&group=field:role")
+    assert [g["identity"] for g in rf["docGroups"]] == ["user"]
+    e = _get_json(server, "/blacklab-server/tiny/docs?group=nope", 400)
+    assert e["error"]["code"] == "UNKNOWN_GROUP_PROPERTY"
