@@ -604,6 +604,26 @@ WHERE a.tag = 'func' AND (b.p IS NULL OR b.tag <> 'noun')
 """
 
 
+def _rcapture2_sql() -> str:
+    """Oracle for rcapture2(A:[]{2,2} [], "A", "rels", "det"): 3-gram
+    windows [s, s+3) whose FIRST TWO tokens hold a det edge —
+    pos[s]=func, pos[s+1]=noun — reported with the captured relation
+    span [s, s+2)."""
+    from blacklab_spark.annotations import duckdb_pos_tags
+    return f"""
+WITH {_DOC_TOKS},
+posl AS (SELECT doc_id, {duckdb_pos_tags('ts')} AS ps FROM toks),
+ppos AS (SELECT doc_id, unnest(ps) AS tag,
+                generate_subscripts(ps, 1) - 1 AS p,
+                len(ps) AS n FROM posl)
+SELECT a.doc_id, CAST(a.p AS INT) AS start,
+       CAST(a.p + 3 AS INT) AS "end",
+       CAST(a.p AS INT) AS rel_start, CAST(a.p + 2 AS INT) AS rel_end
+FROM ppos a JOIN ppos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+WHERE a.tag = 'func' AND b.tag = 'noun' AND a.p + 3 <= a.n
+"""
+
+
 def _noun3_sql(start_off: int, end_off: int) -> str:
     """Oracle for the multi-branch relation operators: positions j
     with nouns at j-1, j and j+1 are exactly the spans sourcing BOTH
@@ -920,6 +940,25 @@ def gate_queries() -> dict:
             "doc_id", "start", "end",
             F.col("_v.s").alias("rel_start"),
             F.col("_v.e").alias("rel_end"))
+        return with_conv(eng, caps).select(
+            _orig_doc_id(), F.col("start"), F.col("end"),
+            F.col("rel_start"), F.col("rel_end"))
+
+    def cql_rcapture2_function(spark, sf_dir):
+        """rcapture2(A:[]{2,2} [], "A", "rels", "det") —
+        XFRelations.rcaptureWithinCapture: relations captured inside
+        the NAMED capture group A (the 3-gram's first two tokens),
+        not the whole hit. A det edge fits iff it starts at the
+        window start; rows = hits whose A-span holds one."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index,
+                    'rcapture2(A:[]{2,2} [], "A", "rels", "det")')
+        cap = F.col("match_info")["rels_0"]
+        caps = hits.select(
+            "doc_id", "start", "end",
+            cap["s"].alias("rel_start"),
+            cap["e"].alias("rel_end")).filter(cap.isNotNull())
         return with_conv(eng, caps).select(
             _orig_doc_id(), F.col("start"), F.col("end"),
             F.col("rel_start"), F.col("rel_end"))
@@ -1365,6 +1404,7 @@ def gate_queries() -> dict:
         "cql_relmulti_branches": cql_relmulti_branches,
         "cql_rmatch_function": cql_rmatch_function,
         "cql_relation_capture_label": cql_relation_capture_label,
+        "cql_rcapture2_function": cql_rcapture2_function,
         "server_hits_lifecycle": server_hits_lifecycle,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
@@ -1461,6 +1501,7 @@ WHERE a.tok <> 'the'
 SELECT doc_id, start, "end", start AS rel_start, "end" AS rel_end
 FROM ({rel_adjacent_sql("func", "noun", 0, 2, target_word="table")})
 """,
+        "cql_rcapture2_function": _rcapture2_sql(),
         "server_hits_lifecycle": term_positions_sql("vector"),
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},

@@ -336,41 +336,70 @@ def rmatch_same_span(frames: list) -> DataFrame:
 
 def capture_relations_within(index: InvertedIndex, hits: DataFrame,
                              capture_as: str,
-                             rel_type: str | None = None) -> DataFrame:
-    """``rcapture(query, captureAs, relationType)`` —
-    SpanQueryCaptureRelationsWithinSpan.java:25 / XFRelations.rcapture:
-    every hit passes through unchanged; relations of the type whose
-    FULL span lies inside the hit are captured into match_info. The
-    reference captures a LIST under one name; match_info is a
-    map<name, span>, so the list is index-keyed
+                             rel_type: str | None = None,
+                             within_capture: str | None = None
+                             ) -> DataFrame:
+    """``rcapture(query, captureAs, relationType)`` and
+    ``rcapture2(query, toCapture, captureAs, relationType)`` —
+    SpanQueryCaptureRelationsWithinSpan.java:25 / XFRelations
+    rcapture / rcaptureWithinCapture: every hit passes through
+    unchanged; relations of the type whose FULL span lies inside the
+    container span are captured into match_info. The container is the
+    hit itself, or — with ``within_capture`` — the clause's existing
+    capture group of that name (hits whose match_info lacks the name
+    capture nothing). The reference captures a LIST under one name;
+    match_info is a map<name, span>, so the list is index-keyed
     (``<captureAs>_0``, ``_1``, … in (start, end) order) — same
     information, flat encoding. Edge derivation is pruned to the
-    hits' docs (push_hit_docs anchor pattern)."""
+    hits' docs (push_hit_docs anchor pattern).
+
+    Grouping note: Spark cannot group by a map column, so a clause
+    WITH existing captures is grouped on the sorted entry array of
+    its match_info and the map is rebuilt afterwards (duplicate
+    capture names across the old map and the new indexed keys raise
+    under Spark's default map-key dedup policy — pick a fresh
+    ``capture_as``)."""
     from blacklab_spark.operators.hits import push_hit_docs
-    if "match_info" in hits.columns:
+    has_mi = "match_info" in hits.columns
+    if within_capture is not None and not has_mi:
         raise ValueError(
-            "rcapture() must wrap a capture-free clause (match_info "
-            "is grouped on, and Spark cannot group by a map column)")
+            "rcapture2() needs a clause with a capture group "
+            f"(no match_info to look up {within_capture!r} in)")
     rels = relations(index, rel_type, span_mode="full",
                      dm=push_hit_docs(hits, index.doc_meta))
-    h = hits.select("doc_id", "start", "end").alias("h")
+    cols = ["doc_id", "start", "end"]
+    hsel = [F.col(c) for c in cols]
+    if has_mi:
+        # sorted entries array: group-able stand-in for the map
+        hsel.append(F.sort_array(
+            F.map_entries("match_info")).alias("_mi"))
+    if within_capture is not None:
+        cap = F.col("match_info")[within_capture]
+        hsel.extend([cap["s"].alias("c_start"),
+                     cap["e"].alias("c_end")])
+    else:
+        hsel.extend([F.col("start").alias("c_start"),
+                     F.col("end").alias("c_end")])
+    h = hits.select(*hsel).alias("h")
     r = rels.select("doc_id", F.col("start").alias("r_start"),
                     F.col("end").alias("r_end")).alias("r")
     cond = (F.col("h.doc_id") == F.col("r.doc_id")) & \
-           (F.col("r.r_start") >= F.col("h.start")) & \
-           (F.col("r.r_end") <= F.col("h.end"))
+           (F.col("r.r_start") >= F.col("h.c_start")) & \
+           (F.col("r.r_end") <= F.col("h.c_end"))
     j = h.join(r, cond, "left_outer")
     # collect_list skips NULLs, so relation-free hits get an empty map
     captured = F.sort_array(F.collect_list(F.when(
         F.col("r.r_start").isNotNull(),
         F.struct(F.col("r.r_start").alias("s"),
                  F.col("r.r_end").alias("e")))))
-    g = j.groupBy(F.col("h.doc_id").alias("doc_id"),
-                  F.col("h.start").alias("start"),
-                  F.col("h.end").alias("end")) \
-        .agg(captured.alias("_rs"))
+    gcols = [F.col(f"h.{c}").alias(c) for c in cols]
+    if has_mi:
+        gcols.append(F.col("h._mi").alias("_mi"))
+    g = j.groupBy(*gcols).agg(captured.alias("_rs"))
     mi = F.map_from_entries(F.transform(
         F.col("_rs"),
         lambda e, i: F.struct(
             F.concat(F.lit(capture_as + "_"), i.cast("string")), e)))
-    return g.select("doc_id", "start", "end", mi.alias("match_info"))
+    if has_mi:
+        mi = F.map_concat(F.map_from_entries("_mi"), mi)
+    return g.select(*cols, mi.alias("match_info"))

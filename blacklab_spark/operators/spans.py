@@ -213,7 +213,11 @@ def expand(index: InvertedIndex, clause: DataFrame, direction: str,
     """Stretch hits left/right by m..n tokens, one hit per amount,
     clamped to doc bounds (SpanQueryExpansion.java:36,
     SpansExpansionRaw.java:33). ``max_exp=None`` = unbounded (every
-    amount up to the doc edge). No join — explode + clamp."""
+    amount up to the doc edge). No join — explode + clamp. Existing
+    match_info rides along (the reference's expansion keeps match
+    info — captures must survive the any-token-elimination rewrite
+    that turns trailing ``[]`` into an expansion)."""
+    mi = ["match_info"] if "match_info" in clause.columns else []
     dm = index.doc_meta.select("doc_id", "n_tokens")
     j = _h(clause).join(dm, "doc_id")
     if max_exp is None:
@@ -225,18 +229,20 @@ def expand(index: InvertedIndex, clause: DataFrame, direction: str,
     else:
         amt = F.explode(
             F.sequence(F.lit(min_exp), F.lit(max_exp))).alias("amt")
-    j = j.select("doc_id", "start", "end", "n_tokens", amt)
+    j = j.select("doc_id", "start", "end", "n_tokens", *mi, amt)
     if direction == "left":
         out = j.select("doc_id",
-                       (F.col("start") - F.col("amt")).alias("start"), "end")
+                       (F.col("start") - F.col("amt")).alias("start"),
+                       "end", *mi)
         out = out.filter(F.col("start") >= 0)
     else:
         out = j.select("doc_id", "start",
                        (F.col("end") + F.col("amt")).alias("end"),
-                       "n_tokens").filter(F.col("end") <= F.col("n_tokens")) \
+                       "n_tokens", *mi) \
+               .filter(F.col("end") <= F.col("n_tokens")) \
                .drop("n_tokens")
     return out.select("doc_id", F.col("start").cast("int"),
-                      F.col("end").cast("int"))
+                      F.col("end").cast("int"), *mi)
 
 
 def repetition(clause: DataFrame, min_rep: int,

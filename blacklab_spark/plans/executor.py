@@ -456,7 +456,8 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         from blacklab_spark.operators.relations import \
             capture_relations_within
         return capture_relations_within(index, _exec(index, p.clause),
-                                        p.capture_as, p.rel_type)
+                                        p.capture_as, p.rel_type,
+                                        within_capture=p.within)
     if isinstance(p, Q.RField):
         # rfield(query, field): report hits in the parallel field's
         # coordinates (XFRelations.rfield — the source field itself is

@@ -492,17 +492,18 @@ class _Parser:
                 raise ParseError("expected )")
             return Capture(node, name)
         if t.endswith(":") and len(t) > 1 and t != "::":
-            # bare capture of the next atom: A:[] / A:"word" (cql.jj
-            # captureQuery) — no parentheses required
-            return Capture(self.atom(), t[:-1])
+            # bare capture: A:[] / A:"word" / A:[]{2,2} (cql.jj:486 —
+            # the label wraps sequencePartNoCapture INCLUDING its
+            # repetition postfix, so A:[]{2,2} captures the 2-gram)
+            return Capture(self.postfixed(), t[:-1])
         if t in (")", "|", "&", "!", "*", "+", "?"):
             raise ParseError(f"unexpected {t!r}")
         if t == "_":
             # default value (reference TextPatternDefaultValue,
             # SpanQueryDefaultValue.java:21): any token here
             return AnyToken(1, 1)
-        if t in ("rel", "rmatch", "rspan", "rfield", "rcapture") \
-                and self.peek() == "(":
+        if t in ("rel", "rmatch", "rspan", "rfield", "rcapture",
+                 "rcapture2") and self.peek() == "(":
             return self._func_call(t)
         return _word_pattern(t)
 
@@ -573,6 +574,19 @@ class _Parser:
             return RCapture(clause,
                             s_arg(1, "captured_rels", "a capture name"),
                             s_arg(2, None, "a relation type"))
+        if name == "rcapture2":
+            # rcapture2(query, toCapture[, captureAs[, relationType]])
+            # — XFRelations.rcaptureWithinCapture
+            if len(args) < 2:
+                raise ParseError(
+                    "rcapture2() requires a query and the capture "
+                    "group to search within")
+            clause = (args[0][1] if args[0][0] == "q"
+                      else _word_pattern(args[0][1]))
+            return RCapture(clause,
+                            s_arg(2, "captured_rels", "a capture name"),
+                            s_arg(3, None, "a relation type"),
+                            within=s_arg(1, what="a capture group"))
         # rspan(query, spanMode) / rfield(query, field)
         if len(args) != 2:
             raise ParseError(f"{name}() takes (query, "

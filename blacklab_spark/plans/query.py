@@ -202,6 +202,10 @@ class RCapture(Pattern):      # rcapture(query[, captureAs[, type]])
     clause: Pattern
     capture_as: str = "captured_rels"
     rel_type: str | None = None
+    #: rcapture2(query, toCapture, captureAs, type) — capture inside
+    #: the clause's EXISTING capture group of this name instead of
+    #: the whole hit (XFRelations.rcaptureWithinCapture)
+    within: str | None = None
 
 
 @dataclass(frozen=True)

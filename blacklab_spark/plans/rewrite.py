@@ -73,7 +73,8 @@ def _map_children(p: Pattern, fn) -> Pattern:
     if isinstance(p, RField):
         return RField(fn(p.clause), p.field)
     if isinstance(p, RCapture):
-        return RCapture(fn(p.clause), p.capture_as, p.rel_type)
+        return RCapture(fn(p.clause), p.capture_as, p.rel_type,
+                        p.within)
     if isinstance(p, RootRel):
         return RootRel(p.rel_type, fn(p.target), p.label)
     if isinstance(p, CrossField):

@@ -231,9 +231,13 @@ def test_rcapture_function(tiny_engine, expected_edges):
             assert f"rels_{i}" in r["match_info"]
 
 
-def test_rcapture_rejects_captured_clause(tiny_engine):
-    with pytest.raises(ValueError, match="capture-free"):
-        tiny_engine.find('rcapture(A:"the", "r")').count()
+def test_rcapture_keeps_existing_captures(tiny_engine):
+    """rcapture over a capture-carrying clause merges the old map
+    with the new indexed keys (grouping on the sorted entry array —
+    the round-3 map-groupBy limitation is gone)."""
+    rows = tiny_engine.find('rcapture(A:"the", "r")').limit(5).collect()
+    assert rows and all(
+        r["match_info"]["A"] == (r["start"], r["end"]) for r in rows)
 
 
 def test_root_relation_operator(tiny_engine):
@@ -385,3 +389,34 @@ def test_relation_capture_labels(tiny_engine):
     root = tiny_engine.find('c: ^--> [pos="noun"]').limit(5).collect()
     assert root and all(
         r["match_info"]["c"] == (r["start"], r["end"]) for r in root)
+
+
+def test_rcapture2_within_capture(tiny_engine):
+    """rcapture2(A:[]{2,2} [], "A", "rels", "det") — relations
+    captured inside the NAMED capture group's span, not the whole hit
+    (XFRelations.rcaptureWithinCapture). A det edge [p,p+2) fits in
+    A = [s,s+2) iff p == s."""
+    hits = tiny_engine.find(
+        'rcapture2(A:[]{2,2} [], "A", "rels", "det")').collect()
+    assert hits
+    rows = {r["doc_id"]: list(r["tokens"])
+            for r in tiny_engine.index.doc_meta.select(
+                "doc_id", "tokens").collect()}
+    for r in hits[:500]:
+        mi = r["match_info"]
+        assert mi["A"] == (r["start"], r["start"] + 2)
+        toks = rows[r["doc_id"]]
+        pos = [py_pos_tag(t) for t in toks[r["start"]:r["start"] + 2]]
+        has_det = pos == ["func", "noun"]
+        assert ("rels_0" in mi) == has_det
+        if has_det:
+            assert mi["rels_0"] == (r["start"], r["start"] + 2)
+            assert "rels_1" not in mi
+    # rcapture (v1) now also accepts capture-carrying clauses: the
+    # old map-groupBy limitation is gone
+    v1 = tiny_engine.find(
+        'rcapture(A:[]{2,2} [], "rels", "det")').limit(5).collect()
+    assert all("A" in r["match_info"] for r in v1)
+    # missing capture name → clear error
+    with pytest.raises(ValueError, match="capture group"):
+        tiny_engine.find('rcapture2("visa", "A", "rels")').count()
