@@ -534,6 +534,33 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         if len(kept) == 1:
             return _exec(index, kept[0])
         return rmatch_same_span([_exec(index, c) for c in kept])
+    if isinstance(p, Q.Force):
+        # _FI1/_FI2 (XFDebug): pin the sequence's physical strategy,
+        # bypassing _seq_choice's cost rule — the golden-equality
+        # harness the reference drives the same way
+        if p.strategy == "ident":
+            return _exec(index, p.clause)
+        clauses = p.clause.clauses if isinstance(p.clause, Q.Seq) \
+            else (p.clause,)
+        if len(clauses) < 2:
+            raise ValueError(
+                f"{'_FI1' if p.strategy == 'fiseq' else '_FI2'}() "
+                "needs a sequence of at least two leaves")
+        if p.strategy == "postings":
+            if not all(isinstance(c, Q.Term) and c.layer == "word"
+                       for c in clauses):
+                raise ValueError(
+                    "_FI2() (postings intersection) needs word-layer "
+                    "term leaves")
+            return P.phrase_via_postings(index,
+                                         [c.text for c in clauses])
+        if not all(isinstance(c, (Q.Term, Q.Regex)) for c in clauses):
+            raise ValueError(
+                "_FI1() (forward-index verify) needs term/regex "
+                "leaves")
+        stats = [_leaf_info(index, c) for c in clauses]
+        a = min(range(len(clauses)), key=lambda i: stats[i][0])
+        return _fiseq(index, clauses, stats, a)
     if isinstance(p, Q.CrossField):
         # source ==> target: the target leaf runs against FIELD B's
         # token layer (SpansOverrideField analog), then the alignment

@@ -30,7 +30,8 @@ import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, CAnnot,
                                         CBool, CCmp, CFunc, CNot, Constrained,
-                                        CrossField, CStr, Fuzzy, Not, Or,
+                                        CrossField, CStr, Force, Fuzzy,
+                                        Not, Or,
                                         Overlap, Pattern, PosFilter, RCapture,
                                         Regex, RelBranch, RelFunc, RelMatch,
                                         RelMulti, RMatch, Rep, RField,
@@ -503,7 +504,8 @@ class _Parser:
             # SpanQueryDefaultValue.java:21): any token here
             return AnyToken(1, 1)
         if t in ("rel", "rmatch", "rspan", "rfield", "rcapture",
-                 "rcapture2") and self.peek() == "(":
+                 "rcapture2", "_FI1", "_FI2", "_ident") \
+                and self.peek() == "(":
             return self._func_call(t)
         return _word_pattern(t)
 
@@ -556,6 +558,13 @@ class _Parser:
             span_mode = s_arg(2, "source", "a span mode")
             direction = s_arg(3, "both", "a direction")
             return RelFunc(rel_type, target, span_mode, direction)
+        if name in ("_FI1", "_FI2", "_ident"):
+            # debug strategy-forcing functions (XFDebug.java:42)
+            if len(args) != 1 or args[0][0] != "q":
+                raise ParseError(f"{name}() takes exactly one query")
+            strat = {"_FI1": "fiseq", "_FI2": "postings",
+                     "_ident": "ident"}[name]
+            return Force(args[0][1], strat)
         if name == "rmatch":
             # rmatch(q1, q2, ...) — XFRelations.java:152: one or more
             # queries, same-span AND with unique relations

@@ -299,6 +299,18 @@ class RMatch(Pattern):        # rmatch(q1, q2, ...)
 
 
 @dataclass(frozen=True)
+class Force(Pattern):         # _FI1(q) / _FI2(q) / _ident(q)
+    """Debug extension functions (XFDebug.java:42, registry
+    QueryExtensions.java:146): ``_ident(q)`` is the identity;
+    ``_FI1(q)`` / ``_FI2(q)`` force a sequence's physical strategy —
+    forward-index (NFA analog) vs postings intersection — bypassing
+    the cost-based choice, so golden-equality tests can pin both
+    paths (the reference uses them the same way)."""
+    clause: Pattern
+    strategy: str             # "fiseq" | "postings" | "ident"
+
+
+@dataclass(frozen=True)
 class CrossField(Pattern):    # source ==> target
     """Cross-field alignment operator ``source ==> target`` (reference
     BCQL parallel-corpora syntax; SpanQueryCaptureRelationsBetween-

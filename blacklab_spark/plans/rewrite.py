@@ -16,7 +16,8 @@ from __future__ import annotations
 import re
 
 from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
-                                        CrossField, Expand, Not, Or, Overlap,
+                                        CrossField, Expand, Force, Not, Or,
+                                        Overlap,
                                         Pattern, PosFilter, RCapture, Regex,
                                         RelBranch, RelFunc, RelMatch,
                                         RelMulti, RMatch, Rep, RField,
@@ -75,6 +76,17 @@ def _map_children(p: Pattern, fn) -> Pattern:
     if isinstance(p, RCapture):
         return RCapture(fn(p.clause), p.capture_as, p.rel_type,
                         p.within)
+    if isinstance(p, Force):
+        if p.strategy == "ident":
+            # _ident is a pure pass-through — rewrite it away
+            return fn(p.clause)
+        # rewrite leaves INSIDE the forced sequence (regex→term etc.)
+        # but keep the barrier: the any-token/flattening rules must
+        # not dissolve the sequence whose strategy is being pinned
+        if isinstance(p.clause, Seq):
+            return Force(Seq(*[fn(c) for c in p.clause.clauses]),
+                         p.strategy)
+        return Force(fn(p.clause), p.strategy)
     if isinstance(p, RootRel):
         return RootRel(p.rel_type, fn(p.target), p.label)
     if isinstance(p, CrossField):

@@ -823,3 +823,27 @@ def test_constraint_rare_clause_pushes_doc_ids(idx):
     # a 1-element IN-list folds to EqualTo (round-3 note)
     assert ("In(doc_id" in plan or "INSET" in plan
             or "EqualTo(doc_id" in plan)
+
+
+# ---------------- debug strategy-forcing functions --------------------
+# (reference XFDebug.java:42: _ident/_FI1/_FI2, registered like any
+# query extension; the reference's own tests use them to pin both
+# physical paths of a sequence and assert golden equality)
+def test_debug_force_functions_golden_equality(tiny_engine):
+    eng = tiny_engine
+    auto = sorted(map(tuple, eng.find('"the" "visa"')
+                      .select("doc_id", "start", "end").collect()))
+    fi1 = sorted(map(tuple, eng.find('_FI1("the" "visa")')
+                     .select("doc_id", "start", "end").collect()))
+    fi2 = sorted(map(tuple, eng.find('_FI2("the" "visa")')
+                     .select("doc_id", "start", "end").collect()))
+    assert auto == fi1 == fi2 and auto
+    # _ident is the identity
+    ident = sorted(map(tuple, eng.find('_ident("the" "visa")')
+                       .select("doc_id", "start", "end").collect()))
+    assert ident == auto
+    # _FI1 accepts regex leaves; _FI2 does not
+    assert eng.find('_FI1([word="th."] "visa")').count() >= len(auto)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="_FI2"):
+        eng.find('_FI2([word="th."] "visa")').count()
