@@ -963,6 +963,25 @@ def gate_queries() -> dict:
             _orig_doc_id(), F.col("start"), F.col("end"),
             F.col("rel_start"), F.col("rel_end"))
 
+    def cql_force_fiseq(spark, sf_dir):
+        """_FI1("the" "table") — the forward-index strategy FORCED
+        (XFDebug._FI1): same oracle as the cost-based phrase, so the
+        gate proves the pinned path agrees with SQL."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '_FI1("the" "table")')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_force_postings(spark, sf_dir):
+        """_FI2("the" "table") — the postings-intersection strategy
+        FORCED (XFDebug._FI2), same oracle."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '_FI2("the" "table")')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_overlap_keyword(spark, sf_dir):
         """The 'overlap' operator through the parser (cql.jj:261,
         TextPatternOverlapping): '"the" [] overlap [] "the"' — overlap
@@ -1405,6 +1424,8 @@ def gate_queries() -> dict:
         "cql_rmatch_function": cql_rmatch_function,
         "cql_relation_capture_label": cql_relation_capture_label,
         "cql_rcapture2_function": cql_rcapture2_function,
+        "cql_force_fiseq": cql_force_fiseq,
+        "cql_force_postings": cql_force_postings,
         "server_hits_lifecycle": server_hits_lifecycle,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
@@ -1502,6 +1523,8 @@ SELECT doc_id, start, "end", start AS rel_start, "end" AS rel_end
 FROM ({rel_adjacent_sql("func", "noun", 0, 2, target_word="table")})
 """,
         "cql_rcapture2_function": _rcapture2_sql(),
+        "cql_force_fiseq": phrase_docs_sql("the", "table"),
+        "cql_force_postings": phrase_docs_sql("the", "table"),
         "server_hits_lifecycle": term_positions_sql("vector"),
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},

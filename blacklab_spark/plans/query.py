@@ -394,6 +394,10 @@ def pattern_str(p: Pattern) -> str:
     if isinstance(p, RMatch):
         return ("rmatch(" +
                 ", ".join(pattern_str(c) for c in p.clauses) + ")")
+    if isinstance(p, Force):
+        name = {"fiseq": "_FI1", "postings": "_FI2",
+                "ident": "_ident"}[p.strategy]
+        return f"{name}({pattern_str(p.clause)})"
     if isinstance(p, RootRel):
         return (f"ROOTREL(^-{p.rel_type or ''}-> "
                 f"{pattern_str(p.target)})")
