@@ -963,6 +963,37 @@ def gate_queries() -> dict:
             _orig_doc_id(), F.col("start"), F.col("end"),
             F.col("rel_start"), F.col("rel_end"))
 
+    def cql_and_spans(spark, sf_dir):
+        """Span-level same-span AND (SpanQueryAnd / SpansAndSimple):
+        '("the" []) & ([] "table")' — bigrams that start with 'the'
+        AND end with 'table' ≡ the phrase, via intersection."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '("the" []) & ([] "table")')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_andnot_spans(spark, sf_dir):
+        """Span-level AND-NOT (SpanQueryAndNot): '("the" []) &
+        !([] "table")' — the-initial bigrams NOT ending in 'table'."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '("the" []) & !([] "table")')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def spans_filter_by_length(spark, sf_dir):
+        """Filter-by-hit-length (SpanQueryFilterByHitLength.java:21):
+        gap-phrase hits narrowed to exactly 3 tokens — 'the' _
+        'table' with exactly one gap token."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.operators.spans import filter_by_length
+        from blacklab_spark.plans.executor import find
+        hits = filter_by_length(
+            find(eng.index, '"the" []{0,2} "table"'), 3, 3)
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_force_fiseq(spark, sf_dir):
         """_FI1("the" "table") — the forward-index strategy FORCED
         (XFDebug._FI1): same oracle as the cost-based phrase, so the
@@ -1426,6 +1457,9 @@ def gate_queries() -> dict:
         "cql_rcapture2_function": cql_rcapture2_function,
         "cql_force_fiseq": cql_force_fiseq,
         "cql_force_postings": cql_force_postings,
+        "cql_and_spans": cql_and_spans,
+        "cql_andnot_spans": cql_andnot_spans,
+        "spans_filter_by_length": spans_filter_by_length,
         "server_hits_lifecycle": server_hits_lifecycle,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
@@ -1525,6 +1559,19 @@ FROM ({rel_adjacent_sql("func", "noun", 0, 2, target_word="table")})
         "cql_rcapture2_function": _rcapture2_sql(),
         "cql_force_fiseq": phrase_docs_sql("the", "table"),
         "cql_force_postings": phrase_docs_sql("the", "table"),
+        "cql_and_spans": phrase_docs_sql("the", "table"),
+        "cql_andnot_spans": f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.tok = 'the' AND b.tok <> 'table'
+""",
+        "spans_filter_by_length": f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 3 AS INT) AS "end"
+FROM pos a JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
+WHERE a.tok = 'the' AND c.tok = 'table'
+""",
         "server_hits_lifecycle": term_positions_sql("vector"),
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},
