@@ -963,6 +963,27 @@ def gate_queries() -> dict:
             _orig_doc_id(), F.col("start"), F.col("end"),
             F.col("rel_start"), F.col("rel_end"))
 
+    def content_store_roundtrip(spark, sf_dir):
+        """Content-store read-back (ContentStoreIntegrated analog;
+        the north rule's per-row invariant: per-turn TEXT EQUALITY
+        end-to-end). The engine's stored text must equal the source
+        table's text byte-for-byte, every row."""
+        eng = docs_engine(spark, sf_dir)
+        return (eng.index.doc_meta
+                .select("conv_id", "text")
+                .select(_orig_doc_id(), F.col("text")))
+
+    def spans_filter_ngrams(spark, sf_dir):
+        """Filter-n-grams (SpanQueryFilterNGrams.java:18): 1..2-token
+        right extensions of 'table' anchors, deduplicated."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.operators.spans import filter_ngrams
+        from blacklab_spark.plans.executor import find
+        hits = filter_ngrams(eng.index, find(eng.index, '"table"'),
+                             "right", 1, 2)
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_and_spans(spark, sf_dir):
         """Span-level same-span AND (SpanQueryAnd / SpansAndSimple):
         '("the" []) & ([] "table")' — bigrams that start with 'the'
@@ -1460,6 +1481,8 @@ def gate_queries() -> dict:
         "cql_and_spans": cql_and_spans,
         "cql_andnot_spans": cql_andnot_spans,
         "spans_filter_by_length": spans_filter_by_length,
+        "content_store_roundtrip": content_store_roundtrip,
+        "spans_filter_ngrams": spans_filter_ngrams,
         "server_hits_lifecycle": server_hits_lifecycle,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
@@ -1559,6 +1582,18 @@ FROM ({rel_adjacent_sql("func", "noun", 0, 2, target_word="table")})
         "cql_rcapture2_function": _rcapture2_sql(),
         "cql_force_fiseq": phrase_docs_sql("the", "table"),
         "cql_force_postings": phrase_docs_sql("the", "table"),
+        "content_store_roundtrip":
+            "SELECT doc_id, text FROM documents",
+        "spans_filter_ngrams": f"""
+WITH {_DOC_TOKS},
+posn AS (SELECT doc_id, unnest(ts) AS tok,
+                generate_subscripts(ts, 1) - 1 AS p,
+                len(ts) AS n FROM toks)
+SELECT DISTINCT a.doc_id, CAST(a.p AS INT) AS start,
+       CAST(a.p + 1 + k.k AS INT) AS "end"
+FROM posn a CROSS JOIN (VALUES (1), (2)) k(k)
+WHERE a.tok = 'table' AND a.p + 1 + k.k <= a.n
+""",
         "cql_and_spans": phrase_docs_sql("the", "table"),
         "cql_andnot_spans": f"""
 WITH {_DOC_POS}
