@@ -761,6 +761,18 @@ def gate_queries() -> dict:
         eng = docs_engine(spark, sf_dir)
         return eng.group_hits_by_context_word(eng.term_hits("the"), offset=1)
 
+    def hit_group_stats(spark, sf_dir):
+        """Group statistics (HitGroups.java:140-190: largestGroupSize,
+        totalResults, group count) over the next-word grouping of
+        'the' — the count-distinct/stats result op as one row."""
+        eng = docs_engine(spark, sf_dir)
+        g = eng.group_hits_by_context_word(eng.term_hits("the"),
+                                           offset=1)
+        return g.agg(
+            F.max("count").cast("long").alias("largest_group"),
+            F.sum("count").cast("long").alias("total_hits"),
+            F.count("*").cast("long").alias("n_groups"))
+
     def collocations(spark, sf_dir):
         return docs_engine(spark, sf_dir).collocations("spark", window=5)
 
@@ -1456,6 +1468,7 @@ def gate_queries() -> dict:
         "phrase_hits": phrase_hits_docs,
         "term_frequencies_top100": term_frequencies,
         "group_hits_by_next_word": group_next_word,
+        "hit_group_stats": hit_group_stats,
         "collocations_window5": collocations,
         "docs_grouped_by_source": docs_grouped_source,
         "spans_containing_trigram": spans_containing,
@@ -1540,6 +1553,13 @@ def gate_oracles() -> dict[str, str]:
         "phrase_hits": phrase_docs_sql("the", "table"),
         "term_frequencies_top100": termfreq_sql(100),
         "group_hits_by_next_word": group_next_word_sql("the"),
+        "hit_group_stats": f"""
+WITH g AS ({group_next_word_sql("the")})
+SELECT CAST(max("count") AS BIGINT) AS largest_group,
+       CAST(sum("count") AS BIGINT) AS total_hits,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM g
+""",
         "collocations_window5": collocations_sql("spark", 5),
         "docs_grouped_by_source": docs_grouped_sql("spark"),
         "spans_containing_trigram": spans_containing_sql("spark", 3),
