@@ -420,3 +420,13 @@ def test_rcapture2_within_capture(tiny_engine):
     # missing capture name → clear error
     with pytest.raises(ValueError, match="capture group"):
         tiny_engine.find('rcapture2("visa", "A", "rels")').count()
+
+
+def test_relmulti_pushes_source_docs_into_scan(tiny_engine):
+    """The multi-branch edge derivation must be pruned to the SOURCE
+    hits' docs (push_hit_docs): with a rare source pattern the
+    executed plan carries a doc_id IN (...) parquet filter."""
+    df = tiny_engine.find('[word="visa"] -nmod-> [] ; -nn-> []')
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 1-element IN-lists fold to EqualTo — accept either shape
+    assert "In(doc_id" in plan or "EqualTo(doc_id" in plan
