@@ -975,6 +975,14 @@ def gate_queries() -> dict:
             _orig_doc_id(), F.col("start"), F.col("end"),
             F.col("rel_start"), F.col("rel_end"))
 
+    def spans_fixed_span(spark, sf_dir):
+        """Fixed span (SpanQueryFixedSpan.java:32): constant [2,5)
+        per doc, clamped to docs long enough."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.operators.spans import fixed_span
+        return with_conv(eng, fixed_span(eng.index, 2, 5)).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def content_store_roundtrip(spark, sf_dir):
         """Content-store read-back (ContentStoreIntegrated analog;
         the north rule's per-row invariant: per-turn TEXT EQUALITY
@@ -1496,6 +1504,7 @@ def gate_queries() -> dict:
         "spans_filter_by_length": spans_filter_by_length,
         "content_store_roundtrip": content_store_roundtrip,
         "spans_filter_ngrams": spans_filter_ngrams,
+        "spans_fixed_span": spans_fixed_span,
         "server_hits_lifecycle": server_hits_lifecycle,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
@@ -1604,6 +1613,11 @@ FROM ({rel_adjacent_sql("func", "noun", 0, 2, target_word="table")})
         "cql_force_postings": phrase_docs_sql("the", "table"),
         "content_store_roundtrip":
             "SELECT doc_id, text FROM documents",
+        "spans_fixed_span": f"""
+WITH {_DOC_TOKS}
+SELECT doc_id, CAST(2 AS INT) AS start, CAST(5 AS INT) AS "end"
+FROM toks WHERE len(ts) >= 5
+""",
         "spans_filter_ngrams": f"""
 WITH {_DOC_TOKS},
 posn AS (SELECT doc_id, unnest(ts) AS tok,
