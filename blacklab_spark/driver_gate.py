@@ -1357,6 +1357,16 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select("conv_id", "turn_idx",
                                            "start", "end")
 
+    def cql_sensitivity_flags(spark, sf_dir):
+        """%c/%d sensitivity flags (cql.jj:108 FLAGS token — lexed
+        and DISCARDED by the reference parser; honored here):
+        '"café"%d' selects the diacritics-sensitive, case-insensitive
+        layer ≡ [word_ci="café"]."""
+        eng = multi_engine(spark)
+        hits = eng.find('"café"%d')
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
     def cql_lemma_multivalue(spark, sf_dir):
         """Multi-value annotation layer (position-increment-0 model,
         AnnotationWriter.java:233-311): [lemma="tre"] matches every
@@ -1536,6 +1546,7 @@ def gate_queries() -> dict:
         "hits_filter_by_length": hits_filter_by_length,
         "docs_group_of_groups": docs_group_of_groups,
         "unicode_ci_sensitivity": unicode_ci_sensitivity,
+        "cql_sensitivity_flags": cql_sensitivity_flags,
         "cql_lemma_multivalue": cql_lemma_multivalue,
         "hits_sample_deterministic": hits_sample_deterministic,
         "streaming_delta_topk": streaming_delta_topk,
@@ -1786,6 +1797,16 @@ g AS (SELECT d.source, count(*) AS c
 SELECT c AS group_size, count(*) AS n_groups FROM g GROUP BY 1
 """,
         "unicode_ci_sensitivity": f"""
+WITH {multi_cte()},
+tci AS (SELECT doc_id, {duckdb_tokens_ci('text')} AS ts FROM tdocs),
+cpos AS (SELECT doc_id, unnest(ts) AS tok,
+                generate_subscripts(ts, 1) - 1 AS p FROM tci)
+SELECT d.conv_id, d.turn_idx, CAST(c.p AS INT) AS start,
+       CAST(c.p + 1 AS INT) AS "end"
+FROM cpos c JOIN tdocs d USING (doc_id)
+WHERE c.tok = 'café'
+""",
+        "cql_sensitivity_flags": f"""
 WITH {multi_cte()},
 tci AS (SELECT doc_id, {duckdb_tokens_ci('text')} AS ts FROM tdocs),
 cpos AS (SELECT doc_id, unnest(ts) AS tok,

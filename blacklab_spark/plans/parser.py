@@ -121,6 +121,51 @@ def _word_pattern(text: str) -> Pattern:
     return Term(py_fold_insensitive(text))
 
 
+_FLAGS_RE = re.compile(r"^%([A-Za-z]+)$")
+
+#: (case_sensitive, diacritics_sensitive) → annotation layer
+_SENS_LAYER = {(False, False): "word", (True, False): "word_di",
+               (False, True): "word_ci", (True, True): "word_s"}
+
+
+def _sens_layer(flags: str) -> str:
+    """``%c``-style sensitivity flags (grammar cql.jj:108 FLAGS token,
+    :571/:639 — the reference currently LEXES these and discards
+    them; here they select the matching sensitivity layer, which the
+    index materializes for all four MatchSensitivity variants):
+    c/C = case sensitive/insensitive, d/D = diacritics, last flag of
+    a dimension wins, default insensitive."""
+    case_s = diac_s = False
+    for ch in flags:
+        if ch == "c":
+            case_s = True
+        elif ch == "C":
+            case_s = False
+        elif ch == "d":
+            diac_s = True
+        elif ch == "D":
+            diac_s = False
+        else:
+            raise ParseError(
+                f"unsupported sensitivity flag {ch!r} (use c/C/d/D)")
+    return _SENS_LAYER[(case_s, diac_s)]
+
+
+def _word_pattern_sens(text: str, layer: str) -> Pattern:
+    """Word-layer value desensitized for the CHOSEN sensitivity layer
+    (flags path): the value folds exactly like the layer's tokens."""
+    if layer == "word":
+        return _word_pattern(text)
+    if _META.search(text):
+        return Regex(text, layer)
+    if layer == "word_ci":
+        text = text.lower()
+    elif layer == "word_di":
+        from blacklab_spark.tokenizer import py_fold_diacritics
+        text = py_fold_diacritics(text)
+    return Term(text, layer)
+
+
 def _attr_leaf(layer: str, val: str) -> Pattern:
     """One annotation test inside a token bracket (cql.jj:631
     attValuePair)."""
@@ -142,11 +187,11 @@ def _attr_leaf(layer: str, val: str) -> Pattern:
 
 _BRACKET_TOKEN = re.compile(r"""
     \s*(
-        [A-Za-z_][A-Za-z0-9_]*\s*!?=\s*"[^"]*" |  # annot =/!= "value"
-        \(|\)|&|\||!
+        [A-Za-z_][A-Za-z0-9_]*\s*!?=\s*"[^"]*"(?:%[A-Za-z]+)? |
+        \(|\)|&|\||!                  # annot =/!= "value" [%flags]
     )""", re.VERBOSE)
 _BRACKET_TEST = re.compile(
-    r'^([A-Za-z_][A-Za-z0-9_]*)\s*(!?=)\s*"([^"]*)"$')
+    r'^([A-Za-z_][A-Za-z0-9_]*)\s*(!?=)\s*"([^"]*)"(?:%([A-Za-z]+))?$')
 
 
 def _parse_bracket(inner: str) -> Pattern:
@@ -182,7 +227,15 @@ def _parse_bracket(inner: str) -> Pattern:
         m = _BRACKET_TEST.match(t)
         if not m:
             raise ParseError(f"expected annot=\"value\" test, got {t!r}")
-        leaf = _attr_leaf(m.group(1), m.group(3))
+        if m.group(4):                    # [word="Foo"%c]
+            if m.group(1) != "word":
+                raise ParseError(
+                    "sensitivity flags apply to the 'word' "
+                    f"annotation, not {m.group(1)!r}")
+            leaf = _word_pattern_sens(m.group(3),
+                                      _sens_layer(m.group(4)))
+        else:
+            leaf = _attr_leaf(m.group(1), m.group(3))
         return Not(leaf) if m.group(2) == "!=" else leaf
 
     def and_() -> Pattern:
@@ -463,10 +516,17 @@ class _Parser:
         t = self.next()
         if t.startswith('"') or t.startswith("'"):
             body = t[1:-1]
+            layer = "word"
+            nxt = self.peek()
+            mfl = _FLAGS_RE.match(nxt) if nxt else None
+            if mfl:                       # "Foo"%c sensitivity flags
+                self.next()
+                layer = _sens_layer(mfl.group(1))
             words = body.split()
             if len(words) > 1:            # "very good" → phrase
-                return Seq(*[_word_pattern(w) for w in words])
-            return _word_pattern(body)
+                return Seq(*[_word_pattern_sens(w, layer)
+                             for w in words])
+            return _word_pattern_sens(body, layer)
         if t == "[]":
             return AnyToken(1, 1)
         if t.startswith("[") and "=" in t:

@@ -847,3 +847,22 @@ def test_debug_force_functions_golden_equality(tiny_engine):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="_FI2"):
         eng.find('_FI2([word="th."] "visa")').count()
+
+
+def test_sensitivity_flags(tiny_engine):
+    """%c/%d flags (cql.jj:108 FLAGS — the reference lexes and drops
+    them; we select the matching sensitivity layer): default ≡ %CD,
+    and each flagged form equals its pseudo-layer bracket."""
+    eng = tiny_engine
+    base = eng.find('"visa"').count()
+    assert eng.find('"VISA"%CD').count() == base > 0
+    assert eng.find('"visa"%cd').count() == \
+        eng.find('[word_s="visa"]').count()
+    assert eng.find('"VISA"%d').count() == \
+        eng.find('[word_ci="VISA"]').count()
+    assert eng.find('"visa"%c').count() == \
+        eng.find('[word_di="visa"]').count()
+    from blacklab_spark.plans.parser import ParseError
+    import pytest as _pytest
+    with _pytest.raises(ParseError, match="sensitivity flag"):
+        eng.find('"x"%z')
