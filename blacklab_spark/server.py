@@ -36,6 +36,23 @@ WebserviceOperation.java:13-52):
   — prefix completion over the terms dictionary
   (RequestHandlerAutocomplete)
 
+Index management (write path; enabled by ``data_dir=``, mirroring
+the reference's private-index rules — the configured primary corpus
+is read-only like a public index):
+
+* ``GET /blacklab-server/input-formats`` — registered source formats
+  (RequestHandlerListInputFormats)
+* ``POST /blacklab-server/?name=…&format=…`` — create an empty index
+  (RequestHandlerCreateIndex; built immediately, status ``empty``)
+* ``POST /blacklab-server/<corpus>/docs`` + document body in the
+  corpus's input format — add data (RequestHandlerAddToIndex): the
+  batch is indexed as a delta and synchronously compacted into the
+  next index version (≙ Lucene addDocument + merge)
+* ``DELETE /blacklab-server/<corpus>`` — delete an API-created index
+  (RequestHandlerDeleteIndex)
+* any other POST with a form-encoded body is handled as GET (the
+  reference's large-query escape hatch)
+
 ``outputformat=csv`` on ``/hits`` streams the window as CSV
 (ResponseStreamer's CSV analog, flat columns); ``outputformat=xml``
 on any JSON operation renders the same response tree as BLS-style
@@ -63,7 +80,9 @@ port (tests use this).
 from __future__ import annotations
 
 import json
+import os
 import re
+import shutil
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
@@ -94,21 +113,44 @@ class BlsApp:
     """Request → JSON-dict dispatcher (transport-free, directly
     testable; the HTTP handler is a thin shell around ``handle``)."""
 
-    def __init__(self, engine: SearchEngine, corpus: str = "corpus"):
+    def __init__(self, engine: SearchEngine, corpus: str = "corpus",
+                 data_dir: str | None = None):
         self.engine = engine
         self.corpus = corpus
-        self._token_count: int | None = None
+        #: writable root for API-created indexes (RequestHandler
+        #: CreateIndex/AddToIndex/DeleteIndex need it; None = the
+        #: server is read-only, write ops answer 403 — the reference's
+        #: "only your own private indices" rule, with the configured
+        #: primary corpus playing the public-index role)
+        self.data_dir = data_dir
+        #: corpus name → open SearchEngine (IndexManager registry)
+        self._corpora: dict[str, SearchEngine] = {corpus: engine}
+        #: corpus name → IndexStatus analog (empty|available|indexing)
+        self._status: dict[str, str] = {
+            corpus: "empty" if engine.index.n_docs == 0
+            else "available"}
+        #: API-created corpora only (the mutable set)
+        self._own: set[str] = set()
+        #: API-created corpus → its registered input format
+        self._formats: dict[str, str] = {}
+        self._token_count: dict[str, int] = {}
+        #: one request at a time: write ops swap engines in the
+        #: registry and `self.engine` is the per-request binding, so
+        #: the facade serializes dispatch (the heavy work is Spark
+        #: jobs either way; the reference's IndexManager likewise
+        #: locks index lifecycle transitions)
+        self._lock = threading.RLock()
         #: op name → [request count, total wall ms] (the reference's
         #: Prometheus instrumentation analog, exposed via cache-info)
         self._metrics: dict[str, list] = {}
 
     # ---- helpers ----------------------------------------------------
     def _tokens_total(self) -> int:
-        if self._token_count is None:
-            self._token_count = int(
+        if self.corpus not in self._token_count:
+            self._token_count[self.corpus] = int(
                 self.engine.index.doc_meta.agg(
                     F.sum("n_tokens")).collect()[0][0] or 0)
-        return self._token_count
+        return self._token_count[self.corpus]
 
     @staticmethod
     def _int(params: dict, key: str, default: int) -> int:
@@ -163,7 +205,8 @@ class BlsApp:
     def server_info(self) -> dict:
         return {"apiVersion": "5.0",
                 "implementation": f"blacklab_spark/{__version__}",
-                "corpora": {self.corpus: {"status": "available"}}}
+                "corpora": {c: {"status": self._status[c]}
+                            for c in sorted(self._corpora)}}
 
     def corpus_info(self) -> dict:
         idx = self.engine.index
@@ -171,7 +214,7 @@ class BlsApp:
                   if c.startswith("tokens_")]
         return {
             "indexName": self.corpus,
-            "status": "available",
+            "status": self._status[self.corpus],
             "documentCount": idx.n_docs,
             "tokenCount": self._tokens_total(),
             "fieldInfo": {"mainAnnotatedField": "contents"},
@@ -183,7 +226,8 @@ class BlsApp:
         }
 
     def status(self) -> dict:
-        return {"indexName": self.corpus, "status": "available",
+        return {"indexName": self.corpus,
+                "status": self._status[self.corpus],
                 "tokenCount": self._tokens_total()}
 
     def relations_info(self) -> dict:
@@ -553,32 +597,213 @@ class BlsApp:
               .orderBy(F.desc("count"), "term").limit(number).collect())
         return {"termFreq": {r["term"]: r["count"] for r in tf}}
 
+    # ---- index management (write path) ------------------------------
+    #: reference Index.isValidIndexName analog (no path tricks)
+    _INDEX_NAME = re.compile(r"^[A-Za-z][A-Za-z0-9_-]{0,63}$")
+    #: upload formats the add-data op accepts (text bodies only —
+    #: parquet/iceberg arrive as tables, not uploads)
+    UPLOAD_FORMATS = ("jsonl", "csv", "tsv", "xml", "conllu", "txt")
+
+    def _require_writable(self) -> None:
+        if not self.data_dir:
+            raise BlsError(
+                403, "NOT_AUTHORIZED",
+                "server started without a writable data directory; "
+                "index management is disabled")
+
+    def _corpus_dir(self, name: str, version: int) -> str:
+        return os.path.join(self.data_dir, name, f"v{version:05d}")
+
+    def input_formats(self) -> dict:
+        """RequestHandlerListInputFormats analog: the registered
+        source formats (sources/files.py READERS ≙ the reference's 16
+        *.blf.yaml DocIndexer formats)."""
+        from blacklab_spark.sources.files import READERS
+        return {"supportedInputFormats": {
+            f: {"uploadable": f in self.UPLOAD_FORMATS}
+            for f in sorted(READERS)}}
+
+    def create_index(self, params: dict) -> dict:
+        """POST / with ``name=`` + optional ``format=`` — an empty
+        index is built immediately (IndexStatus.EMPTY), docs arrive
+        via POST /<name>/docs (RequestHandlerCreateIndex)."""
+        self._require_writable()
+        name = self._str(params, "name")
+        if not name or not self._INDEX_NAME.match(name):
+            raise BlsError(400, "ILLEGAL_INDEX_NAME",
+                           f"illegal index name {name!r}")
+        if name in self._corpora:
+            raise BlsError(400, "INDEX_ALREADY_EXISTS",
+                           f"index {name!r} already exists")
+        fmt = self._str(params, "format", "jsonl")
+        if fmt not in self.UPLOAD_FORMATS:
+            raise BlsError(400, "UNKNOWN_INPUT_FORMAT",
+                           f"unknown/non-uploadable format {fmt!r} "
+                           f"(have: {list(self.UPLOAD_FORMATS)})")
+        from blacklab_spark.build import build_index
+        from blacklab_spark.config import BuildConfig
+        from blacklab_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+        spark = self.engine.index.spark
+        out = self._corpus_dir(name, 0)
+        build_index(spark, spark.createDataFrame([], TRANSCRIPT_SCHEMA),
+                    out, BuildConfig())
+        self._corpora[name] = SearchEngine.open(spark, out)
+        self._status[name] = "empty"
+        self._own.add(name)
+        self._formats[name] = fmt
+        return {"status": {"indexName": name, "status": "empty",
+                           "format": fmt}}
+
+    def add_to_index(self, body: bytes | None) -> dict:
+        """POST /<corpus>/docs with a document body in the corpus's
+        input format (RequestHandlerAddToIndex): the batch is indexed
+        as a delta (append_delta — doc ids continue after the global
+        max) and synchronously compacted into the next index version
+        (≙ Lucene addDocument + merge), then the registry swaps to
+        the merged index. Crash-safe: a failed compact leaves the old
+        version + its deltas intact for retry."""
+        self._require_writable()
+        if self.corpus not in self._own:
+            raise BlsError(403, "NOT_AUTHORIZED",
+                           "can only add documents to indices created "
+                           "through the API")
+        if not body:
+            raise BlsError(400, "NO_DATA_GIVEN", "request body required")
+        import tempfile
+
+        from blacklab_spark.streaming.ingest import append_delta, compact
+        from blacklab_spark.sources.files import read_transcripts
+        spark = self.engine.index.spark
+        fmt = self._formats.get(self.corpus, "jsonl")
+        suffix = {"jsonl": ".jsonl", "csv": ".csv", "tsv": ".tsv",
+                  "xml": ".xml", "conllu": ".conllu", "txt": ".txt"}[fmt]
+        cur_dir = self.engine.index.path
+        ver = int(os.path.basename(cur_dir)[1:])
+        self._status[self.corpus] = "indexing"
+        try:
+            with tempfile.NamedTemporaryFile(
+                    "wb", suffix=suffix, delete=False) as f:
+                f.write(body)
+                tmp = f.name
+            try:
+                batch = read_transcripts(spark, tmp, fmt)
+                n_new = batch.count()
+                if n_new == 0:
+                    raise BlsError(400, "NO_DATA_GIVEN",
+                                   "body parsed to zero documents")
+                append_delta(spark, cur_dir, batch)
+                new_dir = self._corpus_dir(self.corpus, ver + 1)
+                shutil.rmtree(new_dir, ignore_errors=True)
+                compact(spark, cur_dir, new_dir)
+            finally:
+                os.unlink(tmp)
+            self._corpora[self.corpus] = SearchEngine.open(spark, new_dir)
+            self.engine = self._corpora[self.corpus]
+            self._token_count.pop(self.corpus, None)
+            shutil.rmtree(cur_dir, ignore_errors=True)
+        except BlsError:
+            self._status[self.corpus] = \
+                "empty" if self.engine.index.n_docs == 0 else "available"
+            raise
+        except Exception as e:
+            self._status[self.corpus] = \
+                "empty" if self.engine.index.n_docs == 0 else "available"
+            raise BlsError(500, "INTERNAL_ERROR",
+                           f"error while indexing: {e}") from e
+        self._status[self.corpus] = "available"
+        return {"status": {"indexName": self.corpus,
+                           "status": "available",
+                           "documentsAdded": n_new,
+                           "documentCount": self.engine.index.n_docs}}
+
+    def delete_index(self) -> dict:
+        """DELETE /<corpus> (RequestHandlerDeleteIndex; like the
+        reference, only API-created indices may be deleted)."""
+        self._require_writable()
+        if self.corpus not in self._own:
+            raise BlsError(403, "NOT_AUTHORIZED",
+                           "can only delete indices created through "
+                           "the API")
+        shutil.rmtree(os.path.join(self.data_dir, self.corpus),
+                      ignore_errors=True)
+        name = self.corpus
+        del self._corpora[name]
+        del self._status[name]
+        self._own.discard(name)
+        self._formats.pop(name, None)
+        self._token_count.pop(name, None)
+        return {"status": {"indexName": name, "status": "deleted"}}
+
     # ---- dispatch ----------------------------------------------------
-    def handle(self, path: str, params: dict) -> tuple[int, str, str]:
+    def handle(self, path: str, params: dict, method: str = "GET",
+               body: bytes | None = None,
+               content_type: str = "") -> tuple[int, str, str]:
         """→ (http status, content type, body)."""
         import time
         t0 = time.time()
-        out = self._dispatch(path, params)
+        with self._lock:
+            out = self._dispatch(path, params, method, body,
+                                 content_type)
         parts = [p for p in path.split("/") if p]
         op = parts[2] if len(parts) > 2 else \
             ("corpus-info" if len(parts) == 2 else "server-info")
+        if method != "GET":
+            op = f"{method.lower()}:{op}"
         m = self._metrics.setdefault(op, [0, 0.0])
         m[0] += 1
         m[1] += (time.time() - t0) * 1000.0
         return out
 
-    def _dispatch(self, path: str, params: dict) -> tuple[int, str, str]:
+    def _bind(self, name: str) -> bool:
+        """Bind the request's corpus: ``self.engine``/``self.corpus``
+        become the addressed registry entry for the rest of this
+        (lock-serialized) dispatch. Always True — used as the first
+        conjunct of the corpus-route conditions so every corpus path
+        binds exactly once."""
+        self.corpus = name
+        self.engine = self._corpora[name]
+        return True
+
+    def _dispatch(self, path: str, params: dict, method: str = "GET",
+                  reqbody: bytes | None = None,
+                  content_type: str = "") -> tuple[int, str, str]:
         try:
             parts = [p for p in path.split("/") if p]
             if not parts or parts[0] != _PREFIX.strip("/"):
                 raise BlsError(404, "UNKNOWN_OPERATION",
                                f"unknown path {path!r}")
             parts = parts[1:]
+            is_docs_add = (method == "POST" and len(parts) == 2
+                           and parts[1] == "docs")
+            if (method == "POST" and reqbody and not is_docs_add
+                    and "x-www-form-urlencoded" in content_type):
+                # POST-as-GET with form params (the reference's
+                # large-CQL-query escape hatch); the docs-add route
+                # always takes the body as document data
+                params = dict(params)
+                params.update(parse_qs(reqbody.decode("utf-8")))
+                reqbody = None
             if not parts:
-                body = self.server_info()
-            elif parts[0] != self.corpus:
+                if method == "POST":
+                    body = self.create_index(params)
+                elif method != "GET":
+                    raise BlsError(405, "METHOD_NOT_ALLOWED",
+                                   f"{method} not allowed here")
+                else:
+                    body = self.server_info()
+            elif parts[0] == "input-formats":
+                body = self.input_formats()
+            elif parts[0] not in self._corpora:
                 raise BlsError(404, "CANNOT_OPEN_INDEX",
                                f"unknown corpus {parts[0]!r}")
+            elif (self._bind(parts[0]) and method == "DELETE"
+                  and len(parts) == 1):
+                body = self.delete_index()
+            elif is_docs_add:
+                body = self.add_to_index(reqbody)
+            elif method not in ("GET", "POST"):
+                raise BlsError(405, "METHOD_NOT_ALLOWED",
+                               f"{method} not allowed on {path!r}")
             elif len(parts) == 1:
                 body = self.corpus_info()
             elif parts[1] == "status":
@@ -606,6 +831,9 @@ class BlsApp:
             elif parts[1] == "docs":
                 if len(parts) == 2:
                     body = self.docs(params)
+                    if self._str(params, "outputformat") == "csv":
+                        return (200, "text/csv; charset=utf-8",
+                                _docs_csv(body))
                 elif len(parts) == 3:
                     body = self.doc_info(unquote(parts[2]))
                 elif len(parts) == 4 and parts[3] == "contents":
@@ -710,25 +938,59 @@ def _hits_csv(body: dict) -> str:
     return out.getvalue()
 
 
+def _docs_csv(body: dict) -> str:
+    """Flat CSV of a docs response window (RequestHandlerDocsCsv
+    analog)."""
+    import csv
+    import io
+    out = io.StringIO()
+    w = csv.writer(out, lineterminator="\n")
+    if "docGroups" in body:
+        w.writerow(["identity", "size"])
+        for g in body["docGroups"]:
+            w.writerow([g["identity"], g["size"]])
+        return out.getvalue()
+    w.writerow(["docPid", "numberOfHits", "role", "lengthInTokens"])
+    infos = body.get("docInfos", {})
+    for d in body["docs"]:
+        info = infos.get(d["docPid"], {})
+        w.writerow([d["docPid"], d.get("numberOfHits", ""),
+                    info.get("role", ""),
+                    info.get("lengthInTokens", "")])
+    return out.getvalue()
+
+
 class BlsServer:
     """Threaded HTTP shell around :class:`BlsApp`."""
 
     def __init__(self, engine: SearchEngine, corpus: str = "corpus",
-                 port: int = 0):
-        self.app = BlsApp(engine, corpus)
+                 port: int = 0, data_dir: str | None = None):
+        self.app = BlsApp(engine, corpus, data_dir=data_dir)
         app = self.app
 
         class Handler(BaseHTTPRequestHandler):
-            def do_GET(self):          # noqa: N802 (http.server API)
+            def _serve(self, method: str):
                 u = urlparse(self.path)
-                status, ctype, body = app.handle(u.path,
-                                                 parse_qs(u.query))
+                n = int(self.headers.get("Content-Length") or 0)
+                reqbody = self.rfile.read(n) if n else None
+                status, ctype, body = app.handle(
+                    u.path, parse_qs(u.query), method, reqbody,
+                    self.headers.get("Content-Type") or "")
                 data = body.encode("utf-8")
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+
+            def do_GET(self):          # noqa: N802 (http.server API)
+                self._serve("GET")
+
+            def do_POST(self):         # noqa: N802
+                self._serve("POST")
+
+            def do_DELETE(self):       # noqa: N802
+                self._serve("DELETE")
 
             def log_message(self, *a):  # silence per-request stderr
                 pass
