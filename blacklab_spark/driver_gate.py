@@ -265,6 +265,32 @@ FROM topk t JOIN documents d USING (doc_id)
 """
 
 
+#: (conv_id, turn_idx, role, text) rows uploaded by the
+#: server_index_lifecycle gate — the oracle tokenizes the same
+#: literals in SQL.
+_LIFECYCLE_ROWS = [
+    ("lc00", 0, "user", "the visa application is very good"),
+    ("lc00", 1, "assistant", "please search the visa table"),
+    ("lc01", 0, "user", "a good browser search"),
+    ("lc01", 1, "assistant", "visa visa and the table"),
+    ("lc02", 0, "user", "python please and the visa"),
+]
+
+
+def lifecycle_cte() -> str:
+    """The lifecycle upload rows as a VALUES CTE (token positions of
+    the same literal texts the gate POSTs as JSONL)."""
+    vals = ",\n  ".join(f"('{c}', {i}, '{t}')"
+                        for c, i, _, t in _LIFECYCLE_ROWS)
+    return (
+        "lrows(conv_id, turn_idx, text) AS (VALUES\n  " + vals + "),\n"
+        f"ltoks AS (SELECT conv_id, turn_idx, "
+        f"{duckdb_tokens_i('text')} AS ts FROM lrows),\n"
+        "lpos AS (SELECT conv_id, turn_idx, unnest(ts) AS tok, "
+        "generate_subscripts(ts, 1) - 1 AS p FROM ltoks)"
+    )
+
+
 def micro_cte() -> str:
     """The micro transcript fixture as a VALUES CTE + dense doc ids
     (row_number over (conv_id, turn_idx) — the engine's id contract)."""
@@ -901,6 +927,52 @@ def gate_queries() -> dict:
         return spark.createDataFrame(
             rows, "doc_id long, start int, end int")
 
+    def server_index_lifecycle(spark, sf_dir):
+        """Index-management WRITE lifecycle over live HTTP
+        (RequestHandlerCreateIndex/AddToIndex analogs): POST / creates
+        an empty index, two POST /<corpus>/docs uploads index JSONL
+        batches as deltas + synchronous compactions (doc ids continue
+        across batches, global BM25 stats recomputed), then GET /hits
+        returns every 'visa' position. The oracle tokenizes the same
+        literal rows in SQL — proving upload parsing, delta build,
+        compaction and query end-to-end."""
+        import json as _json
+        import tempfile
+        import urllib.request
+        from blacklab_spark.server import BlsServer
+        eng = micro_engine(spark)
+        srv = BlsServer(eng, corpus="corpus",
+                        data_dir=tempfile.mkdtemp(prefix="bls_gate_"))
+        port = srv.start()
+        base = f"http://127.0.0.1:{port}/blacklab-server"
+
+        def post(path, body=None):
+            req = urllib.request.Request(base + path, data=body,
+                                         method="POST")
+            with urllib.request.urlopen(req) as resp:
+                return resp.read()
+
+        def jsonl(rows):
+            return "\n".join(_json.dumps({
+                "conv_id": c, "turn_idx": i, "role": r, "text": t,
+                "tool": None, "ts": "2026-01-01T00:00:00.000Z"})
+                for c, i, r, t in rows).encode()
+
+        try:
+            post("/?name=live&format=jsonl")
+            post("/live/docs", jsonl(_LIFECYCLE_ROWS[:3]))
+            post("/live/docs", jsonl(_LIFECYCLE_ROWS[3:]))
+            url = f"{base}/live/hits?patt=%22visa%22&number=1000000"
+            with urllib.request.urlopen(url) as resp:
+                body = _json.loads(resp.read().decode())
+        finally:
+            srv.stop()
+        rows = [(h["docPid"].rsplit(":", 1)[0],
+                 int(h["docPid"].rsplit(":", 1)[1]),
+                 h["start"], h["end"]) for h in body["hits"]]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, start int, end int")
+
     def cql_relmulti_branches(spark, sf_dir):
         """Multi-branch relation query '[pos="noun"] -nmod-> [] ;
         -nn-> []' (cql.jj:282 ';'-separated childRelations →
@@ -1516,6 +1588,7 @@ def gate_queries() -> dict:
         "spans_filter_ngrams": spans_filter_ngrams,
         "spans_fixed_span": spans_fixed_span,
         "server_hits_lifecycle": server_hits_lifecycle,
+        "server_index_lifecycle": server_index_lifecycle,
         "relations_backward_source": relations_backward_source,
         "cql_relation_between": cql_relation_between,
         "parallel_other_field_hits": parallel_other_field,
@@ -1653,6 +1726,12 @@ FROM pos a JOIN pos c ON a.doc_id = c.doc_id AND c.p = a.p + 2
 WHERE a.tok = 'the' AND c.tok = 'table'
 """,
         "server_hits_lifecycle": term_positions_sql("vector"),
+        "server_index_lifecycle": f"""
+WITH {lifecycle_cte()}
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM lpos WHERE tok = 'visa'
+""",
         "cql_overlap_keyword": f"""
 WITH {_DOC_POS},
 A AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e

@@ -553,7 +553,13 @@ class BlsApp:
             "role": r["role"], "lengthInTokens": r["n_tokens"]}}
 
     def doc_contents(self, pid: str) -> str:
-        return self._doc_row(pid, ["text"])["text"]
+        """Content-store read-back (RequestHandlerDocContents serves
+        the ORIGINAL stored content — for a tags=True build that is
+        the pre-strip markup in ``text_raw``)."""
+        col = "text_raw" \
+            if "text_raw" in self.engine.index.doc_meta.columns \
+            else "text"
+        return self._doc_row(pid, [col])[col]
 
     def doc_snippet(self, pid: str, params: dict) -> dict:
         """KWIC snippet around an explicit hit span

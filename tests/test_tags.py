@@ -173,3 +173,20 @@ def test_compact_preserves_spans(spark, tagged_engine_idx, tmp_path_factory):
     removed = eng.index.doc_spans.count()  # tombstone-filtered view
     assert after == removed < before
     assert "text_raw" in idx2.doc_meta.columns
+
+
+def test_server_contents_serves_original_markup(tagged_engine_idx):
+    """RequestHandlerDocContents serves the content store's ORIGINAL
+    text — for a tags=True build, the pre-strip markup."""
+    from blacklab_spark.server import BlsApp
+    eng = tagged_engine_idx
+    app = BlsApp(eng, corpus="tagged")
+    r = eng.index.doc_meta.select("conv_id", "turn_idx", "text_raw",
+                                  "text").first()
+    pid = f"{r['conv_id']}:{r['turn_idx']}"
+    status, ctype, body = app.handle(
+        f"/blacklab-server/tagged/docs/{pid}/contents", {})
+    assert status == 200 and ctype.startswith("text/plain")
+    assert body == r["text_raw"]
+    # the markup really is markup (stripped form differs)
+    assert "<" in body or body == r["text"]
