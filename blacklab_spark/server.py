@@ -50,8 +50,15 @@ is read-only like a public index):
   next index version (≙ Lucene addDocument + merge)
 * ``DELETE /blacklab-server/<corpus>`` — delete an API-created index
   (RequestHandlerDeleteIndex)
+* ``GET|POST /blacklab-server/<corpus>/sharing`` — get / replace the
+  ``users[]`` share list, persisted beside the index
+  (RequestHandlerSharing)
 * any other POST with a form-encoded body is handled as GET (the
   reference's large-query escape hatch)
+
+``/docs`` accepts ``sort=`` (``field:<name>``, ``numhits``,
+``identity``, '-' prefix descending — the DocProperty sort analog)
+and ``outputformat=csv``.
 
 ``outputformat=csv`` on ``/hits`` streams the window as CSV
 (ResponseStreamer's CSV analog, flat columns); ``outputformat=xml``
@@ -478,17 +485,51 @@ class BlsApp:
                 "docGroups": [{"identity": r["identity"],
                                "size": r["count"]} for r in rows]}
 
+    def _doc_sorted(self, d, sortp: str | None, has_hits: bool):
+        """Apply the /docs ``sort=`` key (DocProperty analog:
+        ``field:<name>``, ``numhits``, ``identity``; '-' prefix for
+        descending — RequestHandlerDocs sort). Default: doc id."""
+        if not sortp or sortp.lstrip("-") == "identity":
+            return d.orderBy(F.col("doc_id").desc()
+                             if (sortp or "").startswith("-")
+                             else F.col("doc_id").asc())
+        desc = sortp.startswith("-")
+        key = sortp.lstrip("-")
+        if key == "numhits":
+            if not has_hits:
+                raise BlsError(400, "UNKNOWN_SORT_PROPERTY",
+                               "numhits sort needs a patt= query")
+            col = F.col("n_hits")
+        elif key.startswith("field:"):
+            fld = key[len("field:"):]
+            dm = self.engine.index.doc_meta
+            if fld not in dm.columns:
+                raise BlsError(400, "UNKNOWN_SORT_PROPERTY",
+                               f"unknown doc field {fld!r}")
+            if fld in d.columns:        # filter path: meta already there
+                col = F.col(fld)
+            else:                       # patt path: (doc_id, n_hits)
+                d = d.join(dm.select("doc_id",
+                                     F.col(fld).alias("_sk")),
+                           "doc_id")
+                col = F.col("_sk")
+        else:
+            raise BlsError(400, "UNKNOWN_SORT_PROPERTY",
+                           f"unknown doc sort key {sortp!r}")
+        return d.orderBy(col.desc() if desc else col.asc(), "doc_id")
+
     def docs(self, params: dict) -> dict:
         if self._str(params, "group"):
             return self.doc_groups(params)
         first = self._int(params, "first", 0)
         number = self._int(params, "number", DEFAULT_PAGE_SIZE)
+        sortp = self._str(params, "sort")
         if self._str(params, "patt"):
             hits = self._find(params)
             from blacklab_spark.operators.hits import docs_from_hits
             d = docs_from_hits(self.engine.index, hits)
-            rows = (d.orderBy("doc_id").limit(first + number)
-                    .collect()[first:])
+            rows = (self._doc_sorted(d, sortp, True)
+                    .limit(first + number).collect()[first:])
             n = d.count()
             infos, pid_of = self._doc_infos([r["doc_id"] for r in rows])
             docs_out = [{"docPid": pid_of[r["doc_id"]],
@@ -499,8 +540,8 @@ class BlsApp:
             except ValueError as e:
                 raise BlsError(400, "FILTER_SYNTAX_ERROR",
                                str(e)) from None
-            rows = (d.orderBy("doc_id").limit(first + number)
-                    .collect()[first:])
+            rows = (self._doc_sorted(d, sortp, False)
+                    .limit(first + number).collect()[first:])
             n = d.count()
             docs_out = [{"docPid": _pid(r["conv_id"], r["turn_idx"])}
                         for r in rows]
@@ -740,6 +781,33 @@ class BlsApp:
         self._token_count.pop(name, None)
         return {"status": {"indexName": name, "status": "deleted"}}
 
+    def _shares_path(self, name: str) -> str:
+        return os.path.join(self.data_dir, name, "shares.json")
+
+    def sharing(self, params: dict, method: str) -> dict:
+        """GET = list of users the corpus is shared with; POST with
+        ``users[]`` = replace the list (RequestHandlerSharing; the
+        list is persisted beside the index like the reference's
+        IndexManager does — enforcement needs an auth layer this
+        facade doesn't have, matching the reference's behavior when
+        run without authentication)."""
+        self._require_writable()
+        if self.corpus not in self._own:
+            raise BlsError(403, "NOT_AUTHORIZED",
+                           "sharing applies to API-created indices")
+        p = self._shares_path(self.corpus)
+        if method == "POST":
+            users = params.get("users[]", [])
+            with open(p, "w") as f:
+                json.dump(users, f)
+            return {"status": {"code": "SUCCESS", "message":
+                               "Index shared with specified user(s)."}}
+        users = []
+        if os.path.exists(p):
+            with open(p) as f:
+                users = json.load(f)
+        return {"users[]": users}
+
     # ---- dispatch ----------------------------------------------------
     def handle(self, path: str, params: dict, method: str = "GET",
                body: bytes | None = None,
@@ -812,6 +880,8 @@ class BlsApp:
                                f"{method} not allowed on {path!r}")
             elif len(parts) == 1:
                 body = self.corpus_info()
+            elif parts[1] == "sharing" and len(parts) == 2:
+                body = self.sharing(params, method)
             elif parts[1] == "status":
                 body = self.status()
             elif parts[1] == "cache-info":

@@ -156,3 +156,40 @@ def test_docs_csv(wserver):
     lines = text.strip().split("\n")
     assert lines[0] == "docPid,numberOfHits,role,lengthInTokens"
     assert len(lines) > 1 and lines[1].count(",") == 3
+
+
+def test_sharing_roundtrip(wserver):
+    _json(wserver, "/blacklab-server/?name=shared", method="POST")
+    r = _json(wserver, "/blacklab-server/shared/sharing")
+    assert r["users[]"] == []
+    r = _json(wserver, "/blacklab-server/shared/sharing",
+              method="POST",
+              body=b"users%5B%5D=alice&users%5B%5D=bob",
+              headers={"Content-Type":
+                       "application/x-www-form-urlencoded"})
+    assert r["status"]["code"] == "SUCCESS"
+    r = _json(wserver, "/blacklab-server/shared/sharing")
+    assert r["users[]"] == ["alice", "bob"]
+    # survives data uploads (stored beside the index, not in it)
+    _json(wserver, "/blacklab-server/shared/docs", method="POST",
+          body=_turn("s1", 0, "visa ok").encode())
+    r = _json(wserver, "/blacklab-server/shared/sharing")
+    assert r["users[]"] == ["alice", "bob"]
+    _json(wserver, "/blacklab-server/shared", method="DELETE")
+    # primary corpus: read-only rule applies
+    err = _json(wserver, "/blacklab-server/tiny/sharing", expect=403)
+    assert err["error"]["code"] == "NOT_AUTHORIZED"
+
+
+def test_docs_sort(wserver, tiny_engine):
+    r = _json(wserver, "/blacklab-server/tiny/docs"
+              "?patt=%22visa%22&sort=-numhits&number=5")
+    counts = [d["numberOfHits"] for d in r["docs"]]
+    assert counts == sorted(counts, reverse=True) and counts
+    r = _json(wserver, "/blacklab-server/tiny/docs"
+              "?filter=role:assistant&sort=field:conv_id&number=5")
+    pids = [d["docPid"].rsplit(":", 1)[0] for d in r["docs"]]
+    assert pids == sorted(pids)
+    err = _json(wserver, "/blacklab-server/tiny/docs?sort=bogus",
+                expect=400)
+    assert err["error"]["code"] == "UNKNOWN_SORT_PROPERTY"
