@@ -106,22 +106,23 @@ def _compact(args) -> int:
 
 
 def start_server(index: str, corpus: str = "corpus", port: int = 8080,
-                 cache_size: int = 128):
+                 cache_size: int = 128, data_dir: str | None = None):
     """Open the index and start the BLS-style HTTP server (returns
-    the running BlsServer; the CLI wrapper blocks on it)."""
+    the running BlsServer; the CLI wrapper blocks on it).
+    ``data_dir`` enables the index-management write path."""
     from blacklab_spark.engine import SearchEngine
     from blacklab_spark.server import BlsServer
     from blacklab_spark.session import get_spark
     spark = get_spark("blacklab-serve")
     eng = SearchEngine.open(spark, index, cache_size=cache_size)
-    srv = BlsServer(eng, corpus=corpus, port=port)
+    srv = BlsServer(eng, corpus=corpus, port=port, data_dir=data_dir)
     srv.start()
     return srv
 
 
 def _serve(args) -> int:
     srv = start_server(args.index, args.corpus, args.port,
-                       args.cache_size)
+                       args.cache_size, args.data_dir)
     print(json.dumps({"serving": f"http://127.0.0.1:{srv.port}"
                                  f"/blacklab-server/{args.corpus}",
                       "port": srv.port}), flush=True)
@@ -193,6 +194,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--cache-size", type=int, default=128,
                    help="serving result cache entries (0 = off)")
+    s.add_argument("--data-dir", default=None,
+                   help="writable root for API-created indexes "
+                        "(enables create/add/delete over HTTP)")
     s.set_defaults(fn=_serve)
 
     args = p.parse_args(argv)
