@@ -400,6 +400,22 @@ WHERE t.tag = '{tag}'
 """
 
 
+def _tag_edge_sql(word: str, tag: str) -> str:
+    """Oracle for '<tag> "word"': the word's position must equal a
+    stored tag span's start."""
+    from blacklab_spark.operators.tags import duckdb_tag_spans_cte
+    return f"""
+WITH {tagged_cte()},{duckdb_tag_spans_cte()}
+SELECT d.conv_id, d.turn_idx, CAST(a.p AS INT) AS start,
+       CAST(a.p + 1 AS INT) AS "end"
+FROM tpos a JOIN tdocs d ON d.doc_id = a.doc_id
+WHERE a.tok = '{word}'
+  AND EXISTS (SELECT 1 FROM tagspans t
+              WHERE t.doc_id = a.doc_id AND t.tag = '{tag}'
+                AND t.start = a.p)
+"""
+
+
 def _tag_within_sql(w1: str, w2: str, tag: str) -> str:
     from blacklab_spark.operators.tags import duckdb_tag_spans_cte
     return f"""
@@ -1502,6 +1518,15 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select(
             "conv_id", "turn_idx", "start", "end")
 
+    def cql_tag_sentence_initial(spark, sf_dir):
+        """Zero-width tag edge '<s> "the"' (cql.jj:359-371 tag()
+        Adjust.LEADING_EDGE): sentence-initial 'the' — the leading
+        edge is a [start,start) span sequenced with the term."""
+        eng = tagged_engine(spark)
+        hits = eng.find('<s> "the"')
+        return with_conv(eng, hits).select(
+            "conv_id", "turn_idx", "start", "end")
+
     def luceneql_docs_filter(spark, sf_dir):
         """The server's metadata filter language (filterlang=luceneql,
         Lucene classic QueryParser): docs from
@@ -1627,6 +1652,7 @@ def gate_queries() -> dict:
         "tags_spans_all": tags_spans_all,
         "cql_tag_attr": cql_tag_attr,
         "cql_tag_within_sentence": cql_tag_within_sentence,
+        "cql_tag_sentence_initial": cql_tag_sentence_initial,
         "luceneql_docs_filter": luceneql_docs_filter,
         "contextql_contents_and_meta": contextql_contents_and_meta,
         "conllu_pos_given": conllu_pos_given,
@@ -1932,6 +1958,7 @@ FROM topk
         "cql_tag_attr": _tag_attr_sql("ne", "type", "doc"),
         "cql_tag_within_sentence": _tag_within_sql("visa", "application",
                                                    "s"),
+        "cql_tag_sentence_initial": _tag_edge_sql("the", "s"),
         "luceneql_docs_filter": f"""
 WITH {micro_cte()}
 SELECT conv_id, turn_idx FROM tdocs

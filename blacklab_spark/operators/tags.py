@@ -127,17 +127,32 @@ def attr_value(attrs: Column | str, key: str) -> Column:
 
 def tag_hits(index, name: str, attr_key: str | None = None,
              attr_val: str | None = None,
-             spans: DataFrame | None = None) -> DataFrame:
+             spans: DataFrame | None = None,
+             adjust: str = "full",
+             attr_range: tuple | None = None) -> DataFrame:
     """Hits = stored spans of ``<name/>`` (optionally filtered on one
     attribute value) — the SpanQueryTags.java:30 leaf. Reads only the
     (small) ``_spans`` artifact; the tag filter pushes into its
     parquet scan. Pass ``spans`` to probe an already doc-id-pruned
-    scan (the `within <tag/>` executor pushes the producer's docs)."""
+    scan (the `within <tag/>` executor pushes the producer's docs).
+    ``adjust`` = ``full`` | ``lead`` | ``trail`` (TextPatternTags.
+    Adjust: ``<s>``/``</s>`` are the zero-width tag edges);
+    ``attr_range`` = (key, min, max) integer attribute test
+    (MatchValue.intRange)."""
     sp = (index.doc_spans if spans is None else spans) \
         .filter(F.col("tag") == name)
     if attr_key is not None:
         sp = sp.filter(attr_value(F.col("attrs"), attr_key)
                        == (attr_val or ""))
+    if attr_range is not None:
+        k, lo, hi = attr_range
+        sp = sp.filter(attr_value(F.col("attrs"), k).cast("int")
+                       .between(lo, hi))
+    if adjust == "lead":
+        return sp.select("doc_id", "start",
+                         F.col("start").alias("end"))
+    if adjust == "trail":
+        return sp.select("doc_id", F.col("end").alias("start"), "end")
     return sp.select("doc_id", "start", "end")
 
 

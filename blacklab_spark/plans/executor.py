@@ -334,7 +334,8 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                         F.col("n_tokens").cast("int").alias("end")))
     if isinstance(p, Q.Tag):
         from blacklab_spark.operators.tags import tag_hits
-        return tag_hits(index, p.name, p.attr_key, p.attr_val)
+        return tag_hits(index, p.name, p.attr_key, p.attr_val,
+                        adjust=p.adjust, attr_range=p.attr_range)
     if isinstance(p, Q.Seq):
         if any(_has_capture(c) for c in p.clauses):
             arith = _seq_captures_arithmetic(index, p.clauses)
@@ -387,7 +388,9 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             from blacklab_spark.operators.tags import tag_hits
             pruned = push_hit_docs(prod, index.doc_spans)
             filt = tag_hits(index, p.filter.name, p.filter.attr_key,
-                            p.filter.attr_val, spans=pruned)
+                            p.filter.attr_val, spans=pruned,
+                            adjust=p.filter.adjust,
+                            attr_range=p.filter.attr_range)
         else:
             filt = _exec(index, p.filter)
         if p.operation == "within":

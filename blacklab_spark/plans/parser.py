@@ -40,12 +40,14 @@ from blacklab_spark.plans.query import (And, AnyToken, Capture, CAnnot,
 _TOKEN_RE = re.compile(r"""
     \s*(
         @[A-Za-z_][A-Za-z0-9_]*=[^\s]+ |  # @key=value settings
-        "(?:[^"\\]|\\.)*"          |  # double-quoted
-        '(?:[^'\\]|\\.)*'          |  # single-quoted
+        l?"(?:[^"\\]|\\.)*"        |  # double-quoted (l = literal)
+        l?'(?:[^'\\]|\\.)*'        |  # single-quoted
         \[\s*\]                    |  # []
         \[(?:[^\]"]|"[^"]*")*\]    |  # [annot="..."] / boolean bracket expr
         <turn/>                    |
         <[A-Za-z][A-Za-z0-9_-]*(?:\s[^>]*)?/> |  # inline tag <s/> <ne k="v"/>
+        </[A-Za-z][A-Za-z0-9_-]*>  |  # trailing tag edge </s>
+        <[A-Za-z][A-Za-z0-9_-]*(?:\s[^>]*?)?> |  # leading tag edge <s>
 
         \{\s*\d*\s*(?:,\s*\d*\s*)?\} |  # {m}, {m,}, {m,n}, {,n}
         ~\d+                       |  # fuzzy postfix "word"~edits
@@ -128,14 +130,16 @@ _SENS_LAYER = {(False, False): "word", (True, False): "word_di",
                (False, True): "word_ci", (True, True): "word_s"}
 
 
-def _sens_layer(flags: str) -> str:
-    """``%c``-style sensitivity flags (grammar cql.jj:108 FLAGS token,
-    :571/:639 — the reference currently LEXES these and discards
-    them; here they select the matching sensitivity layer, which the
-    index materializes for all four MatchSensitivity variants):
-    c/C = case sensitive/insensitive, d/D = diacritics, last flag of
-    a dimension wins, default insensitive."""
-    case_s = diac_s = False
+def _sens_layer(flags: str) -> tuple[str, bool]:
+    """``%c``-style sensitivity flags (grammar cql.jj:108 FLAGS token
+    ``[cCdDlL]+`` — the reference lexes c/C/d/D and discards them;
+    here they select the matching sensitivity layer, which the index
+    materializes for all four MatchSensitivity variants): c/C = case
+    sensitive/insensitive, d/D = diacritics, l/L = treat the value as
+    a literal string / as a regex (getStringBetweenQuotes's ``l``
+    prefix as a flag). Last flag of a dimension wins; default
+    insensitive, regex-interpreted. → (layer, literal)."""
+    case_s = diac_s = literal = False
     for ch in flags:
         if ch == "c":
             case_s = True
@@ -145,20 +149,31 @@ def _sens_layer(flags: str) -> str:
             diac_s = True
         elif ch == "D":
             diac_s = False
+        elif ch == "l":
+            literal = True
+        elif ch == "L":
+            literal = False
         else:
             raise ParseError(
-                f"unsupported sensitivity flag {ch!r} (use c/C/d/D)")
-    return _SENS_LAYER[(case_s, diac_s)]
+                f"unsupported sensitivity flag {ch!r} (use c/C/d/D/l/L)")
+    return _SENS_LAYER[(case_s, diac_s)], literal
 
 
-def _word_pattern_sens(text: str, layer: str) -> Pattern:
+def _word_pattern_sens(text: str, layer: str,
+                       literal: bool = False) -> Pattern:
     """Word-layer value desensitized for the CHOSEN sensitivity layer
-    (flags path): the value folds exactly like the layer's tokens."""
-    if layer == "word":
+    (flags path): the value folds exactly like the layer's tokens.
+    ``literal`` (the ``l"..."`` prefix, CorpusQueryLanguageParser.
+    getStringBetweenQuotes:70-83) suppresses regex interpretation —
+    metacharacters match themselves."""
+    if layer == "word" and not literal:
         return _word_pattern(text)
-    if _META.search(text):
+    if not literal and _META.search(text):
         return Regex(text, layer)
-    if layer == "word_ci":
+    if layer == "word":
+        from blacklab_spark.tokenizer import py_fold_insensitive
+        text = py_fold_insensitive(text)
+    elif layer == "word_ci":
         text = text.lower()
     elif layer == "word_di":
         from blacklab_spark.tokenizer import py_fold_diacritics
@@ -166,32 +181,75 @@ def _word_pattern_sens(text: str, layer: str) -> Pattern:
     return Term(text, layer)
 
 
-def _attr_leaf(layer: str, val: str) -> Pattern:
+_TAG_ATTR = re.compile(
+    r'([A-Za-z_][A-Za-z0-9_-]*)\s*=\s*'
+    r'(?:"([^"]*)"|in\s*\[\s*(\d+)\s*,\s*(\d+)\s*\])')
+
+
+def _parse_tag(t: str) -> Pattern:
+    """One tag leaf in its three grammar forms (cql.jj:359-371
+    tag()): ``<s/>`` full span, ``<s>`` leading edge, ``</s>``
+    trailing edge; attributes ``key="val"`` (exact) or
+    ``key=in[min,max]`` (integer range, cql.jj:401)."""
+    m = re.match(r'^</([A-Za-z][A-Za-z0-9_-]*)>$', t)
+    if m:
+        return Tag(m.group(1), adjust="trail")
+    m = re.match(r'^<([A-Za-z][A-Za-z0-9_-]*)([^>]*?)(/?)>$', t)
+    if not m:
+        raise ParseError(f"malformed tag leaf: {t!r}")
+    name, attrs_s, self_close = m.groups()
+    adjust = "full" if self_close else "lead"
+    attr_key = attr_val = attr_range = None
+    pos = 0
+    for am in _TAG_ATTR.finditer(attrs_s):
+        if attrs_s[pos:am.start()].strip():
+            raise ParseError(f"malformed tag attributes: {t!r}")
+        pos = am.end()
+        if am.group(2) is not None:
+            if attr_key is not None:
+                raise ParseError(
+                    "at most one exact attribute test per tag leaf")
+            attr_key, attr_val = am.group(1), am.group(2)
+        else:
+            if attr_range is not None:
+                raise ParseError(
+                    "at most one range attribute test per tag leaf")
+            attr_range = (am.group(1), int(am.group(3)),
+                          int(am.group(4)))
+    if attrs_s[pos:].strip():
+        raise ParseError(f"malformed tag attributes: {t!r}")
+    return Tag(name, attr_key, attr_val, adjust, attr_range)
+
+
+def _attr_leaf(layer: str, val: str, literal: bool = False) -> Pattern:
     """One annotation test inside a token bracket (cql.jj:631
-    attValuePair)."""
+    attValuePair). ``literal`` = the ``l"..."`` value prefix."""
     if layer == "word":
-        return _word_pattern(val)
+        return _word_pattern_sens(val, "word", literal) if literal \
+            else _word_pattern(val)
     # ci/di sensitivity pseudo-layers desensitize the value exactly
     # like their token column (MatchSensitivity.java):
     # [word_ci="Café"] probes lower(tokens_s) with "café".
+    as_term = literal or not _META.search(val)
     if layer == "word_ci":
-        val = val.lower() if not _META.search(val) else val
+        val = val.lower() if as_term else val
     elif layer == "word_di":
         from blacklab_spark.tokenizer import py_fold_diacritics
-        if not _META.search(val):
+        if as_term:
             val = py_fold_diacritics(val)
     # non-word annotation layer ([pos="..."]): values are
     # layer-literal (no folding)
-    return Regex(val, layer) if _META.search(val) else Term(val, layer)
+    return Term(val, layer) if as_term else Regex(val, layer)
 
 
 _BRACKET_TOKEN = re.compile(r"""
     \s*(
-        [A-Za-z_][A-Za-z0-9_]*\s*!?=\s*"[^"]*"(?:%[A-Za-z]+)? |
-        \(|\)|&|\||!                  # annot =/!= "value" [%flags]
+        [A-Za-z_][A-Za-z0-9_]*\s*!?=\s*l?"[^"]*"(?:%[A-Za-z]+)? |
+        \(|\)|&|\||!           # annot =/!= [l]"value" [%flags]
     )""", re.VERBOSE)
 _BRACKET_TEST = re.compile(
-    r'^([A-Za-z_][A-Za-z0-9_]*)\s*(!?=)\s*"([^"]*)"(?:%([A-Za-z]+))?$')
+    r'^([A-Za-z_][A-Za-z0-9_]*)\s*(!?=)\s*(l?)"([^"]*)"'
+    r'(?:%([A-Za-z]+))?$')
 
 
 def _parse_bracket(inner: str) -> Pattern:
@@ -227,15 +285,21 @@ def _parse_bracket(inner: str) -> Pattern:
         m = _BRACKET_TEST.match(t)
         if not m:
             raise ParseError(f"expected annot=\"value\" test, got {t!r}")
-        if m.group(4):                    # [word="Foo"%c]
-            if m.group(1) != "word":
+        lit = bool(m.group(3))            # [word=l"a.b"]
+        if m.group(5):                    # [word="Foo"%c]
+            layer, flit = _sens_layer(m.group(5))
+            if layer != "word" and m.group(1) != "word":
                 raise ParseError(
                     "sensitivity flags apply to the 'word' "
                     f"annotation, not {m.group(1)!r}")
-            leaf = _word_pattern_sens(m.group(3),
-                                      _sens_layer(m.group(4)))
+            if m.group(1) == "word":
+                leaf = _word_pattern_sens(m.group(4), layer,
+                                          lit or flit)
+            else:
+                leaf = _attr_leaf(m.group(1), m.group(4),
+                                  lit or flit)
         else:
-            leaf = _attr_leaf(m.group(1), m.group(3))
+            leaf = _attr_leaf(m.group(1), m.group(4), lit)
         return Not(leaf) if m.group(2) == "!=" else leaf
 
     def and_() -> Pattern:
@@ -514,33 +578,31 @@ class _Parser:
 
     def atom(self) -> Pattern:
         t = self.next()
-        if t.startswith('"') or t.startswith("'"):
+        if t.startswith(('"', "'", 'l"', "l'")):
+            literal = t.startswith("l")   # l"..." literal string
+            if literal:
+                t = t[1:]
             body = t[1:-1]
             layer = "word"
             nxt = self.peek()
             mfl = _FLAGS_RE.match(nxt) if nxt else None
             if mfl:                       # "Foo"%c sensitivity flags
                 self.next()
-                layer = _sens_layer(mfl.group(1))
+                layer, flit = _sens_layer(mfl.group(1))
+                literal = literal or flit
             words = body.split()
             if len(words) > 1:            # "very good" → phrase
-                return Seq(*[_word_pattern_sens(w, layer)
+                return Seq(*[_word_pattern_sens(w, layer, literal)
                              for w in words])
-            return _word_pattern_sens(body, layer)
+            return _word_pattern_sens(body, layer, literal)
         if t == "[]":
             return AnyToken(1, 1)
         if t.startswith("[") and "=" in t:
             return _parse_bracket(t[1:-1])
         if t == "<turn/>":
             return Turn()
-        if t.startswith("<") and t.endswith("/>"):
-            m = re.match(
-                r'^<([A-Za-z][A-Za-z0-9_-]*)'
-                r'(?:\s+([A-Za-z_][A-Za-z0-9_-]*)\s*=\s*"([^"]*)")?'
-                r'\s*/>$', t)
-            if not m:
-                raise ParseError(f"malformed tag leaf: {t!r}")
-            return Tag(m.group(1), m.group(2), m.group(3))
+        if t.startswith("<") and t.endswith(">"):
+            return _parse_tag(t)
         if t == "(":
             node = self.query()
             if self.next() != ")":

@@ -333,12 +333,19 @@ class Turn(Pattern):
 class Tag(Pattern):
     """Stored inline-tag span ``<name/>`` / ``<name key="val"/>`` —
     the reference's tags annotation leaf (SpanQueryTags.java:30,
-    TextPatternTags). Requires an index built with
-    ``BuildConfig(tags=True)``; composes with within/containing like
-    any span producer."""
+    TextPatternTags). ``adjust`` maps the grammar's three tag forms
+    (cql.jj:359-371 TextPatternTags.Adjust): ``full`` = ``<s/>``
+    whole span, ``lead`` = ``<s>`` zero-width leading edge,
+    ``trail`` = ``</s>`` zero-width trailing edge. ``attr_range`` =
+    the ``key=in[min,max]`` integer-range attribute test
+    (cql.jj:401-412 MatchValue.intRange). Requires an index built
+    with ``BuildConfig(tags=True)``; composes with within/containing
+    like any span producer."""
     name: str
     attr_key: str | None = None
     attr_val: str | None = None
+    adjust: str = "full"
+    attr_range: tuple | None = None       # (key, min, max)
 
 
 def _b(v: int | None) -> str:
@@ -419,5 +426,11 @@ def pattern_str(p: Pattern) -> str:
         return "<turn/>"
     if isinstance(p, Tag):
         attr = f' {p.attr_key}="{p.attr_val}"' if p.attr_key else ""
-        return f"<{p.name}{attr}/>"
+        if p.attr_range:
+            k, lo, hi = p.attr_range
+            attr += f" {k}=in[{lo},{hi}]"
+        if p.adjust == "trail":
+            return f"</{p.name}>"
+        return f"<{p.name}{attr}" + ("/>" if p.adjust == "full"
+                                     else ">")
     return repr(p)

@@ -190,3 +190,54 @@ def test_server_contents_serves_original_markup(tagged_engine_idx):
     assert body == r["text_raw"]
     # the markup really is markup (stripped form differs)
     assert "<" in body or body == r["text"]
+
+
+def test_tag_edge_forms(tagged_engine_idx):
+    """<s> / </s> zero-width tag edges (cql.jj tag() Adjust.LEADING_
+    EDGE / TRAILING_EDGE): sequencing an edge with a token yields the
+    sentence-initial / sentence-final token."""
+    eng = tagged_engine_idx
+    spans = {(r["doc_id"], r["start"], r["end"])
+             for r in eng.index.doc_spans
+             .filter(F.col("tag") == "s").collect()}
+    assert spans
+    # zero-width leaves themselves
+    lead = {(r["doc_id"], r["start"], r["end"])
+            for r in eng.find("<s>").collect()}
+    assert lead == {(d, s, s) for d, s, _ in spans}
+    trail = {(r["doc_id"], r["start"], r["end"])
+             for r in eng.find("</s>").collect()}
+    assert trail == {(d, e, e) for d, _, e in spans}
+    # sentence-initial / sentence-final token via sequencing
+    first = {(r["doc_id"], r["start"], r["end"])
+             for r in eng.find("<s> []").collect()}
+    assert first == {(d, s, s + 1) for d, s, e in spans if e > s}
+    last = {(r["doc_id"], r["start"], r["end"])
+            for r in eng.find("[] </s>").collect()}
+    assert last == {(d, e - 1, e) for d, s, e in spans if e > s}
+    # sentence-initial "the" is a strict subset
+    the_first = eng.find('<s> "the"').count()
+    assert 0 < the_first < eng.find('"the"').count()
+
+
+def test_tag_attr_int_range(spark, tmp_path_factory):
+    """key=in[min,max] integer-range attribute test (cql.jj:401
+    inIntegerRange → MatchValue.intRange)."""
+    import datetime
+    out = str(tmp_path_factory.mktemp("idx") / "ranged")
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("r1", 0, "user", '<chunk n="3">a b c</chunk> <chunk n="7">d e</chunk>', None, ts),
+        ("r1", 1, "user", '<chunk n="2">f</chunk> plain tail', None, ts),
+    ]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    cfg = BuildConfig(block_size=8, bucket_size=16, num_partitions=1,
+                      tags=True)
+    build_index(spark, df, out, cfg)
+    eng = SearchEngine.open(spark, out)
+    got = {(r["doc_id"], r["start"], r["end"])
+           for r in eng.find("<chunk n=in[2,5]/>").collect()}
+    assert got == {(0, 0, 3), (1, 0, 1)}
+    # combined exact + range attrs must both hold
+    assert eng.find('<chunk n="7" n=in[2,5]/>').count() == 0
+    assert eng.find('<chunk n="7" n=in[5,9]/>').count() == 1
