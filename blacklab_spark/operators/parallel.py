@@ -41,6 +41,12 @@ from blacklab_spark.index import InvertedIndex
 
 _EDGE_COLS = ("al_src_start", "al_src_end", "al_tgt_start", "al_tgt_end")
 
+#: relation type of the derived alignment layer — the reference tags
+#: alignment relations with a type the ``=type=>`` operator's regex
+#: filters on (RelationOperatorInfo.typeRegex); the derived layer
+#: carries this single type.
+ALIGN_REL_TYPE = "align"
+
 
 def tokens_other_field(tokens_col: Column | str) -> Column:
     """Derive the field-b token array from the source (insensitive)

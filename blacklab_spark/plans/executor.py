@@ -568,15 +568,40 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         # source ==> target: the target leaf runs against FIELD B's
         # token layer (SpansOverrideField analog), then the alignment
         # join pairs it with source hits (operators/parallel.py).
+        import re as _re
+
         from blacklab_spark.operators.hits import push_hit_docs
-        from blacklab_spark.operators.parallel import (cross_field_matches,
+        from blacklab_spark.operators.parallel import (ALIGN_REL_TYPE,
+                                                       cross_field_matches,
                                                        term_hits_field_b)
+        if p.target_version not in (None, "b"):
+            raise ValueError(
+                f"unknown parallel field version {p.target_version!r} "
+                "(this index derives the single target version 'b')")
         src = _exec(index, p.source).select("doc_id", "start", "end")
-        # one pruned doc_meta scan feeds both the field-b probe and
-        # the alignment-edge derivation (push_hit_docs anchor pattern)
-        dm = push_hit_docs(src, index.doc_meta)
-        tgt = term_hits_field_b(index, _field_b_predicate(p.target), dm=dm)
-        return cross_field_matches(index, src, tgt, dm=dm)
+        if p.rel_type is not None and \
+                not _re.fullmatch(p.rel_type, ALIGN_REL_TYPE):
+            # type regex excludes the alignment layer's relation type
+            inner = S.no_hits(index).withColumns(
+                {"b_start": F.lit(None).cast("int"),
+                 "b_end": F.lit(None).cast("int")})
+        else:
+            # one pruned doc_meta scan feeds both the field-b probe
+            # and the alignment-edge derivation (push_hit_docs anchor)
+            dm = push_hit_docs(src, index.doc_meta)
+            tgt = term_hits_field_b(index, _field_b_predicate(p.target),
+                                    dm=dm)
+            inner = cross_field_matches(index, src, tgt, dm=dm)
+        if p.optional:
+            # '?' optionalMatch: keep source hits with no aligned
+            # target match, null target span (RelationOperatorInfo:50)
+            unmatched = (src.join(
+                inner.select("doc_id", "start", "end"),
+                ["doc_id", "start", "end"], "left_anti")
+                .withColumns({"b_start": F.lit(None).cast("int"),
+                              "b_end": F.lit(None).cast("int")}))
+            return inner.unionByName(unmatched)
+        return inner
     raise ValueError(f"unsupported pattern node: {p!r}")
 
 

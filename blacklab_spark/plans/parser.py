@@ -51,7 +51,8 @@ _TOKEN_RE = re.compile(r"""
 
         \{\s*\d*\s*(?:,\s*\d*\s*)?\} |  # {m}, {m,}, {m,n}, {,n}
         ~\d+                       |  # fuzzy postfix "word"~edits
-        ==>                        |  # cross-field alignment operator
+        =(?:[A-Za-z_][A-Za-z0-9_.*|?-]*)?=>[A-Za-z0-9_-]*\??
+                                   |  # alignment op =type=>version?
         ::                         |  # global-constraint separator
         [A-Za-z_][A-Za-z0-9_]*:\(  |  # capture open (parenthesized)
         [A-Za-z_][A-Za-z0-9_]*:    |  # capture of the next atom
@@ -344,6 +345,10 @@ class _Parser:
     # like -det|obj->; reference BCQL relation operator, matched as a
     # RegexpQuery over relation types)
     _REL_OP = re.compile(r"^-([A-Za-z_][A-Za-z0-9_.*|?]*)->$")
+    # ALIGNMENT_OP (cql.jj:104): =type=>targetversion with optional
+    # trailing '?' (optionalMatch)
+    _ALIGN_OP = re.compile(
+        r"^=([A-Za-z_][A-Za-z0-9_.*|?-]*)?=>([A-Za-z0-9_-]*)(\?)?$")
     # root-relation prefix operator ^--> / ^-type-> (cql.jj:102
     # ROOT_DEP_OP, rootRelationType production)
     _ROOT_OP = re.compile(r"^\^-([A-Za-z_][A-Za-z0-9_.*|?]*)?->$")
@@ -421,12 +426,16 @@ class _Parser:
                                 negate=b.negate, label=b.label)
             else:
                 left = RelMulti(left, tuple(branches))
-        elif t == "==>":
-            # source ==> target: cross-field alignment (reference BCQL
-            # parallel-corpora operator; target clause runs against
-            # field b's annotations). Top-level only, like RelMatch.
-            self.next()
-            left = CrossField(left, self.posfiltered())
+        elif t is not None and self._ALIGN_OP.match(t):
+            # source =type=>version? target: cross-field alignment
+            # (reference BCQL parallel-corpora operator; target
+            # clause runs against field b's annotations). Top-level
+            # only, like RelMatch.
+            ma = self._ALIGN_OP.match(self.next())
+            left = CrossField(left, self.posfiltered(),
+                              rel_type=ma.group(1) or None,
+                              target_version=ma.group(2) or None,
+                              optional=bool(ma.group(3)))
         if self.peek() == "::":
             self.next()
             left = Constrained(left, self.constraint())
@@ -515,7 +524,8 @@ class _Parser:
         clauses = [self.unary()]
         while self.peek() is not None and self.peek() not in (
                 ")", ",", ";", "within", "containing", "overlap",
-                "|", "&", "::", "==>") \
+                "|", "&", "::") \
+                and not self._ALIGN_OP.match(self.peek()) \
                 and not self._REL_OP.match(self.peek()) \
                 and not (self.peek() == "!" and self.peek_ahead(1)
                          and self._REL_OP.match(self.peek_ahead(1))) \

@@ -311,16 +311,27 @@ class Force(Pattern):         # _FI1(q) / _FI2(q) / _ident(q)
 
 
 @dataclass(frozen=True)
-class CrossField(Pattern):    # source ==> target
+class CrossField(Pattern):    # source =type=>version? target
     """Cross-field alignment operator ``source ==> target`` (reference
     BCQL parallel-corpora syntax; SpanQueryCaptureRelationsBetween-
     Spans.java:32 with cross-field relations): source-field hits whose
     aligned field-b span matches the target clause, which is evaluated
     against field b's annotations (SpansOverrideField analog). Target
     is a word-layer term/regex/any-token leaf in v1. Top-level only,
-    like RelMatch."""
+    like RelMatch.
+
+    Full ALIGNMENT_OP form (cql.jj:104, RelationOperatorInfo.
+    fromOperator): ``rel_type`` = the ``=type=>`` relation-type regex
+    (the derived alignment layer carries the single type ``align``);
+    ``target_version`` = the ``==>name`` parallel-field name (``b`` is
+    the one derived target version); ``optional`` = trailing ``?`` —
+    source hits are kept even without an aligned target match
+    (optionalMatch, null target span)."""
     source: Pattern
     target: Pattern
+    rel_type: str | None = None
+    target_version: str | None = None
+    optional: bool = False
 
 
 @dataclass(frozen=True)
@@ -420,7 +431,9 @@ def pattern_str(p: Pattern) -> str:
         return (f"rcapture({pattern_str(p.clause)}, {p.capture_as}"
                 f"{', ' + p.rel_type if p.rel_type else ''})")
     if isinstance(p, CrossField):
-        return (f"CROSSFIELD({pattern_str(p.source)} ==> "
+        op = (f"={p.rel_type or ''}=>"
+              f"{p.target_version or ''}{'?' if p.optional else ''}")
+        return (f"CROSSFIELD({pattern_str(p.source)} {op} "
                 f"{pattern_str(p.target)})")
     if isinstance(p, Turn):
         return "<turn/>"

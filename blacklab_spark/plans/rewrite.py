@@ -93,7 +93,8 @@ def _map_children(p: Pattern, fn) -> Pattern:
         # rewrite the source only: the target leaf is interpreted
         # against field b (an any-token elimination or regex→term
         # rewrite is still valid there, but expansions are not)
-        return CrossField(fn(p.source), p.target)
+        return CrossField(fn(p.source), p.target, p.rel_type,
+                          p.target_version, p.optional)
     return p
 
 

@@ -147,3 +147,40 @@ def test_engine_facade_cross_field(tiny_engine):
     out = tiny_engine.cross_field('"visa"', lambda t: t.contains("visa"))
     # every 'visa' source hit is aligned to a b-token containing it
     assert out.count() == tiny_engine.find('"visa"').count()
+
+
+def test_alignment_op_full_form(tiny_engine):
+    """Full ALIGNMENT_OP grammar (cql.jj:104, RelationOperatorInfo.
+    fromOperator): =type=> regex filters the alignment layer's
+    relation type, ==>name selects the target version, trailing ?
+    keeps unmatched source hits (optionalMatch)."""
+    eng = tiny_engine
+    base = {tuple(r) for r in
+            eng.find('"visa" ==> []').collect()}
+    assert base
+    # type regex matching the derived layer's single type ≡ untyped
+    assert {tuple(r) for r in
+            eng.find('"visa" =align=> []').collect()} == base
+    assert {tuple(r) for r in
+            eng.find('"visa" =al.*=> []').collect()} == base
+    # explicit target version 'b' ≡ default; unknown version raises
+    assert {tuple(r) for r in
+            eng.find('"visa" ==>b []').collect()} == base
+    with pytest.raises(ValueError, match="parallel field version"):
+        eng.find('"visa" ==>nl []').count()
+    # non-matching type regex: no alignment relations of that type
+    assert eng.find('"visa" =dep=> []').count() == 0
+    # optionalMatch: every source hit survives; unmatched rows carry
+    # a null target span
+    src = {(r["doc_id"], r["start"], r["end"])
+           for r in eng.find('"visa"').collect()}
+    opt = eng.find('"visa" =dep=>? []').collect()
+    assert {(r["doc_id"], r["start"], r["end"]) for r in opt} == src
+    assert all(r["b_start"] is None for r in opt)
+    # with a real target the optional result is inner ∪ unmatched
+    optb = eng.find('"visa" ==>? "visa_gi"').collect()
+    inner = {tuple(r) for r in
+             eng.find('"visa" ==> "visa_gi"').collect()}
+    got_inner = {tuple(r) for r in optb if r["b_start"] is not None}
+    assert got_inner == inner
+    assert {(r["doc_id"], r["start"], r["end"]) for r in optb} == src
