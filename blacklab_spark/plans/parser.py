@@ -344,14 +344,29 @@ class _Parser:
     # relation operator token: -type-> (type may be a regex alternation
     # like -det|obj->; reference BCQL relation operator, matched as a
     # RegexpQuery over relation types)
-    _REL_OP = re.compile(r"^-([A-Za-z_][A-Za-z0-9_.*|?]*)->$")
+    _REL_OP = re.compile(
+        r"^-([A-Za-z_][A-Za-z0-9_.*|?]*)->([A-Za-z0-9_-]*)$")
     # ALIGNMENT_OP (cql.jj:104): =type=>targetversion with optional
     # trailing '?' (optionalMatch)
     _ALIGN_OP = re.compile(
         r"^=([A-Za-z_][A-Za-z0-9_.*|?-]*)?=>([A-Za-z0-9_-]*)(\?)?$")
     # root-relation prefix operator ^--> / ^-type-> (cql.jj:102
     # ROOT_DEP_OP, rootRelationType production)
-    _ROOT_OP = re.compile(r"^\^-([A-Za-z_][A-Za-z0-9_.*|?]*)?->$")
+    _ROOT_OP = re.compile(
+        r"^\^-([A-Za-z_][A-Za-z0-9_.*|?]*)?->([A-Za-z0-9_-]*)$")
+
+    @staticmethod
+    def _rel_type(m) -> str:
+        """Relation type of a matched [ROOT_]DEP_OP; the grammar
+        allows a target-version suffix (cql.jj:102-103, parallel
+        corpora) which this single-field relation layer rejects
+        honestly instead of mis-lexing it."""
+        if m.group(2):
+            raise ParseError(
+                f"cross-field relation target {m.group(2)!r} not "
+                "supported: the relation layer is single-field "
+                "(use the ==> alignment operator for field b)")
+        return m.group(1)
     # capture label before a relation operator: 'label: -type-> tgt'
     # (cql.jj:308 childRelation / :335 rootRelationType captureLabel)
     _CAP_TOK = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*:$")
@@ -381,7 +396,7 @@ class _Parser:
         mroot = self._ROOT_OP.match(t0) if t0 else None
         if mroot:
             self.next()
-            return RootRel(mroot.group(1), self.posfiltered(),
+            return RootRel(self._rel_type(mroot), self.posfiltered(),
                            label=root_label)
         left = self.posfiltered()
         label = self._rel_label()
@@ -399,7 +414,7 @@ class _Parser:
             self.next()
             if mneg:
                 self.next()
-            branches = [RelBranch((m or mneg).group(1),
+            branches = [RelBranch(self._rel_type(m or mneg),
                                   self.posfiltered(), bool(mneg),
                                   label)]
             while self.peek() == ";":
@@ -417,7 +432,7 @@ class _Parser:
                 self.next()
                 if mneg2:
                     self.next()
-                branches.append(RelBranch((m2 or mneg2).group(1),
+                branches.append(RelBranch(self._rel_type(m2 or mneg2),
                                           self.posfiltered(),
                                           bool(mneg2), label2))
             if len(branches) == 1:

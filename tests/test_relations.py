@@ -430,3 +430,11 @@ def test_relmulti_pushes_source_docs_into_scan(tiny_engine):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # 1-element IN-lists fold to EqualTo — accept either shape
     assert "In(doc_id" in plan or "EqualTo(doc_id" in plan
+
+
+def test_rel_op_version_suffix_rejected(tiny_engine):
+    """-type->version (cql.jj:103 target-version suffix, parallel
+    corpora) must fail loudly, not mis-lex as a bare word."""
+    from blacklab_spark.plans.parser import ParseError
+    with pytest.raises(ParseError, match="cross-field relation"):
+        tiny_engine.find('[pos="func"] -det->nl [pos="noun"]')
