@@ -518,8 +518,29 @@ class BlsApp:
                            f"unknown doc sort key {sortp!r}")
         return d.orderBy(col.desc() if desc else col.asc(), "doc_id")
 
+    def _viewgroup_ids(self, group: str, viewgroup: str):
+        """doc_id frame of ONE doc group (BLS viewgroup= on grouped
+        /docs): the same concatenated field key doc_groups used."""
+        fields = [g[len("field:"):] if g.startswith("field:") else g
+                  for g in group.split(",")]
+        dm = self.engine.index.doc_meta
+        bad = [f for f in fields if f not in dm.columns]
+        if bad:
+            raise BlsError(400, "UNKNOWN_GROUP_PROPERTY",
+                           f"unknown doc field(s) {bad}")
+        key = F.concat_ws(":", *[F.col(f).cast("string")
+                                 for f in fields])
+        return dm.filter(key == viewgroup).select("doc_id")
+
     def docs(self, params: dict) -> dict:
-        if self._str(params, "group"):
+        group = self._str(params, "group")
+        viewgroup = self._str(params, "viewgroup")
+        vg = None
+        if group and viewgroup is not None:
+            # narrow the doc set to one group BEFORE sort/window —
+            # paging stays correct and the filter stays a semi-join
+            vg = self._viewgroup_ids(group, viewgroup)
+        elif group:
             return self.doc_groups(params)
         first = self._int(params, "first", 0)
         number = self._int(params, "number", DEFAULT_PAGE_SIZE)
@@ -528,6 +549,8 @@ class BlsApp:
             hits = self._find(params)
             from blacklab_spark.operators.hits import docs_from_hits
             d = docs_from_hits(self.engine.index, hits)
+            if vg is not None:
+                d = d.join(vg, "doc_id", "left_semi")
             rows = (self._doc_sorted(d, sortp, True)
                     .limit(first + number).collect()[first:])
             n = d.count()
@@ -540,6 +563,8 @@ class BlsApp:
             except ValueError as e:
                 raise BlsError(400, "FILTER_SYNTAX_ERROR",
                                str(e)) from None
+            if vg is not None:
+                d = d.join(vg, "doc_id", "left_semi")
             rows = (self._doc_sorted(d, sortp, False)
                     .limit(first + number).collect()[first:])
             n = d.count()

@@ -193,3 +193,15 @@ def test_docs_sort(wserver, tiny_engine):
     err = _json(wserver, "/blacklab-server/tiny/docs?sort=bogus",
                 expect=400)
     assert err["error"]["code"] == "UNKNOWN_SORT_PROPERTY"
+
+
+def test_docs_viewgroup(wserver, tiny_engine):
+    """viewgroup= on grouped /docs: one group's documents, paged."""
+    g = _json(wserver, "/blacklab-server/tiny/docs?group=field:role")
+    ident, size = (g["docGroups"][0]["identity"],
+                   g["docGroups"][0]["size"])
+    r = _json(wserver, "/blacklab-server/tiny/docs"
+              f"?group=field:role&viewgroup={ident}&number=10")
+    assert r["summary"]["numberOfDocs"] == size
+    assert 0 < len(r["docs"]) <= 10
+    assert all(i["role"] == ident for i in r["docInfos"].values())
