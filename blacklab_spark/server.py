@@ -128,7 +128,10 @@ class BlsApp:
         #: CreateIndex/AddToIndex/DeleteIndex need it; None = the
         #: server is read-only, write ops answer 403 — the reference's
         #: "only your own private indices" rule, with the configured
-        #: primary corpus playing the public-index role)
+        #: primary corpus playing the public-index role). Must be a
+        #: LOCAL path: index-version management uses os/shutil, like
+        #: the reference's user-index directory (the primary corpus
+        #: itself may live on any Hadoop-compatible filesystem).
         self.data_dir = data_dir
         #: corpus name → open SearchEngine (IndexManager registry)
         self._corpora: dict[str, SearchEngine] = {corpus: engine}
