@@ -120,6 +120,15 @@ def start_server(index: str, corpus: str = "corpus", port: int = 8080,
     return srv
 
 
+def _repl(args) -> int:
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.querytool import run_repl
+    from blacklab_spark.session import get_spark
+    spark = get_spark("blacklab-repl")
+    run_repl(SearchEngine.open(spark, args.index))
+    return 0
+
+
 def _serve(args) -> int:
     srv = start_server(args.index, args.corpus, args.port,
                        args.cache_size, args.data_dir)
@@ -198,6 +207,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="writable root for API-created indexes "
                         "(enables create/add/delete over HTTP)")
     s.set_defaults(fn=_serve)
+
+    r = sub.add_parser("repl",
+                       help="interactive query REPL (the reference's "
+                            "QueryTool, querytool.py)")
+    r.add_argument("--index", required=True)
+    r.set_defaults(fn=_repl)
 
     args = p.parse_args(argv)
     return args.fn(args)

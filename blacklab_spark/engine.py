@@ -244,12 +244,15 @@ class SearchEngine:
 
     # -- CQL-lite (parse → rewrite → span algebra) ----------------------
     def find(self, cql: str, role=None, tool=None, conv_id=None,
-             where=None, filter=None) -> DataFrame:
+             where=None, filter=None,
+             sensitivity: str | None = None) -> DataFrame:
         """CQL-lite query → hits frame (BlackLabIndex.find analog,
         reference: search/BlackLabIndex.java:180-201). ``filter`` is
-        the server's Lucene-classic metadata filter (patt + filter)."""
+        the server's Lucene-classic metadata filter (patt + filter);
+        ``sensitivity`` the default word layer for bare values
+        (setDefaultMatchSensitivity analog)."""
         from blacklab_spark.plans.executor import find as _find
-        hits = _find(self.index, cql)
+        hits = _find(self.index, cql, sensitivity)
         filt = self._doc_filter(role, tool, conv_id, where, filter)
         if filt is not None:
             from blacklab_spark.operators.spans import filter_by_docs

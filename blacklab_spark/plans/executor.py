@@ -637,14 +637,16 @@ def find_pattern(index: InvertedIndex, ast: Q.Pattern) -> DataFrame:
     return _exec(index, rewrite(ast))
 
 
-def find(index: InvertedIndex, cql: str) -> DataFrame:
+def find(index: InvertedIndex, cql: str,
+         sensitivity: str | None = None) -> DataFrame:
     """CQL-lite string → hits DataFrame (doc_id, start, end[, match_info]).
 
     Leading ``@key=value`` settings (TextPatternSettings.java:17) are
     honored: ``@max_hits=N`` caps the materialized hits (per-query
-    SearchSettings override)."""
+    SearchSettings override). ``sensitivity`` sets the session-default
+    word layer (index.setDefaultMatchSensitivity analog)."""
     from blacklab_spark.plans.parser import parse_with_settings
-    ast, settings = parse_with_settings(cql)
+    ast, settings = parse_with_settings(cql, sensitivity)
     hits = _exec(index, rewrite(ast))
     cap = settings.get("max_hits")
     if cap is not None:

@@ -111,13 +111,23 @@ def _fold_regex_literals(pat: str) -> str:
     return "".join(out)
 
 
+#: session default sensitivity layer for bare word values — the
+#: reference's index.setDefaultMatchSensitivity (QueryToolImpl
+#: 'sensitive' command); set per-parse via parse(..., sensitivity=).
+_DEFAULT_LAYER = "word"
+
+
 def _word_pattern(text: str) -> Pattern:
     """Word-layer value → desensitized pattern: the @i dictionary is
     lowercased AND accent-folded (tokenizer v2), so query terms fold
     the same way — 'Café' must match the stored term 'cafe' (reference
     desensitizes query terms identically, DesensitizeFilter). Regex
     patterns fold only their literal runs (escape sequences kept
-    verbatim — see _fold_regex_literals)."""
+    verbatim — see _fold_regex_literals). A non-default session
+    sensitivity (QueryTool 'sensitive' command) reroutes bare values
+    to the matching layer."""
+    if _DEFAULT_LAYER != "word":
+        return _word_pattern_sens(text, _DEFAULT_LAYER)
     from blacklab_spark.tokenizer import py_fold_insensitive
     if _META.search(text):
         return Regex(_fold_regex_literals(text))
@@ -754,11 +764,17 @@ class _Parser:
         return RSpan(clause, s_arg(1, what="a span mode"))
 
 
-def parse_with_settings(query: str) -> tuple[Pattern, dict]:
+def parse_with_settings(query: str,
+                        sensitivity: str | None = None
+                        ) -> tuple[Pattern, dict]:
     """Parse a CQL-lite query, consuming leading ``@key=value``
     settings tokens (reference: textpattern/TextPatternSettings.java:17
     — per-query SearchSettings passthrough). Values parse as int when
-    they look like one. Returns (pattern, settings dict)."""
+    they look like one. ``sensitivity`` overrides the default word
+    layer for bare values (index.setDefaultMatchSensitivity analog:
+    one of word/word_s/word_ci/word_di). Returns (pattern,
+    settings dict)."""
+    global _DEFAULT_LAYER
     toks = _lex(query)
     settings: dict = {}
     while toks and toks[0].startswith("@") and "=" in toks[0]:
@@ -766,13 +782,21 @@ def parse_with_settings(query: str) -> tuple[Pattern, dict]:
         settings[k] = int(v) if re.fullmatch(r"-?\d+", v) else v
     if not toks:
         raise ParseError("empty query")
-    p = _Parser(toks)
-    node = p.query()
-    if p.peek() is not None:
-        raise ParseError(f"trailing input: {p.toks[p.i:]}")
+    if sensitivity is not None and sensitivity not in (
+            "word", "word_s", "word_ci", "word_di"):
+        raise ParseError(f"unknown sensitivity layer {sensitivity!r}")
+    prev = _DEFAULT_LAYER
+    _DEFAULT_LAYER = sensitivity or "word"
+    try:
+        p = _Parser(toks)
+        node = p.query()
+        if p.peek() is not None:
+            raise ParseError(f"trailing input: {p.toks[p.i:]}")
+    finally:
+        _DEFAULT_LAYER = prev
     return node, settings
 
 
-def parse(query: str) -> Pattern:
+def parse(query: str, sensitivity: str | None = None) -> Pattern:
     """Parse a CQL-lite query string into a Pattern AST."""
-    return parse_with_settings(query)[0]
+    return parse_with_settings(query, sensitivity)[0]
