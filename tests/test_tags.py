@@ -241,3 +241,15 @@ def test_tag_attr_int_range(spark, tmp_path_factory):
     # combined exact + range attrs must both hold
     assert eng.find('<chunk n="7" n=in[2,5]/>').count() == 0
     assert eng.find('<chunk n="7" n=in[5,9]/>').count() == 1
+
+
+def test_tag_edge_seq_plan_reads_spans_and_postings_only(tagged_engine_idx):
+    """'<s> "the"' physical plan: the tag edge reads the _spans
+    artifact, the term reads posting blocks — doc_meta token arrays
+    are never scanned (the postings-leaf guarantee survives the
+    zero-width sequence join)."""
+    df = tagged_engine_idx.find('<s> "the"')
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_spans" in plan
+    assert "postings" in plan
+    assert "doc_meta" not in plan
