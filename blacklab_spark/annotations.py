@@ -37,6 +37,12 @@ ANNOTATION_COLUMNS = {
     "word_ci": "tokens_ci",  # lower(tokens_s): accent-sensitive
     "word_di": "tokens_di",  # fold(tokens_s): case-sensitive
     "pos": "tokens_pos",
+    # SUBANNOTATION (grammar annotName: name "/" subAnnot,
+    # cql.jj:643-654; indexed as annotation "pos/coarse" — the
+    # reference's subannotation naming, AnnotatedFieldNameUtil):
+    # a coarse view of the pos layer (fw = function word, cw =
+    # content word), derived from tokens_pos.
+    "pos/coarse": "tokens_pos_coarse",
     "lemma": "tokens_lemma",  # MULTI-VALUE: array of values per pos
 }
 
@@ -64,6 +70,18 @@ def tokens_pos(tokens_col: Column | str) -> Column:
     """Derive the pos layer from the insensitive token array."""
     col = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     return F.transform(col, pos_tag)
+
+
+def pos_coarse(tag: Column) -> Column:
+    """Coarse view of one pos tag — the pos/coarse subannotation:
+    'fw' (function word) vs 'cw' (content word)."""
+    return F.when(tag == "func", F.lit("fw")).otherwise(F.lit("cw"))
+
+
+def tokens_pos_coarse(pos_col: Column | str) -> Column:
+    """Derive the pos/coarse subannotation layer from the pos layer."""
+    col = F.col(pos_col) if isinstance(pos_col, str) else pos_col
+    return F.transform(col, pos_coarse)
 
 
 def lemma_stem(tok: Column) -> Column:
@@ -125,6 +143,13 @@ def with_token_layers(df, annotations: tuple = ()):
         derived["tokens_di"] = F.transform(tokens_s, fold_diacritics)
     if "pos" in (annotations or ()) and "tokens_pos" not in df.columns:
         derived["tokens_pos"] = tokens_pos(tokens_i)
+    # pos/coarse subannotation: derived from the pos layer whenever
+    # pos exists (stored or just derived), pruned unless probed
+    if "tokens_pos_coarse" not in df.columns:
+        pos_src = (F.col("tokens_pos") if "tokens_pos" in df.columns
+                   else derived.get("tokens_pos"))
+        if pos_src is not None:
+            derived["tokens_pos_coarse"] = tokens_pos_coarse(pos_src)
     # lemma is always derived (never stored), like ci/di: a transform
     # over the insensitive layer, pruned unless a query probes it —
     # so it is available on every index regardless of build-time
@@ -143,6 +168,11 @@ def py_pos_tag(tok: str) -> str:
     if tok.endswith("ing") or tok.endswith("ed"):
         return "verb"
     return "noun"
+
+
+def py_pos_coarse(tag: str) -> str:
+    """Pure-Python mirror of pos_coarse (oracle)."""
+    return "fw" if tag == "func" else "cw"
 
 
 def py_lemma_stem(tok: str) -> str:
@@ -167,6 +197,13 @@ def duckdb_lemma_stem(tok: str = "tok") -> str:
             f"AND {tok} NOT LIKE '%ss' "
             f"THEN substr({tok}, 1, len({tok}) - 1) "
             f"ELSE {tok} END")
+
+
+def duckdb_pos_coarse(ps: str) -> str:
+    """DuckDB list expression deriving pos/coarse from a pos-tag
+    array expression ``ps`` — identical rules."""
+    return (f"list_transform({ps}, t -> "
+            "CASE WHEN t = 'func' THEN 'fw' ELSE 'cw' END)")
 
 
 def duckdb_pos_tags(ts: str) -> str:

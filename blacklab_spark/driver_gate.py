@@ -565,6 +565,20 @@ FROM ppos WHERE tag = '{tag}'
 """
 
 
+def _subannotation_sql(coarse: str) -> str:
+    from blacklab_spark.annotations import (duckdb_pos_coarse,
+                                            duckdb_pos_tags)
+    return f"""
+WITH {_DOC_TOKS},
+posl AS (SELECT doc_id, {duckdb_pos_tags('ts')} AS ps FROM toks),
+coarsel AS (SELECT doc_id, {duckdb_pos_coarse('ps')} AS cs FROM posl),
+cpos AS (SELECT doc_id, unnest(cs) AS tag,
+                generate_subscripts(cs, 1) - 1 AS p FROM coarsel)
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM cpos WHERE tag = '{coarse}'
+"""
+
+
 def rel_adjacent_sql(tag_a: str, tag_b: str, start_off: int,
                      end_off: int, target_word: str | None = None) -> str:
     """Oracle for the adjacency-rule relation grammar
@@ -876,6 +890,16 @@ def gate_queries() -> dict:
         eng = docs_engine(spark, sf_dir)
         from blacklab_spark.plans.executor import find
         hits = find(eng.index, '[pos="func"]')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_subannotation_coarse(spark, sf_dir):
+        """Subannotation [pos/coarse="cw"] (grammar annotName with
+        '/' subAnnot, cql.jj:643-654): the coarse content-word view
+        derived from the pos layer."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '[pos/coarse="cw"]')
         return with_conv(eng, hits).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
 
@@ -1594,6 +1618,7 @@ def gate_queries() -> dict:
         "cql_constraint_samewords": cql_constraint_samewords,
         "cql_constraint_full_grammar": cql_constraint_full_grammar,
         "cql_pos_layer": cql_pos_layer,
+        "cql_subannotation_coarse": cql_subannotation_coarse,
         "relations_det_target": relations_det_target,
         "cql_rel_function": cql_rel_function,
         "cql_overlap_keyword": cql_overlap_keyword,
@@ -1704,6 +1729,7 @@ FROM pos a JOIN pos b
 WHERE a.tok <> 'the'
 """,
         "cql_pos_layer": pos_layer_sql("func"),
+        "cql_subannotation_coarse": _subannotation_sql("cw"),
         # relation gates: det target span [p+1,p+2); nsubj source span
         # (the verb) [p+1,p+2); det full span [p,p+2) with target word
         "relations_det_target": rel_adjacent_sql("func", "noun", 1, 2),

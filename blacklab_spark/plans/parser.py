@@ -255,12 +255,13 @@ def _attr_leaf(layer: str, val: str, literal: bool = False) -> Pattern:
 
 _BRACKET_TOKEN = re.compile(r"""
     \s*(
-        [A-Za-z_][A-Za-z0-9_]*\s*!?=\s*l?"[^"]*"(?:%[A-Za-z]+)? |
-        \(|\)|&|\||!           # annot =/!= [l]"value" [%flags]
+        [A-Za-z_][A-Za-z0-9_]*(?:/[A-Za-z_][A-Za-z0-9_]*)?
+            \s*!?=\s*l?"[^"]*"(?:%[A-Za-z]+)? |
+        \(|\)|&|\||!    # annot[/sub] =/!= [l]"value" [%flags]
     )""", re.VERBOSE)
 _BRACKET_TEST = re.compile(
-    r'^([A-Za-z_][A-Za-z0-9_]*)\s*(!?=)\s*(l?)"([^"]*)"'
-    r'(?:%([A-Za-z]+))?$')
+    r'^([A-Za-z_][A-Za-z0-9_]*(?:/[A-Za-z_][A-Za-z0-9_]*)?)'
+    r'\s*(!?=)\s*(l?)"([^"]*)"(?:%([A-Za-z]+))?$')
 
 
 def _parse_bracket(inner: str) -> Pattern:

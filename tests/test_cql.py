@@ -866,3 +866,23 @@ def test_sensitivity_flags(tiny_engine):
     import pytest as _pytest
     with _pytest.raises(ParseError, match="sensitivity flag"):
         eng.find('"x"%z')
+
+
+def test_subannotation_pos_coarse(idx, tiny_oracle):
+    """[pos/coarse="fw"] — subannotation layer (grammar annotName:
+    name '/' subAnnot, cql.jj:643-654): the coarse view of pos
+    (fw = func, cw = everything else), derived from tokens_pos."""
+    got = hits_of(find(idx, '[pos/coarse="fw"]'))
+    func = hits_of(find(idx, '[pos="func"]'))
+    assert got == func and got
+    # cw ≡ complement within the pos domain
+    cw = hits_of(find(idx, '[pos/coarse="cw"]'))
+    assert len(cw) + len(got) == sum(
+        len(t) for t in otoks(tiny_oracle).values())
+    # composes inside boolean brackets and sequences
+    both = hits_of(find(idx, '[pos/coarse="cw" & pos="verb"]'))
+    verbs = hits_of(find(idx, '[pos="verb"]'))
+    assert both == verbs
+    seq = hits_of(find(idx, '[pos/coarse="fw"] "visa"'))
+    mixed = hits_of(find(idx, '[pos="func"] "visa"'))
+    assert seq == mixed and seq
