@@ -308,6 +308,25 @@ def collocations(index: InvertedIndex, term: str, window: int = 10,
             .groupBy("term").agg(F.count("*").alias("count")))
 
 
+def collocations_from_hits(index: InvertedIndex, hits: DataFrame,
+                           window: int = 10) -> DataFrame:
+    """Token frequencies in ±window around ARBITRARY hits (any span
+    width), the whole hit span excluded — the general form behind BLS
+    ``/hits?calc=colloc`` (Contexts.java:247-292 over a pattern's
+    hits). The hits' doc ids are pushed into the doc_meta scan, so the
+    context fetch reads only the anchor docs' row groups."""
+    dm = push_hit_docs(hits, index.doc_meta.select("doc_id", "tokens"))
+    j = hits.join(dm, "doc_id")
+    idxs = F.filter(
+        F.sequence(F.greatest(F.lit(0), F.col("start") - window),
+                   F.least(F.size("tokens") - 1,
+                           F.col("end") - 1 + window)),
+        lambda i: (i < F.col("start")) | (i >= F.col("end")))
+    return (j.select(F.explode(idxs).alias("i"), "tokens")
+            .select(F.element_at("tokens", F.col("i") + 1).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("count")))
+
+
 def sample_hits(hits: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Seeded pseudo-random subset (HitsAbstract.java:213-270; sequence
     differs from java.util.Random — documented, SURVEY.md §2.B)."""

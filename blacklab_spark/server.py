@@ -144,6 +144,18 @@ class BlsApp:
         #: API-created corpus → its registered input format
         self._formats: dict[str, str] = {}
         self._token_count: dict[str, int] = {}
+        #: user-uploaded input-format configs (the reference's private
+        #: formats, RequestHandlerAddFormat; persisted per-server
+        #: under data_dir/_formats/<name>.json)
+        self._user_formats: dict = {}
+        if data_dir:
+            from blacklab_spark.sources.formats import FormatConfig
+            fdir = os.path.join(data_dir, "_formats")
+            for fn in sorted(os.listdir(fdir)) if os.path.isdir(fdir) else []:
+                if fn.endswith(".json"):
+                    with open(os.path.join(fdir, fn)) as f:
+                        cfg = FormatConfig.from_json(f.read())
+                    self._user_formats[cfg.name] = cfg
         #: one request at a time: write ops swap engines in the
         #: registry and `self.engine` is the per-request binding, so
         #: the facade serializes dispatch (the heavy work is Spark
@@ -302,7 +314,22 @@ class BlsApp:
                          for op, m in sorted(self._metrics.items())},
         }
 
+    def colloc(self, params: dict) -> dict:
+        """``/hits?patt=...&calc=colloc`` (RequestHandlerHits calc
+        branch): token frequencies around the pattern's hits, hit
+        spans excluded — the reference's collocation response shape
+        (test/data/saved-responses-integrated/colloc/*.json)."""
+        hits = self._find(params)
+        window = self._int(params, "wordsaroundhit", DEFAULT_CONTEXT)
+        from blacklab_spark.operators.hits import collocations_from_hits
+        rows = (collocations_from_hits(self.engine.index, hits, window)
+                .orderBy("term").collect())
+        return {"tokenFrequencies":
+                {r["term"]: r["count"] for r in rows}}
+
     def hits(self, params: dict) -> dict:
+        if self._str(params, "calc") == "colloc":
+            return self.colloc(params)
         hits = self._find(params)
         first = self._int(params, "first", 0)
         number = self._int(params, "number", DEFAULT_PAGE_SIZE)
@@ -692,11 +719,110 @@ class BlsApp:
     def input_formats(self) -> dict:
         """RequestHandlerListInputFormats analog: the registered
         source formats (sources/files.py READERS ≙ the reference's 16
-        *.blf.yaml DocIndexer formats)."""
+        *.blf.yaml DocIndexer formats) plus user-uploaded configs."""
         from blacklab_spark.sources.files import READERS
-        return {"supportedInputFormats": {
-            f: {"uploadable": f in self.UPLOAD_FORMATS}
-            for f in sorted(READERS)}}
+        out = {f: {"uploadable": f in self.UPLOAD_FORMATS,
+                   "configurationBased": False}
+               for f in sorted(READERS)}
+        for name, cfg in sorted(self._user_formats.items()):
+            out[name] = {"uploadable": True, "configurationBased": True,
+                         "displayName": cfg.display_name,
+                         "description": cfg.description}
+        return {"supportedInputFormats": out}
+
+    def _format_path(self, name: str) -> str:
+        return os.path.join(self.data_dir, "_formats", f"{name}.json")
+
+    def write_input_format(self, params: dict,
+                           body: bytes | None) -> dict:
+        """POST /input-formats with the JSON config as the ``data``
+        form field or the raw request body — add or update a
+        user-defined input format (RequestHandlerAddFormat; the
+        reference's uploaded .blf.yaml ≙ our FormatConfig JSON)."""
+        self._require_writable()
+        from blacklab_spark.sources.formats import FormatConfig
+        text = self._str(params, "data") or (
+            body.decode("utf-8", "replace") if body else "")
+        if not text:
+            raise BlsError(
+                400, "CANNOT_CREATE_INDEX",
+                "Adding a format requires the config in the 'data' "
+                "field or request body.")
+        try:
+            cfg = FormatConfig.from_json(text)
+        except ValueError as e:
+            raise BlsError(400, "ILLEGAL_ARGUMENT", str(e)) from None
+        from blacklab_spark.sources.files import READERS
+        if cfg.name in READERS:
+            raise BlsError(400, "ILLEGAL_ARGUMENT",
+                           f"format name {cfg.name!r} is a builtin "
+                           "format and cannot be overridden")
+        os.makedirs(os.path.join(self.data_dir, "_formats"),
+                    exist_ok=True)
+        with open(self._format_path(cfg.name), "w") as f:
+            f.write(cfg.to_json())
+        self._user_formats[cfg.name] = cfg
+        return {"status": {"code": "SUCCESS",
+                           "message": "Format added."}}
+
+    def input_format_info(self, name: str) -> dict:
+        """GET /input-formats/<name> (RequestHandlerListInputFormats
+        per-format branch → formatInfoResponse): name, config file
+        type and the stored config contents. Builtin formats are
+        code-based, not configuration-based — NOT_FOUND, exactly the
+        reference's rule for non-config formats
+        (ResultInputFormat.java:20-22)."""
+        cfg = self._user_formats.get(name)
+        if cfg is None:
+            from blacklab_spark.sources.files import READERS
+            if name in READERS:
+                raise BlsError(404, "NOT_FOUND",
+                               f"Format '{name}' is not "
+                               "configuration-based, and therefore "
+                               "cannot be displayed.")
+            raise BlsError(404, "NOT_FOUND",
+                           f"Format '{name}' does not exist.")
+        return {"formatName": cfg.name, "configFileType": "json",
+                "configFile": cfg.to_json(),
+                "displayName": cfg.display_name,
+                "description": cfg.description}
+
+    def input_format_xslt(self, name: str) -> str:
+        """GET /input-formats/<name>/xslt — the generated display
+        stylesheet for XML-based configs (WebserviceRequestHandler
+        .opInputFormatXslt → XslGenerator)."""
+        cfg = self._user_formats.get(name)
+        if cfg is None:
+            raise BlsError(404, "NOT_FOUND",
+                           f"Format '{name}' does not exist.")
+        try:
+            return cfg.xslt()
+        except ValueError as e:
+            raise BlsError(404, "NOT_FOUND", str(e)) from None
+
+    def delete_input_format(self, name: str) -> dict:
+        """DELETE /input-formats/<name> (RequestHandlerDeleteFormat):
+        only user-uploaded formats may be deleted."""
+        self._require_writable()
+        if name not in self._user_formats:
+            from blacklab_spark.sources.files import READERS
+            if name in READERS:
+                # the reference answers BadRequest for non-user formats
+                # (WebserviceOperations.deleteUserFormat)
+                raise BlsError(400, "CANNOT_DELETE_INDEX",
+                               f"Can only delete user formats, not "
+                               f"builtin format '{name}'.")
+            raise BlsError(404, "FORMAT_NOT_FOUND",
+                           "Specified format was not found")
+        in_use = [c for c, f in self._formats.items() if f == name]
+        if in_use:
+            raise BlsError(400, "CANNOT_DELETE_INDEX",
+                           f"Format '{name}' is in use by corpora: "
+                           f"{in_use}")
+        os.unlink(self._format_path(name))
+        del self._user_formats[name]
+        return {"status": {"code": "SUCCESS",
+                           "message": "Format deleted."}}
 
     def create_index(self, params: dict) -> dict:
         """POST / with ``name=`` + optional ``format=`` — an empty
@@ -711,10 +837,12 @@ class BlsApp:
             raise BlsError(400, "INDEX_ALREADY_EXISTS",
                            f"index {name!r} already exists")
         fmt = self._str(params, "format", "jsonl")
-        if fmt not in self.UPLOAD_FORMATS:
+        if (fmt not in self.UPLOAD_FORMATS
+                and fmt not in self._user_formats):
             raise BlsError(400, "UNKNOWN_INPUT_FORMAT",
                            f"unknown/non-uploadable format {fmt!r} "
-                           f"(have: {list(self.UPLOAD_FORMATS)})")
+                           f"(have: {list(self.UPLOAD_FORMATS)} + "
+                           f"user formats {sorted(self._user_formats)})")
         from blacklab_spark.build import build_index
         from blacklab_spark.config import BuildConfig
         from blacklab_spark.sources.transcripts import TRANSCRIPT_SCHEMA
@@ -750,8 +878,10 @@ class BlsApp:
         from blacklab_spark.sources.files import read_transcripts
         spark = self.engine.index.spark
         fmt = self._formats.get(self.corpus, "jsonl")
+        ucfg = self._user_formats.get(fmt)
+        base = ucfg.base_format if ucfg is not None else fmt
         suffix = {"jsonl": ".jsonl", "csv": ".csv", "tsv": ".tsv",
-                  "xml": ".xml", "conllu": ".conllu", "txt": ".txt"}[fmt]
+                  "xml": ".xml", "conllu": ".conllu", "txt": ".txt"}[base]
         cur_dir = self.engine.index.path
         ver = int(os.path.basename(cur_dir)[1:])
         self._status[self.corpus] = "indexing"
@@ -761,7 +891,8 @@ class BlsApp:
                 f.write(body)
                 tmp = f.name
             try:
-                batch = read_transcripts(spark, tmp, fmt)
+                batch = (ucfg.read(spark, tmp) if ucfg is not None
+                         else read_transcripts(spark, tmp, fmt))
                 n_new = batch.count()
                 if n_new == 0:
                     raise BlsError(400, "NO_DATA_GIVEN",
@@ -894,7 +1025,21 @@ class BlsApp:
                 else:
                     body = self.server_info()
             elif parts[0] == "input-formats":
-                body = self.input_formats()
+                if len(parts) == 1 and method == "POST":
+                    body = self.write_input_format(params, reqbody)
+                elif len(parts) == 1 and method == "GET":
+                    body = self.input_formats()
+                elif len(parts) == 2 and method == "DELETE":
+                    body = self.delete_input_format(unquote(parts[1]))
+                elif len(parts) == 2 and method == "GET":
+                    body = self.input_format_info(unquote(parts[1]))
+                elif (len(parts) == 3 and parts[2] == "xslt"
+                      and method == "GET"):
+                    return (200, "application/xml; charset=utf-8",
+                            self.input_format_xslt(unquote(parts[1])))
+                else:
+                    raise BlsError(404, "UNKNOWN_OPERATION",
+                                   f"unknown path {path!r}")
             elif parts[0] not in self._corpora:
                 raise BlsError(404, "CANNOT_OPEN_INDEX",
                                f"unknown corpus {parts[0]!r}")
@@ -925,7 +1070,8 @@ class BlsApp:
                 body = self.field_info(unquote(parts[2]), params)
             elif parts[1] == "hits":
                 body = self.hits(params)
-                if self._str(params, "outputformat") == "csv":
+                if (self._str(params, "outputformat") == "csv"
+                        and "tokenFrequencies" not in body):
                     return (200, "text/csv; charset=utf-8",
                             _hits_csv(body))
             elif parts[1] == "termfreq":

@@ -375,3 +375,19 @@ def test_docs_grouped(server, tiny_engine):
     assert [g["identity"] for g in rf["docGroups"]] == ["user"]
     e = _get_json(server, "/blacklab-server/tiny/docs?group=nope", 400)
     assert e["error"]["code"] == "UNKNOWN_GROUP_PROPERTY"
+
+
+def test_hits_calc_colloc(server, tiny_engine):
+    """/hits?calc=colloc → collocation token frequencies
+    (RequestHandlerHits calc branch; golden shape
+    test/data/saved-responses-integrated/colloc/*.json)."""
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&calc=colloc"
+                          "&wordsaroundhit=3")
+    tf = r["tokenFrequencies"]
+    from blacklab_spark.operators.hits import collocations
+    want = {x["term"]: x["count"]
+            for x in collocations(tiny_engine.index, "visa",
+                                  window=3).collect()}
+    assert tf == want and tf
+    assert "visa" not in tf or want.get("visa") == tf["visa"]

@@ -205,3 +205,101 @@ def test_docs_viewgroup(wserver, tiny_engine):
     assert r["summary"]["numberOfDocs"] == size
     assert 0 < len(r["docs"]) <= 10
     assert all(i["role"] == ident for i in r["docInfos"].values())
+
+
+def test_input_format_management(wserver):
+    """WRITE/INFO/XSLT/DELETE_INPUT_FORMAT (RequestHandlerAddFormat /
+    DeleteFormat, formatInfoResponse, XslGenerator) — the remaining
+    WebserviceOperation input-format group."""
+    cfg = json.dumps({
+        "name": "chatcsv", "baseFormat": "csv",
+        "displayName": "Chat CSV", "description": "renamed columns",
+        "columns": {"conv_id": "conversation", "turn_idx": "n",
+                    "role": "speaker", "text": "utterance"},
+        "defaults": {"tool": None, "ts": "2026-01-01 00:00:00"},
+        "options": {"sep": ";"}})
+    # upload as form field `data` (the reference's upload field name)
+    import urllib.parse
+    form = urllib.parse.urlencode({"data": cfg}).encode()
+    r = _json(wserver, "/blacklab-server/input-formats", method="POST",
+              body=form,
+              headers={"Content-Type":
+                       "application/x-www-form-urlencoded"})
+    assert r["status"]["message"] == "Format added."
+
+    # listed, marked configuration-based
+    fmts = _json(wserver, "/blacklab-server/input-formats")
+    f = fmts["supportedInputFormats"]["chatcsv"]
+    assert f["configurationBased"] and f["uploadable"]
+    assert f["displayName"] == "Chat CSV"
+
+    # info returns the stored config
+    info = _json(wserver, "/blacklab-server/input-formats/chatcsv")
+    assert info["formatName"] == "chatcsv"
+    assert info["configFileType"] == "json"
+    assert json.loads(info["configFile"])["baseFormat"] == "csv"
+    # builtin formats are code-based → NOT_FOUND (reference rule for
+    # non-configuration-based formats)
+    err = _json(wserver, "/blacklab-server/input-formats/jsonl",
+                expect=404)
+    assert err["error"]["code"] == "NOT_FOUND"
+
+    # xslt: only for XML-based configs
+    err = _json(wserver, "/blacklab-server/input-formats/chatcsv/xslt",
+                expect=404)
+    assert err["error"]["code"] == "NOT_FOUND"
+    xcfg = json.dumps({"name": "teiish", "baseFormat": "xml"}).encode()
+    _json(wserver, "/blacklab-server/input-formats", method="POST",
+          body=xcfg, headers={"Content-Type": "application/json"})
+    status, xslt = _req(wserver,
+                        "/blacklab-server/input-formats/teiish/xslt")
+    assert status == 200 and "xsl:stylesheet" in xslt
+
+    # delete guards: builtin → 400, unknown → 404, user format → ok
+    err = _json(wserver, "/blacklab-server/input-formats/jsonl",
+                method="DELETE", expect=400)
+    assert err["error"]["code"] == "CANNOT_DELETE_INDEX"
+    err = _json(wserver, "/blacklab-server/input-formats/nope",
+                method="DELETE", expect=404)
+    assert err["error"]["code"] == "FORMAT_NOT_FOUND"
+    r = _json(wserver, "/blacklab-server/input-formats/teiish",
+              method="DELETE")
+    assert r["status"]["message"] == "Format deleted."
+    _json(wserver, "/blacklab-server/input-formats/teiish", expect=404)
+
+
+def test_create_index_with_user_format(wserver):
+    """End-to-end: corpus created with an uploaded format config,
+    documents added in the USER's column layout."""
+    r = _json(wserver,
+              "/blacklab-server/?name=chatcorpus&format=chatcsv",
+              method="POST")
+    assert r["status"]["format"] == "chatcsv"
+    body = ("conversation;n;speaker;utterance\n"
+            "k1;0;user;the visa application was filed\n"
+            "k1;1;assistant;the visa was very good\n").encode()
+    r = _json(wserver, "/blacklab-server/chatcorpus/docs",
+              method="POST", body=body)
+    assert r["status"]["documentsAdded"] == 2
+    h = _json(wserver,
+              "/blacklab-server/chatcorpus/hits?patt=%22visa%22")
+    assert h["summary"]["numberOfHits"] == 2
+    assert {x["docPid"] for x in h["hits"]} == {"k1:0", "k1:1"}
+    # format in use → cannot delete
+    err = _json(wserver, "/blacklab-server/input-formats/chatcsv",
+                method="DELETE", expect=400)
+    assert err["error"]["code"] == "CANNOT_DELETE_INDEX"
+    _json(wserver, "/blacklab-server/chatcorpus", method="DELETE")
+    _json(wserver, "/blacklab-server/input-formats/chatcsv",
+          method="DELETE")
+
+
+def test_write_format_requires_writable_server(tiny_engine):
+    from blacklab_spark.server import BlsApp
+    app = BlsApp(tiny_engine, corpus="tiny")  # no data_dir
+    status, _ctype, body = app.handle(
+        "/blacklab-server/input-formats", {}, method="POST",
+        body=b'{"name": "x", "baseFormat": "csv"}',
+        content_type="application/json")
+    assert status == 403
+    assert json.loads(body)["error"]["code"] == "NOT_AUTHORIZED"
