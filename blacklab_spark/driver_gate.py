@@ -504,6 +504,24 @@ WHERE a.tok = '{term}' GROUP BY 1
 """
 
 
+def collocations_hits_sql(w1: str, w2: str, window: int) -> str:
+    """Oracle for hits-based collocations (/hits?calc=colloc): context
+    token frequencies around the phrase's width-2 spans, the whole hit
+    span excluded (Contexts.java:247-292 over a pattern's hits)."""
+    return f"""
+WITH {_DOC_POS},
+anchor AS (SELECT a.doc_id, a.p AS s, a.p + 2 AS e
+           FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                AND b.p = a.p + 1
+           WHERE a.tok = '{w1}' AND b.tok = '{w2}')
+SELECT c.tok AS term, count(*) AS "count"
+FROM anchor h JOIN pos c ON c.doc_id = h.doc_id
+     AND c.p BETWEEN h.s - {window} AND h.e - 1 + {window}
+     AND (c.p < h.s OR c.p >= h.e)
+GROUP BY 1
+"""
+
+
 def spans_containing_sql(term: str, n: int) -> str:
     return f"""
 WITH {_DOC_POS},
@@ -831,6 +849,15 @@ def gate_queries() -> dict:
 
     def collocations(spark, sf_dir):
         return docs_engine(spark, sf_dir).collocations("spark", window=5)
+
+    def collocations_phrase_hits(spark, sf_dir):
+        """Hits-based collocations (/hits?calc=colloc analog): context
+        frequencies around '"the" "table"' phrase hits, whole span
+        excluded."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.operators.hits import collocations_from_hits
+        hits = eng.phrase_hits(["the", "table"], path="postings")
+        return collocations_from_hits(eng.index, hits, window=4)
 
     def docs_grouped_source(spark, sf_dir):
         eng = docs_engine(spark, sf_dir)
@@ -1609,6 +1636,7 @@ def gate_queries() -> dict:
         "group_hits_by_next_word": group_next_word,
         "hit_group_stats": hit_group_stats,
         "collocations_window5": collocations,
+        "collocations_phrase_hits": collocations_phrase_hits,
         "docs_grouped_by_source": docs_grouped_source,
         "spans_containing_trigram": spans_containing,
         "cql_gap_phrase": cql_gap_phrase,
@@ -1705,6 +1733,8 @@ SELECT CAST(max("count") AS BIGINT) AS largest_group,
 FROM g
 """,
         "collocations_window5": collocations_sql("spark", 5),
+        "collocations_phrase_hits": collocations_hits_sql(
+            "the", "table", 4),
         "docs_grouped_by_source": docs_grouped_sql("spark"),
         "spans_containing_trigram": spans_containing_sql("spark", 3),
         "cql_gap_phrase": cql_gap_sql("the", "table"),
