@@ -648,14 +648,81 @@ class BlsApp:
             "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
             "role": r["role"], "lengthInTokens": r["n_tokens"]}}
 
-    def doc_contents(self, pid: str) -> str:
+    def doc_contents(self, pid: str, params: dict | None = None) -> str:
         """Content-store read-back (RequestHandlerDocContents serves
         the ORIGINAL stored content — for a tags=True build that is
-        the pre-strip markup in ``text_raw``)."""
-        col = "text_raw" \
-            if "text_raw" in self.engine.index.doc_meta.columns \
-            else "text"
-        return self._doc_row(pid, [col])[col]
+        the pre-strip markup in ``text_raw``). With ``patt=``, this
+        document's hits are wrapped in ``<hl>...</hl>`` at their
+        character ranges (ResultDocContents → DocUtil.highlight*);
+        ``wordstart``/``wordend`` cut the content to a token range,
+        with the reference's boundary validation."""
+        params = params or {}
+        tagged = "text_raw" in self.engine.index.doc_meta.columns
+        col = "text_raw" if tagged else "text"
+        row = self._doc_row(pid, [col, "doc_id"])
+        raw = row[col]
+
+        ws = self._int(params, "wordstart", -1)
+        we = self._int(params, "wordend", -1)
+        patt = self._str(params, "patt")
+        if ws == -1 and we == -1 and not patt:
+            return raw
+        if ws < -1 or we < -1 or (we >= 0 and we <= ws):
+            raise BlsError(400, "ILLEGAL_BOUNDARIES",
+                           "Illegal word boundaries specified. "
+                           "Please check parameters.")
+
+        # token → character-span map over the stored content; on a
+        # tags build the indexed positions count tokens of the
+        # STRIPPED text, so blank tags length-preservingly first
+        # (a token can never start at '<' — operators/tags.py)
+        import re as _re
+
+        from blacklab_spark.operators.tags import TAG_RE
+        from blacklab_spark.tokenizer import py_token_spans
+        basis = _re.sub(TAG_RE, lambda m: " " * len(m.group(0)),
+                        raw) if tagged else raw
+        spans = py_token_spans(basis)
+        n = len(spans)
+
+        cutting = ws != -1 or we != -1
+        ws_eff = max(ws, 0)
+        we_eff = min(we if we != -1 else n, n)
+
+        marks: list[tuple[int, str]] = []
+        if patt:
+            hits = (self._find(params)
+                    .filter(F.col("doc_id") == row["doc_id"])
+                    .select("start", "end").collect())
+            for h in hits:
+                if not (0 <= h["start"] < h["end"] <= n):
+                    continue
+                if cutting and not (ws_eff <= h["start"]
+                                    and h["end"] <= we_eff):
+                    continue  # only hits fully inside the cut window
+                marks.append((spans[h["start"]][0], "<hl>"))
+                marks.append((spans[h["end"] - 1][1], "</hl>"))
+        # insert back-to-front so earlier offsets stay valid; at equal
+        # offsets the closing tag ends up before the opening one
+        for off, tag in sorted(marks,
+                               key=lambda m: (m[0], m[1] != "</hl>"),
+                               reverse=True):
+            raw = raw[:off] + tag + raw[off:]
+
+        if cutting:
+            if ws_eff >= n or we_eff <= ws_eff:
+                return ""
+            lo = spans[ws_eff][0]
+            hi = spans[we_eff - 1][1]
+            # shift by tags inserted before each cut point: at the cut
+            # start keep an opening tag inside the slice (skip only
+            # closers), at the cut end keep a closer inside
+            lo += sum(len(t) for o, t in marks
+                      if o < lo or (o == lo and t == "</hl>"))
+            hi += sum(len(t) for o, t in marks
+                      if o < hi or (o == hi and t == "</hl>"))
+            return raw[lo:hi]
+        return raw
 
     def doc_snippet(self, pid: str, params: dict) -> dict:
         """KWIC snippet around an explicit hit span
@@ -1088,7 +1155,8 @@ class BlsApp:
                     body = self.doc_info(unquote(parts[2]))
                 elif len(parts) == 4 and parts[3] == "contents":
                     return (200, "text/plain; charset=utf-8",
-                            self.doc_contents(unquote(parts[2])))
+                            self.doc_contents(unquote(parts[2]),
+                                              params))
                 elif len(parts) == 4 and parts[3] == "snippet":
                     body = self.doc_snippet(unquote(parts[2]), params)
                 else:

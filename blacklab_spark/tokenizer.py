@@ -93,6 +93,26 @@ def _py_runs(text: str) -> list[str]:
     return out
 
 
+def py_token_spans(text: str) -> list[tuple[int, int]]:
+    """Character span [start, end) of each token of ``text`` under the
+    frozen run definition — the content-store ↔ token-position map the
+    reference keeps as character offsets in the forward index
+    (integrated.md:288-352; used by DocUtil.highlightContent to insert
+    ``<hl/>`` around hits). Driver-side, one document at a time."""
+    spans: list[tuple[int, int]] = []
+    start = -1
+    for i, ch in enumerate(text):
+        if unicodedata.category(ch)[0] in ("L", "M", "N"):
+            if start < 0:
+                start = i
+        elif start >= 0:
+            spans.append((start, i))
+            start = -1
+    if start >= 0:
+        spans.append((start, len(text)))
+    return spans
+
+
 def py_tokens_insensitive(text: str) -> list[str]:
     """Pure-Python mirror of :func:`tokens_insensitive` (oracle only)."""
     return _py_runs(py_fold_insensitive(text)) if text else []

@@ -391,3 +391,51 @@ def test_hits_calc_colloc(server, tiny_engine):
                                   window=3).collect()}
     assert tf == want and tf
     assert "visa" not in tf or want.get("visa") == tf["visa"]
+
+
+def test_token_spans_reproduce_tokens():
+    from blacklab_spark.tokenizer import py_token_spans, py_tokens_sensitive
+    for text in ["the visa café was very GOOD",
+                 "  leading spaces, punct! and 2 numbers 42 ",
+                 "", "one", "naïve résumé — ßtraße"]:
+        spans = py_token_spans(text)
+        assert [text[a:b] for a, b in spans] == py_tokens_sensitive(text)
+
+
+def test_doc_contents_highlight(server, tiny_engine):
+    """/docs/<pid>/contents?patt= wraps this doc's hits in <hl>
+    (ResultDocContents → DocUtil.highlightContent)."""
+    h = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&number=1")
+    pid = h["hits"][0]["docPid"]
+    plain = _get(server, f"/blacklab-server/tiny/docs/{pid}/contents")[1]
+    assert "<hl>" not in plain
+    marked = _get(server, f"/blacklab-server/tiny/docs/{pid}/contents"
+                          "?patt=%22visa%22")[1]
+    assert "<hl>visa</hl>" in marked
+    # content unchanged apart from the inserted tags
+    assert marked.replace("<hl>", "").replace("</hl>", "") == plain
+    starts = marked.count("<hl>")
+    ends = marked.count("</hl>")
+    assert starts == ends >= 1
+
+
+def test_doc_contents_word_boundaries(server):
+    h = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22the%22&number=1")
+    pid = h["hits"][0]["docPid"]
+    full = _get(server, f"/blacklab-server/tiny/docs/{pid}/contents")[1]
+    part = _get(server, f"/blacklab-server/tiny/docs/{pid}/contents"
+                        "?wordstart=1&wordend=3")[1]
+    from blacklab_spark.tokenizer import py_token_spans
+    spans = py_token_spans(full)
+    assert part == full[spans[1][0]:spans[2][1]]
+    # highlight inside a cut window: hit fully inside is marked
+    part2 = _get(server, f"/blacklab-server/tiny/docs/{pid}/contents"
+                         "?patt=%22the%22&wordstart=0&wordend=500")[1]
+    assert "<hl>the</hl>" in part2
+    # reference boundary validation
+    status, body = _get(server,
+                        f"/blacklab-server/tiny/docs/{pid}/contents"
+                        "?wordstart=3&wordend=2", expect_status=400)
+    assert json.loads(body)["error"]["code"] == "ILLEGAL_BOUNDARIES"

@@ -253,3 +253,26 @@ def test_tag_edge_seq_plan_reads_spans_and_postings_only(tagged_engine_idx):
     assert "_spans" in plan
     assert "postings" in plan
     assert "doc_meta" not in plan
+
+
+def test_server_contents_highlight_through_markup(tagged_engine_idx):
+    """patt= highlighting on a tags build: token positions count the
+    STRIPPED text, so the char map blanks tags length-preservingly —
+    <hl> wraps the right characters of the ORIGINAL markup."""
+    from blacklab_spark.server import BlsApp
+    eng = tagged_engine_idx
+    app = BlsApp(eng, corpus="tagged")
+    # pick a word with hits and a doc containing it
+    hit = eng.find('"the"').first()
+    assert hit is not None
+    r = (eng.index.doc_meta
+         .filter(F.col("doc_id") == hit["doc_id"])
+         .select("conv_id", "turn_idx", "text_raw").first())
+    pid = f"{r['conv_id']}:{r['turn_idx']}"
+    status, _ctype, body = app.handle(
+        f"/blacklab-server/tagged/docs/{pid}/contents",
+        {"patt": ['"the"']})
+    assert status == 200
+    assert "<hl>the</hl>" in body
+    # nothing else changed, markup intact
+    assert body.replace("<hl>", "").replace("</hl>", "") == r["text_raw"]
