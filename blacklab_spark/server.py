@@ -314,6 +314,46 @@ class BlsApp:
                          for op, m in sorted(self._metrics.items())},
         }
 
+    def _orig_concordances(self, window: list, context: int) -> list:
+        """Original-content concordances for one page of hits
+        (Concordances.java / ``usecontent=orig``): the token context
+        window mapped to character ranges of the stored content via
+        the frozen tokenizer's run spans, one content fetch per unique
+        doc in the page (doc ids pushed into the scan)."""
+        import re as _re
+
+        from blacklab_spark.operators.tags import TAG_RE
+        from blacklab_spark.tokenizer import py_token_spans
+        dm = self.engine.index.doc_meta
+        tagged = "text_raw" in dm.columns
+        col = "text_raw" if tagged else "text"
+        ids = sorted({r["doc_id"] for r in window})
+        if not ids:
+            return []
+        rows = (dm.filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "conv_id", "turn_idx", col).collect())
+        docs = {}
+        for r in rows:
+            raw = r[col]
+            basis = _re.sub(TAG_RE, lambda m: " " * len(m.group(0)),
+                            raw) if tagged else raw
+            docs[r["doc_id"]] = (raw, py_token_spans(basis),
+                                 _pid(r["conv_id"], r["turn_idx"]))
+        out = []
+        for h in window:
+            raw, spans, pid = docs[h["doc_id"]]
+            n = len(spans)
+            s, e = h["start"], h["end"]
+            if not (0 <= s < e <= n):
+                continue
+            a, b = spans[s][0], spans[e - 1][1]
+            lo = spans[max(0, s - context)][0]
+            hi = spans[min(n, e + context) - 1][1]
+            out.append({"docPid": pid, "start": s, "end": e,
+                        "left": raw[lo:a], "match": raw[a:b],
+                        "right": raw[b:hi]})
+        return out
+
     def colloc(self, params: dict) -> dict:
         """``/hits?patt=...&calc=colloc`` (RequestHandlerHits calc
         branch): token frequencies around the pattern's hits, hit
@@ -434,25 +474,38 @@ class BlsApp:
             from blacklab_spark.operators.hits import window_hits
             window = window_hits(hits, first, number).collect()
 
-        from blacklab_spark.operators.hits import kwic
-        spark = self.engine.index.spark
-        wdf = spark.createDataFrame(
-            [(r["doc_id"], r["start"], r["end"]) for r in window],
-            "doc_id long, start int, end int")
-        krows = kwic(self.engine.index, wdf, context).collect()
-        by_key = {(r["doc_id"], r["start"], r["end"]): r for r in krows}
-        out_hits = []
-        for r in window:             # preserve the window's order
-            k = by_key.get((r["doc_id"], r["start"], r["end"]))
-            if k is None:
-                continue
-            out_hits.append({
-                "docPid": _pid(k["conv_id"], k["turn_idx"]),
-                "start": k["start"], "end": k["end"],
-                "left": {"word": list(k["left"])},
-                "match": {"word": list(k["match"])},
-                "right": {"word": list(k["right"])},
-            })
+        usecontent = self._str(params, "usecontent", "fi")
+        if usecontent not in ("fi", "orig"):
+            raise BlsError(400, "ILLEGAL_ARGUMENT",
+                           "usecontent must be 'fi' (forward index) "
+                           "or 'orig' (content store)")
+        if usecontent == "orig":
+            # concordances from the original content store instead of
+            # forward-index KWIC (ConcordanceType.CONTENT_STORE;
+            # left/match/right are original-text fragments, markup
+            # included on tag-indexed builds)
+            out_hits = self._orig_concordances(window, context)
+        else:
+            from blacklab_spark.operators.hits import kwic
+            spark = self.engine.index.spark
+            wdf = spark.createDataFrame(
+                [(r["doc_id"], r["start"], r["end"]) for r in window],
+                "doc_id long, start int, end int")
+            krows = kwic(self.engine.index, wdf, context).collect()
+            by_key = {(r["doc_id"], r["start"], r["end"]): r
+                      for r in krows}
+            out_hits = []
+            for r in window:         # preserve the window's order
+                k = by_key.get((r["doc_id"], r["start"], r["end"]))
+                if k is None:
+                    continue
+                out_hits.append({
+                    "docPid": _pid(k["conv_id"], k["turn_idx"]),
+                    "start": k["start"], "end": k["end"],
+                    "left": {"word": list(k["left"])},
+                    "match": {"word": list(k["match"])},
+                    "right": {"word": list(k["right"])},
+                })
         # the cached full count only matches when the hit set wasn't
         # narrowed by sampling, property filtering or viewgroup
         plain = sample is None and viewgroup is None and fcrit is None
@@ -1249,10 +1302,11 @@ def _hits_csv(body: dict) -> str:
         w.writerow(["docPid", "start", "end", "left_context",
                     "match", "right_context"])
         for h in body["hits"]:
-            w.writerow([h["docPid"], h["start"], h["end"],
-                        " ".join(h["left"]["word"]),
-                        " ".join(h["match"]["word"]),
-                        " ".join(h["right"]["word"])])
+            # context cells: token lists (usecontent=fi) joined, or
+            # original-text fragments (usecontent=orig) as-is
+            cells = [" ".join(h[k]["word"]) if isinstance(h[k], dict)
+                     else h[k] for k in ("left", "match", "right")]
+            w.writerow([h["docPid"], h["start"], h["end"], *cells])
     return out.getvalue()
 
 

@@ -439,3 +439,29 @@ def test_doc_contents_word_boundaries(server):
                         f"/blacklab-server/tiny/docs/{pid}/contents"
                         "?wordstart=3&wordend=2", expect_status=400)
     assert json.loads(body)["error"]["code"] == "ILLEGAL_BOUNDARIES"
+
+
+def test_hits_usecontent_orig(server, tiny_engine):
+    """usecontent=orig → concordances from the content store:
+    left/match/right are original-text fragments
+    (ConcordanceType.CONTENT_STORE, ResponseStreamer xmlFragment)."""
+    q = ("/blacklab-server/tiny/hits?patt=%22visa%22"
+         "&number=5&wordsaroundhit=2")
+    fi = _get_json(server, q)
+    orig = _get_json(server, q + "&usecontent=orig")
+    assert len(orig["hits"]) == len(fi["hits"]) > 0
+    for hf, ho in zip(fi["hits"], orig["hits"]):
+        assert (ho["docPid"], ho["start"], ho["end"]) == \
+            (hf["docPid"], hf["start"], hf["end"])
+        assert isinstance(ho["match"], str)
+        # the original fragment tokenizes to the KWIC token lists
+        from blacklab_spark.tokenizer import py_tokens_insensitive
+        assert py_tokens_insensitive(ho["match"]) == hf["match"]["word"]
+        assert py_tokens_insensitive(ho["left"]) == hf["left"]["word"]
+        assert py_tokens_insensitive(ho["right"]) == hf["right"]["word"]
+    err = _get_json(server, q + "&usecontent=bogus", expect_status=400)
+    assert err["error"]["code"] == "ILLEGAL_ARGUMENT"
+    # CSV stays well-formed with orig fragments
+    status, csv_body = _get(server, q + "&usecontent=orig"
+                                        "&outputformat=csv")
+    assert status == 200 and csv_body.startswith("docPid,")
