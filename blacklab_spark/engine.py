@@ -226,6 +226,12 @@ class SearchEngine:
     def kwic(self, hits: DataFrame, context: int = H.DEFAULT_CONTEXT):
         return H.kwic(self.index, hits, context)
 
+    def concordances(self, hits: DataFrame,
+                     context: int = H.DEFAULT_CONTEXT):
+        """Original-content concordances for ``hits``
+        (Concordances.java analog; KWIC serves the token-array form)."""
+        return H.concordances(self.index, hits, context)
+
     def collocations(self, term: str, window: int = 10, **filters):
         return H.collocations(self.index, term, window,
                               self._doc_filter(**filters))

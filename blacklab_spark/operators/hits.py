@@ -199,6 +199,73 @@ def kwic(index: InvertedIndex, hits: DataFrame,
     )
 
 
+def concordances(index: InvertedIndex, hits: DataFrame,
+                 context: int = DEFAULT_CONTEXT,
+                 pushdown: bool = True) -> DataFrame:
+    """Concordances from the ORIGINAL stored content (reference:
+    search/results/Concordances.java:23, ContentStoreIntegrated
+    substring access): left/match/right as character-range fragments
+    of the content store, token context mapped to char offsets via the
+    frozen tokenizer's run spans. On tag-indexed builds positions
+    count the stripped text, so tags are blanked length-preservingly
+    for the offset map while the emitted fragments keep the original
+    markup (the reference returns XML fragments the same way).
+
+    Arrow-batched kernel (mapInPandas): offset mapping is inherently
+    per-document string processing with no JVM expression equivalent;
+    the token→char span map is computed once per document within a
+    batch. Doc ids are pushed into the content scan (``pushdown``)."""
+    import pandas as pd
+
+    tagged = "text_raw" in index.doc_meta.columns
+    col = "text_raw" if tagged else "text"
+    dm = index.doc_meta.select("doc_id", "conv_id", "turn_idx",
+                               F.col(col).alias("_raw"))
+    if pushdown:
+        dm = push_hit_docs(hits, dm)
+    j = hits.select("doc_id", "start", "end").join(dm, "doc_id")
+
+    import re as _re
+
+    from blacklab_spark.operators.tags import TAG_RE
+    from blacklab_spark.tokenizer import py_token_spans
+    tag_re = _re.compile(TAG_RE)
+
+    def kernel(batches):
+        cache: dict = {}
+        for pdf in batches:
+            lefts, matches, rights = [], [], []
+            for did, s, e, raw in zip(pdf["doc_id"], pdf["start"],
+                                      pdf["end"], pdf["_raw"]):
+                spans = cache.get(did)
+                if spans is None:
+                    basis = tag_re.sub(
+                        lambda m: " " * len(m.group(0)),
+                        raw) if tagged else raw
+                    spans = cache[did] = py_token_spans(basis)
+                n = len(spans)
+                if not (0 <= s < e <= n):
+                    lefts.append(None); matches.append(None)
+                    rights.append(None)
+                    continue
+                a, b = spans[s][0], spans[e - 1][1]
+                lo = spans[max(0, s - context)][0]
+                hi = spans[min(n, e + context) - 1][1]
+                lefts.append(raw[lo:a])
+                matches.append(raw[a:b])
+                rights.append(raw[b:hi])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"], "start": pdf["start"],
+                "end": pdf["end"], "left": lefts, "match": matches,
+                "right": rights})
+
+    return j.mapInPandas(
+        kernel, "doc_id long, conv_id string, turn_idx int, "
+                "start int, end int, left string, match string, "
+                "right string")
+
+
 def group_hits_by_context_word(index: InvertedIndex, hits: DataFrame,
                                offset: int = 1) -> DataFrame:
     """Group hits by a context token (e.g. first word after the hit ≙

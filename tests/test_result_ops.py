@@ -249,3 +249,34 @@ def test_push_hit_docs_bounded_fallback(tiny_engine):
     under = push_hit_docs(hits.limit(2), dm, max_docs=10)
     p = under._jdf.queryExecution().executedPlan().toString()
     assert "In(doc_id" in p or "EqualTo(doc_id" in p
+
+
+def test_concordances_match_kwic(tiny_engine):
+    """Content-store concordances (Concordances.java analog): the
+    original-text fragments re-tokenize to exactly the KWIC token
+    windows, and match covers the hit span verbatim."""
+    from blacklab_spark.operators.hits import concordances
+    from blacklab_spark.tokenizer import py_tokens_insensitive
+    hits = tiny_engine.phrase_hits(["very", "good"], path="tokens")
+    conc = {(r["doc_id"], r["start"], r["end"]): r
+            for r in concordances(tiny_engine.index, hits,
+                                  context=3).collect()}
+    krows = tiny_engine.kwic(hits, context=3).collect()
+    assert len(conc) == len(krows) > 0
+    for k in krows:
+        c = conc[(k["doc_id"], k["start"], k["end"])]
+        assert py_tokens_insensitive(c["match"]) == list(k["match"])
+        assert py_tokens_insensitive(c["left"]) == list(k["left"])
+        assert py_tokens_insensitive(c["right"]) == list(k["right"])
+        assert (c["conv_id"], c["turn_idx"]) == \
+            (k["conv_id"], k["turn_idx"])
+
+
+def test_concordances_pushdown_plan(tiny_engine):
+    """The content fetch reads only the hits' docs (doc_id pushed
+    into the scan)."""
+    from blacklab_spark.operators.hits import concordances
+    hits = tiny_engine.term_hits("visa")
+    plan = concordances(tiny_engine.index, hits)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "In(doc_id" in plan
