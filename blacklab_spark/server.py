@@ -187,6 +187,18 @@ class BlsApp:
         v = params.get(key)
         return v[0] if v else default
 
+    def _context_size(self, params: dict) -> int:
+        """``context`` is the current parameter name,
+        ``wordsaroundhit`` the deprecated alias
+        (WebserviceParameter.java:47-48)."""
+        if "context" in params:
+            return self._int(params, "context", DEFAULT_CONTEXT)
+        return self._int(params, "wordsaroundhit", DEFAULT_CONTEXT)
+
+    def _bool(self, params: dict, key: str) -> bool:
+        return self._str(params, key, "no").lower() in (
+            "yes", "true", "1", "on")
+
     def _find(self, params: dict):
         """patt/pattlang/filter → hits frame (RequestHandlerHits
         parse step; WebserviceParamsUtils.parsePattern analog)."""
@@ -314,7 +326,23 @@ class BlsApp:
                          for op, m in sorted(self._metrics.items())},
         }
 
-    def _orig_concordances(self, window: list, context: int) -> list:
+    @staticmethod
+    def _match_infos(row, omit_empty: bool):
+        """Captured groups / relations of one hit → the BLS
+        ``matchInfos`` entry (ResponseStreamer optMatchInfos;
+        ``omitemptycaptures`` drops zero-length spans)."""
+        if "match_info" not in row.__fields__:
+            return None
+        mi = row["match_info"]
+        if not mi:
+            return None
+        out = {k: {"start": v["s"], "end": v["e"]}
+               for k, v in sorted(mi.items())
+               if not (omit_empty and v["s"] == v["e"])}
+        return out or None
+
+    def _orig_concordances(self, window: list, context: int,
+                           omit_empty: bool = False) -> list:
         """Original-content concordances for one page of hits
         (Concordances.java / ``usecontent=orig``): the token context
         window mapped to character ranges of the stored content via
@@ -349,9 +377,13 @@ class BlsApp:
             a, b = spans[s][0], spans[e - 1][1]
             lo = spans[max(0, s - context)][0]
             hi = spans[min(n, e + context) - 1][1]
-            out.append({"docPid": pid, "start": s, "end": e,
-                        "left": raw[lo:a], "match": raw[a:b],
-                        "right": raw[b:hi]})
+            entry = {"docPid": pid, "start": s, "end": e,
+                     "left": raw[lo:a], "match": raw[a:b],
+                     "right": raw[b:hi]}
+            mi = self._match_infos(h, omit_empty)
+            if mi:
+                entry["matchInfos"] = mi
+            out.append(entry)
         return out
 
     def colloc(self, params: dict) -> dict:
@@ -360,7 +392,7 @@ class BlsApp:
         spans excluded — the reference's collocation response shape
         (test/data/saved-responses-integrated/colloc/*.json)."""
         hits = self._find(params)
-        window = self._int(params, "wordsaroundhit", DEFAULT_CONTEXT)
+        window = self._context_size(params)
         from blacklab_spark.operators.hits import collocations_from_hits
         rows = (collocations_from_hits(self.engine.index, hits, window)
                 .orderBy("term").collect())
@@ -373,7 +405,7 @@ class BlsApp:
         hits = self._find(params)
         first = self._int(params, "first", 0)
         number = self._int(params, "number", DEFAULT_PAGE_SIZE)
-        context = self._int(params, "wordsaroundhit", DEFAULT_CONTEXT)
+        context = self._context_size(params)
         group = self._str(params, "group")
         sort = self._str(params, "sort")
         search_param = {k: v[0] for k, v in params.items()}
@@ -390,6 +422,26 @@ class BlsApp:
             seed = self._int(params, "sampleseed", 42)
             hits = hits.sample(fraction=min(max(frac, 0.0), 1.0),
                                seed=seed)
+
+        # samplenum: fixed-size sample (SampleParameters fixed-number
+        # form); content-deterministic — hash-ordered top-n, so the
+        # same subset at any partitioning or cluster size
+        samplenum = self._int(params, "samplenum", 0)
+        if samplenum > 0:
+            seed = self._int(params, "sampleseed", 42)
+            h = F.md5(F.concat_ws(
+                "|", F.lit(str(seed)), F.col("doc_id").cast("string"),
+                F.col("start").cast("string"),
+                F.col("end").cast("string")))
+            hits = (hits.withColumn("_smp", h).orderBy("_smp")
+                    .limit(samplenum).drop("_smp"))
+
+        # maxretrieve (SearchSettings.maxHitsToProcess analog): cap
+        # how many hits are retrieved/processed at all; everything
+        # downstream (sort, group, count) sees only these
+        maxretrieve = self._int(params, "maxretrieve", 0)
+        if maxretrieve > 0:
+            hits = hits.limit(maxretrieve)
 
         # hitfiltercrit/hitfilterval (BLS HitsFiltered analog): keep
         # hits whose compiled property equals the value
@@ -479,12 +531,14 @@ class BlsApp:
             raise BlsError(400, "ILLEGAL_ARGUMENT",
                            "usecontent must be 'fi' (forward index) "
                            "or 'orig' (content store)")
+        omit_empty = self._bool(params, "omitemptycaptures")
         if usecontent == "orig":
             # concordances from the original content store instead of
             # forward-index KWIC (ConcordanceType.CONTENT_STORE;
             # left/match/right are original-text fragments, markup
             # included on tag-indexed builds)
-            out_hits = self._orig_concordances(window, context)
+            out_hits = self._orig_concordances(window, context,
+                                               omit_empty)
         else:
             from blacklab_spark.operators.hits import kwic
             spark = self.engine.index.spark
@@ -499,33 +553,69 @@ class BlsApp:
                 k = by_key.get((r["doc_id"], r["start"], r["end"]))
                 if k is None:
                     continue
-                out_hits.append({
+                entry = {
                     "docPid": _pid(k["conv_id"], k["turn_idx"]),
                     "start": k["start"], "end": k["end"],
                     "left": {"word": list(k["left"])},
                     "match": {"word": list(k["match"])},
                     "right": {"word": list(k["right"])},
-                })
+                }
+                mi = self._match_infos(r, omit_empty)
+                if mi:
+                    entry["matchInfos"] = mi
+                out_hits.append(entry)
         # the cached full count only matches when the hit set wasn't
-        # narrowed by sampling, property filtering or viewgroup
-        plain = sample is None and viewgroup is None and fcrit is None
-        n_hits = self.engine.count_hits(
-            self._str(params, "patt"),
-            filter=self._str(params, "filter")) \
-            if plain and self._str(params, "pattlang",
-                                   "corpusql") == "corpusql" \
-            else hits.count()
+        # narrowed by sampling, property filtering, caps or viewgroup
+        plain = (sample is None and samplenum == 0 and maxretrieve == 0
+                 and viewgroup is None and fcrit is None)
+        maxcount = self._int(params, "maxcount", 0)
+        if maxcount > 0:
+            # SearchSettings.maxHitsToCount: stop counting at the cap
+            # (CollectLimit short-circuits the scan)
+            n_hits = hits.limit(maxcount).count()
+        elif plain and self._str(params, "pattlang",
+                                 "corpusql") == "corpusql":
+            n_hits = self.engine.count_hits(
+                self._str(params, "patt"),
+                filter=self._str(params, "filter"))
+        else:
+            n_hits = hits.count()
         n_docs = hits.select("doc_id").distinct().count()
+        summary = {
+            "searchParam": search_param,
+            "windowFirstResult": first,
+            "requestedWindowSize": number,
+            "actualWindowSize": len(out_hits),
+            "numberOfHits": n_hits,
+            "numberOfDocs": n_docs,
+            "stillCounting": False,
+            "stoppedRetrievingHits": bool(
+                maxretrieve and n_hits >= maxretrieve),
+            "stoppedCountingHits": bool(
+                maxcount and n_hits >= maxcount),
+        }
+        if self._bool(params, "explain"):
+            # QueryExplanation (BlackLabIndex.explain →
+            # summary.explanation: original + rewritten pattern)
+            if self._str(params, "pattlang",
+                         "corpusql") != "corpusql":
+                raise BlsError(400, "ILLEGAL_ARGUMENT",
+                               "explain requires pattlang=corpusql")
+            lines = self.engine.explain_cql(
+                self._str(params, "patt")).splitlines()
+            summary["explanation"] = {
+                "originalQuery": lines[0].split(":", 1)[1].strip(),
+                "rewrittenQuery": lines[1].split(":", 1)[1].strip(),
+                "physical": lines[2:],
+            }
+        if self._bool(params, "includetokencount"):
+            # tokensInMatchingDocuments (INCLUDE_TOKEN_COUNT)
+            dm = self.engine.index.doc_meta.select("doc_id", "n_tokens")
+            summary["tokensInMatchingDocuments"] = int(
+                hits.select("doc_id").distinct().join(dm, "doc_id")
+                .agg(F.sum("n_tokens")).collect()[0][0] or 0)
         return {
-            "summary": {
-                "searchParam": search_param,
-                "windowFirstResult": first,
-                "requestedWindowSize": number,
-                "actualWindowSize": len(out_hits),
-                "numberOfHits": n_hits,
-                "numberOfDocs": n_docs,
-                "stillCounting": False,
-            },
+            "summary": summary,
             "hits": out_hits,
             "docInfos": self._doc_infos(
                 sorted({r["doc_id"] for r in window}))[0],
@@ -782,7 +872,7 @@ class BlsApp:
         (RequestHandlerDocSnippet: hitstart/hitend/wordsaroundhit)."""
         hitstart = self._int(params, "hitstart", 0)
         hitend = self._int(params, "hitend", hitstart + 1)
-        ctx = self._int(params, "wordsaroundhit", DEFAULT_CONTEXT)
+        ctx = self._context_size(params)
         toks = list(self._doc_row(pid, ["tokens"])["tokens"])
         if not (0 <= hitstart <= hitend <= len(toks)):
             raise BlsError(400, "ILLEGAL_ARGUMENT",
@@ -1193,7 +1283,9 @@ class BlsApp:
                 if (self._str(params, "outputformat") == "csv"
                         and "tokenFrequencies" not in body):
                     return (200, "text/csv; charset=utf-8",
-                            _hits_csv(body))
+                            _hits_csv(body,
+                                      self._bool(params, "csvsepline"),
+                                      self._bool(params, "csvsummary")))
             elif parts[1] == "termfreq":
                 body = self.termfreq(params)
             elif parts[1] == "autocomplete" and len(parts) == 3:
@@ -1286,13 +1378,18 @@ def _to_xml(body) -> str:
             + _xml("blacklabResponse", body))
 
 
-def _hits_csv(body: dict) -> str:
+def _hits_csv(body: dict, sepline: bool = False,
+              summary: bool = False) -> str:
     """Flat CSV of a hits (or grouped-hits) response window — the
     ResponseStreamer CSV analog (flat columns, word lists
-    space-joined)."""
+    space-joined). ``sepline`` prepends the Excel separator
+    declaration (WriteCsv.createHeader); ``summary`` appends
+    summary.searchParam rows (addSummaryCsvCommon)."""
     import csv
     import io
     out = io.StringIO()
+    if sepline:
+        out.write("sep=,\n")
     w = csv.writer(out, lineterminator="\n")
     if "hitGroups" in body:
         w.writerow(["identity", "size"])
@@ -1307,6 +1404,10 @@ def _hits_csv(body: dict) -> str:
             cells = [" ".join(h[k]["word"]) if isinstance(h[k], dict)
                      else h[k] for k in ("left", "match", "right")]
             w.writerow([h["docPid"], h["start"], h["end"], *cells])
+    if summary:
+        for k, v in body.get("summary", {}).get("searchParam",
+                                                {}).items():
+            w.writerow([f"summary.searchParam.{k}", v])
     return out.getvalue()
 
 

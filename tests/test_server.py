@@ -465,3 +465,73 @@ def test_hits_usecontent_orig(server, tiny_engine):
     status, csv_body = _get(server, q + "&usecontent=orig"
                                         "&outputformat=csv")
     assert status == 200 and csv_body.startswith("docPid,")
+
+
+def test_hits_param_parity_batch(server, tiny_engine):
+    """context= alias, explain=, includetokencount=, samplenum=,
+    maxretrieve=/maxcount=, matchInfos, csvsepline/csvsummary —
+    WebserviceParameter.java parity."""
+    # context= is the current name for wordsaroundhit
+    a = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&context=2&number=3")
+    b = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&wordsaroundhit=2&number=3")
+    assert [h["left"] for h in a["hits"]] == \
+        [h["left"] for h in b["hits"]]
+
+    # explain: original + rewritten query in the summary
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22the%22%20%5B%5D&explain=yes&number=1")
+    ex = r["summary"]["explanation"]
+    assert ex["originalQuery"] and ex["rewrittenQuery"]
+
+    # includetokencount: sum of n_tokens over matched docs
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&includetokencount=yes&number=1")
+    from pyspark.sql import functions as F
+    hits = tiny_engine.find('"visa"')
+    want = (hits.select("doc_id").distinct()
+            .join(tiny_engine.index.doc_meta.select("doc_id",
+                                                    "n_tokens"),
+                  "doc_id").agg(F.sum("n_tokens")).collect()[0][0])
+    assert r["summary"]["tokensInMatchingDocuments"] == int(want)
+
+    # samplenum: deterministic fixed-size subset of the full hit set
+    s1 = _get_json(server, "/blacklab-server/tiny/hits"
+                           "?patt=%22the%22&samplenum=7&number=50")
+    s2 = _get_json(server, "/blacklab-server/tiny/hits"
+                           "?patt=%22the%22&samplenum=7&number=50")
+    k1 = [(h["docPid"], h["start"]) for h in s1["hits"]]
+    assert len(k1) == 7 == s1["summary"]["numberOfHits"]
+    assert k1 == [(h["docPid"], h["start"]) for h in s2["hits"]]
+    all_keys = {(h["docPid"], h["start"]) for h in _get_json(
+        server, "/blacklab-server/tiny/hits?patt=%22the%22"
+                "&number=100000")["hits"]}
+    assert set(k1) <= all_keys
+
+    # maxretrieve / maxcount caps + stopped flags
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22the%22&maxretrieve=5&number=50")
+    assert r["summary"]["numberOfHits"] == 5
+    assert r["summary"]["stoppedRetrievingHits"]
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22the%22&maxcount=9&number=3")
+    assert r["summary"]["numberOfHits"] == 9
+    assert r["summary"]["stoppedCountingHits"] \
+        and not r["summary"]["stoppedRetrievingHits"]
+
+    # matchInfos: named captures on the hit entries; empty spans
+    # dropped with omitemptycaptures
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=A%3A%22visa%22&number=2")
+    for h in r["hits"]:
+        assert h["matchInfos"]["A"] == {"start": h["start"],
+                                        "end": h["end"]}
+
+    # csvsepline + csvsummary
+    status, csvb = _get(server, "/blacklab-server/tiny/hits"
+                                "?patt=%22visa%22&number=2"
+                                "&outputformat=csv&csvsepline=yes"
+                                "&csvsummary=yes")
+    assert csvb.startswith("sep=,\n")
+    assert "summary.searchParam.patt" in csvb
