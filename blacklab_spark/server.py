@@ -199,13 +199,32 @@ class BlsApp:
         return self._str(params, key, "no").lower() in (
             "yes", "true", "1", "on")
 
-    def _find(self, params: dict):
-        """patt/pattlang/filter → hits frame (RequestHandlerHits
-        parse step; WebserviceParamsUtils.parsePattern analog)."""
+    def _effective_patt(self, params: dict) -> str:
+        """The pattern actually searched: ``patt``, with ``@@`` gaps
+        filled from ``pattgapdata`` TSV rows and the row-queries OR'd
+        (GapFiller.java)."""
         patt = self._str(params, "patt")
         if not patt:
             raise BlsError(400, "NO_PATTERN_GIVEN",
                            "Text search pattern required (patt)")
+        gapdata = self._str(params, "pattgapdata")
+        if gapdata is not None and "@@" in patt:
+            if self._str(params, "pattlang", "corpusql") != "corpusql":
+                raise BlsError(400, "ILLEGAL_ARGUMENT",
+                               "pattgapdata requires pattlang=corpusql")
+            filled = _fill_gaps(patt, gapdata)
+            if not filled:
+                raise BlsError(400, "NO_DATA_GIVEN",
+                               "pattgapdata contained no value rows")
+            patt = " | ".join(f"({q})" for q in filled)
+        return patt
+
+    def _find(self, params: dict):
+        """patt/pattlang/filter → hits frame (RequestHandlerHits
+        parse step; WebserviceParamsUtils.parsePattern analog).
+        With ``pattgapdata``, ``@@`` gaps in the pattern are filled
+        from the TSV rows and the row-queries OR'd (GapFiller.java)."""
+        patt = self._effective_patt(params)
         lang = self._str(params, "pattlang", "corpusql")
         filt = self._str(params, "filter")
         try:
@@ -576,7 +595,7 @@ class BlsApp:
         elif plain and self._str(params, "pattlang",
                                  "corpusql") == "corpusql":
             n_hits = self.engine.count_hits(
-                self._str(params, "patt"),
+                self._effective_patt(params),
                 filter=self._str(params, "filter"))
         else:
             n_hits = hits.count()
@@ -602,7 +621,7 @@ class BlsApp:
                 raise BlsError(400, "ILLEGAL_ARGUMENT",
                                "explain requires pattlang=corpusql")
             lines = self.engine.explain_cql(
-                self._str(params, "patt")).splitlines()
+                self._effective_patt(params)).splitlines()
             summary["explanation"] = {
                 "originalQuery": lines[0].split(":", 1)[1].strip(),
                 "rewrittenQuery": lines[1].split(":", 1)[1].strip(),
@@ -1376,6 +1395,25 @@ def _xml_body(v) -> str:
 def _to_xml(body) -> str:
     return ('<?xml version="1.0" encoding="utf-8" ?>'
             + _xml("blacklabResponse", body))
+
+
+def _fill_gaps(template: str, tsv: str) -> list[str]:
+    """GapFiller.parseGapQuery analog: split the CQL template on the
+    ``@@`` gap marker, fill one query per TSV row (missing columns →
+    empty, double quotes escaped), skip empty rows. The caller ORs the
+    row-queries — the TextPatternOr the reference builds."""
+    parts = template.split("@@")
+    out = []
+    for line in tsv.split("\n"):
+        if not line.strip():
+            continue
+        vals = line.split("\t")
+        q = parts[0]
+        for i, tail in enumerate(parts[1:]):
+            v = vals[i] if i < len(vals) else ""
+            q += v.replace('"', '\\"') + tail
+        out.append(q)
+    return out
 
 
 def _hits_csv(body: dict, sepline: bool = False,

@@ -535,3 +535,28 @@ def test_hits_param_parity_batch(server, tiny_engine):
                                 "&csvsummary=yes")
     assert csvb.startswith("sep=,\n")
     assert "summary.searchParam.patt" in csvb
+
+
+def test_pattgapdata_gap_filling(server, tiny_engine):
+    """pattgapdata fills @@ gaps from TSV rows, OR-ing the row
+    queries (GapFiller.java; template/values semantics)."""
+    import urllib.parse
+    q = urllib.parse.urlencode({
+        "patt": '"the" @@', "pattgapdata": "visa\ntable"})
+    r = _get_json(server, f"/blacklab-server/tiny/hits?{q}&number=100")
+    want = (tiny_engine.find('("the" "visa") | ("the" "table")')
+            .count())
+    alt = tiny_engine.find('"the" "visa"').count() + \
+        tiny_engine.find('"the" "table"').count()
+    assert r["summary"]["numberOfHits"] == want == alt > 0
+    # two-gap template, row with both columns
+    q = urllib.parse.urlencode({
+        "patt": '@@ @@', "pattgapdata": "the\tvisa"})
+    r = _get_json(server, f"/blacklab-server/tiny/hits?{q}&number=10")
+    assert r["summary"]["numberOfHits"] == \
+        tiny_engine.find('"the" "visa"').count()
+    # empty data → 400
+    q = urllib.parse.urlencode({"patt": '"the" @@',
+                                "pattgapdata": "\n"})
+    e = _get_json(server, f"/blacklab-server/tiny/hits?{q}", 400)
+    assert e["error"]["code"] == "NO_DATA_GIVEN"
