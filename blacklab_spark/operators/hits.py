@@ -178,13 +178,23 @@ def push_hit_docs(hits: DataFrame, dm: DataFrame,
 
 
 def kwic(index: InvertedIndex, hits: DataFrame,
-         context: int = DEFAULT_CONTEXT, pushdown: bool = True) -> DataFrame:
+         context: int = DEFAULT_CONTEXT, pushdown: bool = True,
+         field: str = "a") -> DataFrame:
     """Keyword-in-context: left/match/right token windows
     (reference: search/results/Kwics.java:25, Contexts.java:34-120).
     With ``pushdown`` (default) the hits' doc ids are pushed into the
     doc_meta scan so a rare-term KWIC reads only the anchor's row
-    groups — set False to keep the plan fully lazy."""
-    dm = index.doc_meta.select("doc_id", "conv_id", "turn_idx", "tokens")
+    groups — set False to keep the plan fully lazy. ``field="b"``
+    slices the parallel field-b token array instead (hit coordinates
+    must already be field-b, e.g. from other_field_hits)."""
+    if field == "b":
+        from blacklab_spark.operators.parallel import tokens_other_field
+        dm = index.doc_meta.select(
+            "doc_id", "conv_id", "turn_idx",
+            tokens_other_field("tokens").alias("tokens"))
+    else:
+        dm = index.doc_meta.select("doc_id", "conv_id", "turn_idx",
+                                   "tokens")
     if pushdown:
         dm = push_hit_docs(hits, dm)
     j = hits.join(dm, "doc_id")

@@ -422,6 +422,25 @@ class BlsApp:
         if self._str(params, "calc") == "colloc":
             return self.colloc(params)
         hits = self._find(params)
+        # field/searchfield (parallel corpora): report hits in the
+        # parallel field b by projecting the source-field hits over
+        # the alignment relations (SpanQueryOtherFieldHits). The
+        # pattern itself always runs on the source field — searching
+        # field b directly goes through rfield()/==> in the pattern.
+        field = self._str(params, "field", "contents")
+        searchfield = self._str(params, "searchfield", "contents")
+        if searchfield != "contents":
+            raise BlsError(400, "ILLEGAL_ARGUMENT",
+                           "the pattern is searched on the source "
+                           "field; use rfield()/'==>'/relation syntax "
+                           "in the pattern to search another field")
+        if field not in ("contents", "contents__b"):
+            raise BlsError(400, "ILLEGAL_ARGUMENT",
+                           f"unknown field {field!r} "
+                           "(have: contents, contents__b)")
+        field_b = field == "contents__b"
+        if field_b:
+            hits = self.engine.other_field(hits)
         first = self._int(params, "first", 0)
         number = self._int(params, "number", DEFAULT_PAGE_SIZE)
         context = self._context_size(params)
@@ -550,6 +569,11 @@ class BlsApp:
             raise BlsError(400, "ILLEGAL_ARGUMENT",
                            "usecontent must be 'fi' (forward index) "
                            "or 'orig' (content store)")
+        if field_b and usecontent == "orig":
+            raise BlsError(400, "ILLEGAL_ARGUMENT",
+                           "field contents__b has no content store; "
+                           "usecontent=orig applies to the source "
+                           "field only")
         omit_empty = self._bool(params, "omitemptycaptures")
         if usecontent == "orig":
             # concordances from the original content store instead of
@@ -564,7 +588,8 @@ class BlsApp:
             wdf = spark.createDataFrame(
                 [(r["doc_id"], r["start"], r["end"]) for r in window],
                 "doc_id long, start int, end int")
-            krows = kwic(self.engine.index, wdf, context).collect()
+            krows = kwic(self.engine.index, wdf, context,
+                         field="b" if field_b else "a").collect()
             by_key = {(r["doc_id"], r["start"], r["end"]): r
                       for r in krows}
             out_hits = []
@@ -586,7 +611,8 @@ class BlsApp:
         # the cached full count only matches when the hit set wasn't
         # narrowed by sampling, property filtering, caps or viewgroup
         plain = (sample is None and samplenum == 0 and maxretrieve == 0
-                 and viewgroup is None and fcrit is None)
+                 and viewgroup is None and fcrit is None
+                 and not field_b)
         maxcount = self._int(params, "maxcount", 0)
         if maxcount > 0:
             # SearchSettings.maxHitsToCount: stop counting at the cap

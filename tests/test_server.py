@@ -560,3 +560,41 @@ def test_pattgapdata_gap_filling(server, tiny_engine):
                                 "pattgapdata": "\n"})
     e = _get_json(server, f"/blacklab-server/tiny/hits?{q}", 400)
     assert e["error"]["code"] == "NO_DATA_GIVEN"
+
+
+def test_hits_field_b_parallel(server, tiny_engine):
+    """field=contents__b: hits reported in the parallel field's
+    coordinates with field-b KWIC (SpanQueryOtherFieldHits served)."""
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&field=contents__b"
+                          "&number=5&context=1")
+    rows = tiny_engine.find_other_field('"visa"').collect()
+    want = {(row["doc_id"], row["start"], row["end"]) for row in rows}
+    # projection keeps one hit per SOURCE hit — duplicates when two
+    # source hits land in the same fused field-b span
+    assert r["summary"]["numberOfHits"] == len(rows) > 0
+    from blacklab_spark.operators.parallel import tokens_other_field
+    from pyspark.sql import functions as F
+    dm = {row["doc_id"]: row["tb"] for row in
+          tiny_engine.index.doc_meta.select(
+              "doc_id", tokens_other_field("tokens").alias("tb"))
+          .collect()}
+    pid2doc = {f"{row['conv_id']}:{row['turn_idx']}": row["doc_id"]
+               for row in tiny_engine.index.doc_meta.select(
+                   "doc_id", "conv_id", "turn_idx").collect()}
+    for h in r["hits"]:
+        did = pid2doc[h["docPid"]]
+        assert (did, h["start"], h["end"]) in want
+        tb = dm[did]
+        # the fused field-b token carries the source word
+        assert any("visa" in t for t in h["match"]["word"])
+        assert h["match"]["word"] == tb[h["start"]:h["end"]]
+    # searching field b directly is routed through pattern syntax
+    e = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&searchfield=contents__b",
+                  expect_status=400)
+    assert e["error"]["code"] == "ILLEGAL_ARGUMENT"
+    e = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&field=contents__b"
+                          "&usecontent=orig", expect_status=400)
+    assert e["error"]["code"] == "ILLEGAL_ARGUMENT"
