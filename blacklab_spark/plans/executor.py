@@ -35,13 +35,33 @@ from blacklab_spark.index import InvertedIndex
 from blacklab_spark.operators import phrase as P
 from blacklab_spark.operators import spans as S
 from blacklab_spark.plans import query as Q
+import contextlib
+
 from blacklab_spark.plans.parser import parse
 from blacklab_spark.plans.rewrite import rewrite
 
 # Cost-ratio threshold for the forward-index (FiSeq) strategy —
 # the reference's search.fiMatchFactor default
-# (optimize/ClauseCombinerNfa.java:67).
+# (optimize/ClauseCombinerNfa.java:67). 0 disables the strategy
+# (blacklab-internals.md:40); per-request override via fi_match().
 FI_MATCH_FACTOR = 900
+_FI_OVERRIDE: list[int] = []
+
+
+def _fi_factor() -> int:
+    return _FI_OVERRIDE[-1] if _FI_OVERRIDE else FI_MATCH_FACTOR
+
+
+@contextlib.contextmanager
+def fi_match(factor: int):
+    """Scoped fiMatchFactor override (the server's ``fimatch``
+    request parameter; strategy choice happens eagerly at plan-build
+    time, so wrapping find() is sufficient). 0 = disable FiSeq."""
+    _FI_OVERRIDE.append(factor)
+    try:
+        yield
+    finally:
+        _FI_OVERRIDE.pop()
 # Anchor doc-set size we are willing to collect to the driver for
 # parquet-filter pushdown (doc_id IN (...) → row-group pruning).
 FISEQ_MAX_ANCHOR_DOCS = 65536
@@ -136,7 +156,8 @@ def _seq_choice(index: InvertedIndex, clauses):
         return ("generic",)       # no word-layer anchor available
     cf_anchor, df_anchor = stats[a][0], stats[a][1]
     cf_others = sum(s[0] for i, s in enumerate(stats) if i != a)
-    if (cf_anchor * FI_MATCH_FACTOR < cf_others
+    factor = _fi_factor()
+    if (factor > 0 and cf_anchor * factor < cf_others
             and df_anchor <= FISEQ_MAX_ANCHOR_DOCS):
         return ("fiseq", a, stats)
     if all(isinstance(c, Q.Term) and c.layer == "word" for c in clauses):

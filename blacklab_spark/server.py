@@ -227,8 +227,18 @@ class BlsApp:
         patt = self._effective_patt(params)
         lang = self._str(params, "pattlang", "corpusql")
         filt = self._str(params, "filter")
+        # fimatch: per-request forward-index-matching threshold
+        # (search.fiMatchFactor analog; 0 disables the FiSeq strategy,
+        # -1 keeps the engine default — blacklab-internals.md:40.
+        # NOTE: our value is the required anchor-rarity ratio, so
+        # smaller = more eager; see executor.fi_match)
+        fimatch = self._int(params, "fimatch", -1)
         try:
             if lang == "corpusql":
+                if fimatch >= 0:
+                    from blacklab_spark.plans.executor import fi_match
+                    with fi_match(fimatch):
+                        return self.engine.find(patt, filter=filt)
                 return self.engine.find(patt, filter=filt)
             if lang == "contextql":
                 return self.engine.find_contextql(patt, filter=filt)

@@ -886,3 +886,27 @@ def test_subannotation_pos_coarse(idx, tiny_oracle):
     seq = hits_of(find(idx, '[pos/coarse="fw"] "visa"'))
     mixed = hits_of(find(idx, '[pos="func"] "visa"'))
     assert seq == mixed and seq
+
+
+def test_fi_match_factor_override(idx):
+    """Scoped fiMatchFactor override (the server's fimatch param):
+    0 disables FiSeq, a factor of 1 (any anchor rarer than the rest
+    of the sequence) makes it maximally eager — hits identical either
+    way. NOTE: our factor is the REQUIRED RARITY RATIO
+    (cf_others/cf_anchor must exceed it), so smaller = more eager;
+    the 0 = off switch matches blacklab-internals.md:40."""
+    from blacklab_spark.plans.executor import (_seq_choice, fi_match,
+                                               find)
+    from blacklab_spark.plans.parser import parse
+    seq = parse('"visa" "the"')  # anchor + hot neighbour
+    base = _seq_choice(idx, seq.clauses)
+    with fi_match(0):
+        off = _seq_choice(idx, seq.clauses)
+        hits_off = hits_of(find(idx, '"visa" "the"'))
+    with fi_match(1):
+        forced = _seq_choice(idx, seq.clauses)
+        hits_on = hits_of(find(idx, '"visa" "the"'))
+    assert off[0] != "fiseq" and forced[0] == "fiseq"
+    assert hits_off == hits_on == hits_of(find(idx, '"visa" "the"'))
+    # override is scoped: default behavior restored
+    assert _seq_choice(idx, seq.clauses) == base

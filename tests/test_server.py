@@ -598,3 +598,17 @@ def test_hits_field_b_parallel(server, tiny_engine):
                           "?patt=%22visa%22&field=contents__b"
                           "&usecontent=orig", expect_status=400)
     assert e["error"]["code"] == "ILLEGAL_ARGUMENT"
+
+
+def test_hits_fimatch_param(server, tiny_engine):
+    """fimatch= per-request FiSeq threshold: results identical at any
+    setting; 0 disables the strategy (search.fiMatchFactor)."""
+    q = "/blacklab-server/tiny/hits?patt=%22visa%22%20%22the%22&number=100"
+    dflt = _get_json(server, q)
+    off = _get_json(server, q + "&fimatch=0")
+    eager = _get_json(server, q + "&fimatch=1")
+    keys = lambda r: [(h["docPid"], h["start"]) for h in r["hits"]]
+    assert keys(dflt) == keys(off) == keys(eager)
+    assert dflt["summary"]["numberOfHits"] == \
+        off["summary"]["numberOfHits"] == \
+        eager["summary"]["numberOfHits"]
