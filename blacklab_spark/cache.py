@@ -34,9 +34,25 @@ class ResultCache:
         self._entries: OrderedDict[Hashable, Any] = OrderedDict()
         self.hits = 0
         self.misses = 0
+        self._bypass = 0
+
+    def bypass(self):
+        """Scoped per-request bypass (the server's ``usecache=no``,
+        QueryParamsAbstract.useCache): compute without lookup or
+        store."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            self._bypass += 1
+            try:
+                yield
+            finally:
+                self._bypass -= 1
+        return _ctx()
 
     def get_or(self, key: Hashable, compute: Callable[[], Any]) -> Any:
-        if self.maxsize <= 0:
+        if self.maxsize <= 0 or self._bypass:
             return compute()
         if key in self._entries:
             self._entries.move_to_end(key)

@@ -630,9 +630,17 @@ class BlsApp:
             n_hits = hits.limit(maxcount).count()
         elif plain and self._str(params, "pattlang",
                                  "corpusql") == "corpusql":
-            n_hits = self.engine.count_hits(
-                self._effective_patt(params),
-                filter=self._str(params, "filter"))
+            # usecache=no (USE_CACHE): bypass the result cache for
+            # this request — compute fresh, store nothing
+            import contextlib
+            ctx = contextlib.nullcontext() \
+                if self._str(params, "usecache", "yes").lower() \
+                not in ("no", "false", "0", "off") \
+                else self.engine.cache.bypass()
+            with ctx:
+                n_hits = self.engine.count_hits(
+                    self._effective_patt(params),
+                    filter=self._str(params, "filter"))
         else:
             n_hits = hits.count()
         n_docs = hits.select("doc_id").distinct().count()

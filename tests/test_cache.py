@@ -69,3 +69,32 @@ def test_delete_invalidates_cache(spark, tiny_index_dir, tmp_path_factory):
     after = eng.topk(["visa"], k=5).collect()  # new tombstone key: miss
     assert eng.cache.hits == hits_before
     assert before[0]["doc_id"] not in [r["doc_id"] for r in after]
+
+
+def test_cache_bypass_scoped():
+    """bypass(): compute without lookup or store (usecache=no)."""
+    from blacklab_spark.cache import ResultCache
+    c = ResultCache(8)
+    assert c.get_or("k", lambda: 1) == 1
+    with c.bypass():
+        assert c.get_or("k", lambda: 2) == 2      # no lookup
+        assert c.get_or("k2", lambda: 3) == 3     # no store
+    assert c.get_or("k", lambda: 99) == 1         # cache intact
+    assert c.get_or("k2", lambda: 4) == 4         # k2 was not stored
+
+
+def test_server_usecache_param(tiny_engine):
+    """usecache=no answers fresh and leaves the cache unchanged."""
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.server import BlsApp
+    import json
+    eng = SearchEngine(tiny_engine.index, cache_size=16)
+    app = BlsApp(eng, corpus="t")
+    q = {"patt": ['"visa"'], "number": ["1"]}
+    st, _c, b1 = app.handle("/blacklab-server/t/hits",
+                            dict(q, usecache=["no"]))
+    assert st == 200 and not eng.cache._entries
+    st, _c, b2 = app.handle("/blacklab-server/t/hits", q)
+    assert st == 200 and eng.cache._entries
+    assert json.loads(b1)["summary"]["numberOfHits"] == \
+        json.loads(b2)["summary"]["numberOfHits"]
