@@ -293,18 +293,43 @@ class BlsApp:
                 "status": self._status[self.corpus],
                 "tokenCount": self._tokens_total()}
 
-    def relations_info(self) -> dict:
+    def relations_info(self, params: dict | None = None) -> dict:
         """Relation-type inventory with counts (RequestHandlerRelations
-        analog; the reference reports classes → types → counts, our
-        derived layer has a single implicit class)."""
-        from blacklab_spark.operators.relations import doc_relations
-        try:
-            rows = (doc_relations(self.engine.index)
-                    .groupBy("rel_type").count()
-                    .orderBy("rel_type").collect())
-        except ValueError as e:
-            raise BlsError(400, "NO_RELATIONS", str(e)) from None
-        return {"relations": {r["rel_type"]: r["count"] for r in rows}}
+        / WebserviceRequestHandler.opRelations): dependency relations
+        under ``relations`` (our derived layer has the single class
+        ``dep``), inline-tag spans reported separately under ``spans``
+        (the reference's CLASS_INLINE_TAG split, separatespans
+        default). Params: ``classes`` filters classes, ``onlyspans``
+        restricts to the tag class, ``limitvalues`` truncates type
+        lists (default 200)."""
+        params = params or {}
+        limit = self._int(params, "limitvalues", 200)
+        classes = [c for c in self._str(params, "classes",
+                                        "").split(",") if c]
+        only_spans = self._bool(params, "onlyspans")
+        idx = self.engine.index
+        out: dict = {}
+        if not only_spans and (not classes or "dep" in classes):
+            from blacklab_spark.operators.relations import doc_relations
+            try:
+                rows = (doc_relations(idx).groupBy("rel_type").count()
+                        .orderBy("rel_type").limit(limit).collect())
+                out["relations"] = {r["rel_type"]: r["count"]
+                                    for r in rows}
+            except ValueError as e:
+                if classes:   # class explicitly asked for but absent
+                    raise BlsError(400, "NO_RELATIONS",
+                                   str(e)) from None
+        if getattr(idx.cfg, "tags", False) and (
+                only_spans or not classes or "__tag" in classes):
+            rows = (idx.doc_spans.groupBy("tag").count()
+                    .orderBy("tag").limit(limit).collect())
+            out["spans"] = {r["tag"]: r["count"] for r in rows}
+        if not out:
+            raise BlsError(400, "NO_RELATIONS",
+                           "no relation or span layer matches the "
+                           "requested classes")
+        return out
 
     def field_info(self, name: str, params: dict) -> dict:
         """Metadata-field info + top values (RequestHandlerFieldInfo:
@@ -450,6 +475,15 @@ class BlsApp:
                            "(have: contents, contents__b)")
         field_b = field == "contents__b"
         if field_b:
+            # property keys (sort/group/hitfilter) compile against the
+            # SOURCE field's token arrays — field-b coordinates would
+            # silently read the wrong tokens, so reject the combo
+            for p in ("group", "viewgroup", "sort", "hitfiltercrit"):
+                if self._str(params, p) is not None:
+                    raise BlsError(400, "ILLEGAL_ARGUMENT",
+                                   f"{p}= is not supported with "
+                                   "field=contents__b (property keys "
+                                   "read the source field)")
             hits = self.engine.other_field(hits)
         first = self._int(params, "first", 0)
         number = self._int(params, "number", DEFAULT_PAGE_SIZE)
@@ -947,13 +981,47 @@ class BlsApp:
                 "right": {"word": toks[hitend:hitend + ctx]}}
 
     def autocomplete(self, annotation: str, params: dict) -> list:
-        """Prefix completion over the terms dictionary
-        (RequestHandlerAutocomplete; the dictionary holds the @i
-        layer, so the prefix is folded the same way)."""
+        """Prefix completion (RequestHandlerAutocomplete) over the
+        terms dictionary (``word`` — @i, so the prefix folds the same
+        way), a METADATA field's distinct values (the reference
+        completes metadata fields too), or a derived annotation
+        layer's values."""
+        meta_fields = ("conv_id", "role", "tool")
+        if annotation in meta_fields:
+            prefix = self._str(params, "term")
+            if not prefix:
+                raise BlsError(400, "NO_TERM_GIVEN",
+                               "autocomplete needs a term prefix (term)")
+            number = self._int(params, "number", 30)
+            rows = (self.engine.index.doc_meta
+                    .select(F.col(annotation).cast("string")
+                            .alias("v")).where(
+                        F.col("v").startswith(prefix))
+                    .distinct().orderBy("v").limit(number).collect())
+            return [r["v"] for r in rows]
+        from blacklab_spark.annotations import (ANNOTATION_COLUMNS,
+                                                MULTI_VALUE_LAYERS,
+                                                with_token_layers)
+        if annotation in ANNOTATION_COLUMNS and annotation != "word":
+            prefix = self._str(params, "term")
+            if not prefix:
+                raise BlsError(400, "NO_TERM_GIVEN",
+                               "autocomplete needs a term prefix (term)")
+            number = self._int(params, "number", 30)
+            dm = with_token_layers(
+                self.engine.index.doc_meta,
+                ("pos",) if annotation.startswith("pos") else ())
+            col = F.col(ANNOTATION_COLUMNS[annotation])
+            if annotation in MULTI_VALUE_LAYERS:
+                col = F.flatten(col)
+            rows = (dm.select(F.explode(col).alias("v"))
+                    .where(F.col("v").startswith(prefix))
+                    .distinct().orderBy("v").limit(number).collect())
+            return [r["v"] for r in rows]
         if annotation != "word":
             raise BlsError(400, "UNKNOWN_ANNOTATION",
-                           "autocomplete serves the 'word' annotation "
-                           "(the indexed terms dictionary)")
+                           f"unknown annotation or metadata field "
+                           f"{annotation!r}")
         prefix = self._str(params, "term")
         if not prefix:
             raise BlsError(400, "NO_TERM_GIVEN",
@@ -967,10 +1035,56 @@ class BlsApp:
         return [r["term"] for r in rows]
 
     def termfreq(self, params: dict) -> dict:
+        """Corpus-wide term frequencies (opTermFreq /
+        WebserviceOperations.getTermFrequencies): ``annotation``
+        selects the layer (+``sensitive`` → the @s word variant),
+        ``filter`` restricts the doc set, ``terms`` restricts to an
+        explicit comma-separated set (unpaginated, like the
+        reference), ``first``/``number`` page the full list."""
         number = self._int(params, "number", DEFAULT_PAGE_SIZE)
-        tf = (self.engine.term_frequencies()
-              .orderBy(F.desc("count"), "term").limit(number).collect())
-        return {"termFreq": {r["term"]: r["count"] for r in tf}}
+        first = self._int(params, "first", 0)
+        annot = self._str(params, "annotation", "word")
+        if self._bool(params, "sensitive") and annot == "word":
+            annot = "word_s"
+        filt = self._str(params, "filter")
+        terms_p = self._str(params, "terms")
+        want = [t for t in terms_p.split(",") if t] if terms_p else None
+
+        from blacklab_spark.annotations import (ANNOTATION_COLUMNS,
+                                                MULTI_VALUE_LAYERS,
+                                                with_token_layers)
+        if annot not in ANNOTATION_COLUMNS:
+            raise BlsError(400, "UNKNOWN_ANNOTATION",
+                           f"unknown annotation {annot!r} "
+                           f"(have: {sorted(ANNOTATION_COLUMNS)})")
+        if annot == "word" and want is None and filt is None:
+            # default layer, full list: the engine fast path
+            tf = (self.engine.term_frequencies()
+                  .orderBy(F.desc("count"), "term")
+                  .limit(first + number).collect()[first:])
+            return {"termFreq": {r["term"]: r["count"] for r in tf}}
+        dm = self.engine.index.doc_meta
+        if filt is not None:
+            try:
+                dm = dm.filter(self.engine._doc_filter(filter=filt))
+            except ValueError as e:
+                raise BlsError(400, "FILTER_SYNTAX_ERROR",
+                               str(e)) from None
+        dm = with_token_layers(
+            dm, ("pos",) if annot.startswith("pos") else ())
+        col = F.col(ANNOTATION_COLUMNS[annot])
+        if annot in MULTI_VALUE_LAYERS:
+            col = F.flatten(col)
+        tfdf = (dm.select(F.explode(col).alias("term"))
+                .groupBy("term").agg(F.count("*").alias("count")))
+        if want is not None:
+            # explicit term set: unpaginated (reference behavior)
+            rows = (tfdf.filter(F.col("term").isin(want))
+                    .orderBy(F.desc("count"), "term").collect())
+        else:
+            rows = (tfdf.orderBy(F.desc("count"), "term")
+                    .limit(first + number).collect()[first:])
+        return {"termFreq": {r["term"]: r["count"] for r in rows}}
 
     # ---- index management (write path) ------------------------------
     #: reference Index.isValidIndexName analog (no path tricks)
@@ -1336,7 +1450,7 @@ class BlsApp:
                 self.engine.cache.clear()
                 body = {"status": "cache cleared"}
             elif parts[1] == "relations":
-                body = self.relations_info()
+                body = self.relations_info(params)
             elif parts[1] == "parse-pattern":
                 body = self.parse_pattern(params)
             elif parts[1] == "fields" and len(parts) == 3:

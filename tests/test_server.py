@@ -187,8 +187,12 @@ def test_autocomplete(server, tiny_engine):
     up = _get_json(server,
                    "/blacklab-server/tiny/autocomplete/word?term=VI")
     assert up == terms
+    # pos is now a served layer (see test_autocomplete_metadata_and_layers)
+    pos = _get_json(server,
+                    "/blacklab-server/tiny/autocomplete/pos?term=n")
+    assert pos and all(p.startswith("n") for p in pos)
     e = _get_json(server,
-                  "/blacklab-server/tiny/autocomplete/pos?term=n", 400)
+                  "/blacklab-server/tiny/autocomplete/bogus?term=n", 400)
     assert e["error"]["code"] == "UNKNOWN_ANNOTATION"
 
 
@@ -612,3 +616,82 @@ def test_hits_fimatch_param(server, tiny_engine):
     assert dflt["summary"]["numberOfHits"] == \
         off["summary"]["numberOfHits"] == \
         eager["summary"]["numberOfHits"]
+
+
+def test_relations_params(server, tiny_engine):
+    """classes/onlyspans/limitvalues on /relations
+    (opRelations parameter semantics)."""
+    base = _get_json(server, "/blacklab-server/tiny/relations")
+    assert base["relations"]
+    # classes=dep keeps the dependency class; spans absent (no tags)
+    r = _get_json(server, "/blacklab-server/tiny/relations?classes=dep")
+    assert r["relations"] == base["relations"] and "spans" not in r
+    # limitvalues truncates the type list
+    r = _get_json(server,
+                  "/blacklab-server/tiny/relations?limitvalues=2")
+    assert len(r["relations"]) == 2
+    assert list(r["relations"]) == sorted(base["relations"])[:2]
+    # onlyspans on a build without tags → NO_RELATIONS
+    e = _get_json(server,
+                  "/blacklab-server/tiny/relations?onlyspans=yes",
+                  expect_status=400)
+    assert e["error"]["code"] == "NO_RELATIONS"
+
+
+def test_termfreq_params(server, tiny_engine):
+    """annotation/sensitive/filter/terms/first on /termfreq
+    (getTermFrequencies parameter semantics)."""
+    from pyspark.sql import functions as F
+    # explicit term set: exact counts, unpaginated
+    r = _get_json(server, "/blacklab-server/tiny/termfreq"
+                          "?terms=visa,the&number=1")
+    want = {x["term"]: x["count"]
+            for x in tiny_engine.term_frequencies()
+            .filter(F.col("term").isin(["visa", "the"])).collect()}
+    assert r["termFreq"] == want and len(want) == 2
+    # doc filter restricts the corpus slice
+    r = _get_json(server, "/blacklab-server/tiny/termfreq"
+                          "?terms=visa&filter=role:user")
+    want = {x["term"]: x["count"]
+            for x in tiny_engine.term_frequencies(filter="role:user")
+            .filter(F.col("term") == "visa").collect()}
+    assert r["termFreq"] == want
+    # pos layer frequencies
+    r = _get_json(server, "/blacklab-server/tiny/termfreq"
+                          "?annotation=pos&number=10")
+    assert set(r["termFreq"]) <= {"func", "verb", "num", "noun"}
+    assert sum(r["termFreq"].values()) > 0
+    # first= pages the full list
+    a = _get_json(server, "/blacklab-server/tiny/termfreq?number=5")
+    b = _get_json(server, "/blacklab-server/tiny/termfreq"
+                          "?number=3&first=2")
+    assert list(b["termFreq"]) == list(a["termFreq"])[2:5]
+    # unknown annotation → 400
+    e = _get_json(server, "/blacklab-server/tiny/termfreq"
+                          "?annotation=bogus", expect_status=400)
+    assert e["error"]["code"] == "UNKNOWN_ANNOTATION"
+
+
+def test_autocomplete_metadata_and_layers(server, tiny_engine):
+    """Autocomplete over metadata fields and derived layers
+    (RequestHandlerAutocomplete serves both)."""
+    roles = _get_json(server,
+                      "/blacklab-server/tiny/autocomplete/role?term=u")
+    assert roles == ["user"]
+    convs = _get_json(server, "/blacklab-server/tiny/autocomplete/"
+                              "conv_id?term=conv&number=3")
+    assert len(convs) == 3 and all(c.startswith("conv") for c in convs)
+    pos = _get_json(server,
+                    "/blacklab-server/tiny/autocomplete/pos?term=f")
+    assert pos == ["func"]
+    e = _get_json(server,
+                  "/blacklab-server/tiny/autocomplete/bogus?term=x",
+                  expect_status=400)
+    assert e["error"]["code"] == "UNKNOWN_ANNOTATION"
+
+
+def test_field_b_rejects_source_property_keys(server):
+    e = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&field=contents__b"
+                          "&group=field:role", expect_status=400)
+    assert e["error"]["code"] == "ILLEGAL_ARGUMENT"

@@ -112,3 +112,61 @@ def test_delta_find_cql_equals_compacted(spark, split_fixture):
                           .select("doc_id", "start", "end").collect()))
         assert got == want, q
     assert sorted(map(tuple, dse.find('"visa"').collect()))
+
+
+def test_streaming_windowed_term_counts(spark, tmp_path):
+    """Watermarked windowed term counts (streaming/term_stats.py):
+    append mode emits a window exactly once, when the watermark
+    passes its end; emitted rows equal the batch aggregation over the
+    same events. Late-data contract: the second batch's events
+    advance the watermark and flush the first window."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from blacklab_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from blacklab_spark.streaming.term_stats import (
+        stream_term_counts, windowed_term_counts)
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def turns(conv, ts, texts):
+        return pd.DataFrame([{
+            "conv_id": conv, "turn_idx": i, "role": "user",
+            "text": t, "tool": None, "ts": ts}
+            for i, t in enumerate(texts)])
+
+    t0 = dt.datetime(2026, 1, 1, 10, 15)
+    batch1 = turns("c1", t0, ["visa visa application", "the visa"])
+    spark.createDataFrame(batch1, TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(src / "f1.parquet"))
+    q = stream_term_counts(spark, str(src) + "/*", out, ckpt,
+                           window="1 hour", watermark="30 minutes")
+    q.awaitTermination()
+    # events far past the first window's end + watermark
+    t1 = dt.datetime(2026, 1, 1, 14, 0)
+    spark.createDataFrame(turns("c2", t1, ["table talk"]),
+                          TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(src / "f2.parquet"))
+    q = stream_term_counts(spark, str(src) + "/*", out, ckpt,
+                           window="1 hour", watermark="30 minutes")
+    q.awaitTermination()
+
+    got = {(r["win_start"], r["term"]): r["count"]
+           for r in spark.read.parquet(out).collect()}
+    # batch oracle over the SAME first-batch events
+    want_df = windowed_term_counts(
+        spark.createDataFrame(batch1, TRANSCRIPT_SCHEMA),
+        window="1 hour")
+    want = {(r["win_start"], r["term"]): r["count"]
+            for r in want_df.collect()}
+    assert want  # the 10:00-11:00 window with visa=3, the=1, ...
+    for k, v in want.items():
+        assert got.get(k) == v, (k, v, got)
+    # the 14:00 window is still open → not emitted yet
+    assert all(ws.hour == 10 for ws, _ in got)

@@ -276,3 +276,23 @@ def test_server_contents_highlight_through_markup(tagged_engine_idx):
     assert "<hl>the</hl>" in body
     # nothing else changed, markup intact
     assert body.replace("<hl>", "").replace("</hl>", "") == r["text_raw"]
+
+
+def test_relations_endpoint_reports_spans(tagged_engine_idx):
+    """On a tags build, /relations reports the inline-tag layer
+    separately under 'spans' (the CLASS_INLINE_TAG split)."""
+    import json
+    from blacklab_spark.server import BlsApp
+    app = BlsApp(tagged_engine_idx, corpus="tagged")
+    st, _c, body = app.handle("/blacklab-server/tagged/relations", {})
+    assert st == 200
+    d = json.loads(body)
+    assert d["spans"]
+    want = {r["tag"]: r["count"] for r in
+            tagged_engine_idx.index.doc_spans
+            .groupBy("tag").count().collect()}
+    assert d["spans"] == want
+    st, _c, body = app.handle("/blacklab-server/tagged/relations",
+                              {"onlyspans": ["yes"]})
+    d = json.loads(body)
+    assert st == 200 and "relations" not in d and d["spans"] == want
