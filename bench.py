@@ -210,14 +210,36 @@ def main() -> None:
         spark.stop()
         import subprocess
         levels = sorted({1, max(1, CPUS // 8), max(4, CPUS // 2)})
+        ncpu = os.cpu_count() or 32
         for cores in levels:
-            budget = min(2 * cores, os.cpu_count() or 32)
+            budget = min(2 * cores, ncpu)
+            # Frequency equalization: the box's effective per-core
+            # clock depends on how many cores are busy (measured 24%
+            # single-thread drop idle→all-busy here). Without this, a
+            # local[1] child runs at near-idle turbo while local[16]
+            # runs at all-core clock — a hardware artifact that
+            # deflates the N→4N ratio. Pin nice-19 busy-loops to the
+            # COMPLEMENT cores (never the child's mask) so every
+            # level measures at the same all-core operating point —
+            # which is also the representative state of a fully
+            # loaded cluster node.
+            spinners = [
+                subprocess.Popen(
+                    ["taskset", "-c", str(c), "nice", "-n", "19",
+                     "bash", "-c", "while :; do :; done"])
+                for c in range(budget, ncpu)]
             cmd = ["taskset", "-c", f"0-{budget - 1}",
                    sys.executable, os.path.abspath(__file__),
                    "--scale-child", str(cores), scaling_path, warm_path,
                    f"{WORK}/idx_scale_{cores}", str(CPUS)]
-            log(f"scaling local[{cores}] on {budget} cpus: {' '.join(cmd)}")
-            proc = subprocess.run(cmd, stdout=subprocess.PIPE, cwd=REPO)
+            log(f"scaling local[{cores}] on {budget} cpus "
+                f"(+{ncpu - budget} complement spinners): {' '.join(cmd)}")
+            try:
+                proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                                      cwd=REPO)
+            finally:
+                for p in spinners:
+                    p.kill()
             best = json.loads(proc.stdout.decode().strip().splitlines()[-1])
             scaling[f"local[{cores}]"] = best
             log(f"scaling local[{cores}]: {best}")
