@@ -788,6 +788,25 @@ FROM pos WHERE regexp_full_match(tok, '{pattern}')
 """
 
 
+def group_subcorpus_sql(term: str) -> str:
+    """Oracle for grouped hits with subcorpus sizes: hits of ``term``
+    grouped by the language field; each group carries the docs/tokens
+    of ALL docs with that language (hits or not) + the relative
+    frequency (BLS grouped-response subcorpusSize semantics)."""
+    return f"""
+WITH {_DOC_POS},
+sub AS (SELECT d.lang, count(*) AS subcorpus_docs,
+               sum(len(t.ts)) AS subcorpus_tokens
+        FROM documents d JOIN toks t USING (doc_id) GROUP BY 1),
+grp AS (SELECT d.lang, count(*) AS "count"
+        FROM pos h JOIN documents d USING (doc_id)
+        WHERE h.tok = '{term}' GROUP BY 1)
+SELECT g.lang, g."count", s.subcorpus_docs, s.subcorpus_tokens,
+       round(g."count"::DOUBLE / s.subcorpus_tokens, 9) AS rel_freq
+FROM grp g JOIN sub s USING (lang)
+"""
+
+
 def docs_grouped_sql(term: str) -> str:
     return f"""
 WITH {_DOC_TOKS}
@@ -834,6 +853,18 @@ def gate_queries() -> dict:
     def group_next_word(spark, sf_dir):
         eng = docs_engine(spark, sf_dir)
         return eng.group_hits_by_context_word(eng.term_hits("the"), offset=1)
+
+    def group_subcorpus_lang(spark, sf_dir):
+        """Grouped hits with per-group subcorpus sizes + relative
+        frequency (the BLS grouped-hits response's subcorpusSize —
+        operators/properties.group_hits_subcorpus): 'the' hits
+        grouped by the language field ('role' slot)."""
+        eng = docs_engine(spark, sf_dir)
+        g = eng.group_hits_subcorpus(eng.term_hits("the"), "field:role")
+        return g.select(F.col("key_0").alias("lang"), F.col("count"),
+                        F.col("subcorpus_docs"),
+                        F.col("subcorpus_tokens"),
+                        F.round("rel_freq", 9).alias("rel_freq"))
 
     def hit_group_stats(spark, sf_dir):
         """Group statistics (HitGroups.java:140-190: largestGroupSize,
@@ -1634,6 +1665,7 @@ def gate_queries() -> dict:
         "phrase_hits": phrase_hits_docs,
         "term_frequencies_top100": term_frequencies,
         "group_hits_by_next_word": group_next_word,
+        "group_hits_subcorpus_lang": group_subcorpus_lang,
         "hit_group_stats": hit_group_stats,
         "collocations_window5": collocations,
         "collocations_phrase_hits": collocations_phrase_hits,
@@ -1725,6 +1757,7 @@ def gate_oracles() -> dict[str, str]:
         "phrase_hits": phrase_docs_sql("the", "table"),
         "term_frequencies_top100": termfreq_sql(100),
         "group_hits_by_next_word": group_next_word_sql("the"),
+        "group_hits_subcorpus_lang": group_subcorpus_sql("the"),
         "hit_group_stats": f"""
 WITH g AS ({group_next_word_sql("the")})
 SELECT CAST(max("count") AS BIGINT) AS largest_group,

@@ -245,6 +245,20 @@ class SearchEngine:
     def group_hits_by_doc_field(self, hits: DataFrame, field: str):
         return H.group_hits_by_doc_field(self.index, hits, field)
 
+    def group_hits_subcorpus(self, hits: DataFrame, spec: str,
+                             **filters):
+        """Grouped hits with per-group subcorpus sizes + relative
+        frequency (BLS grouped-response subcorpusSize — doc-based
+        group keys only). ``filters`` restrict the subcorpus the same
+        way they restricted the searched docs."""
+        from blacklab_spark.operators.properties import \
+            group_hits_subcorpus
+        dm = self.index.doc_meta
+        filt = self._doc_filter(**filters)
+        if filt is not None:
+            dm = dm.filter(filt)
+        return group_hits_subcorpus(self.index, hits, spec, docs=dm)
+
     def docs_from_hits(self, hits: DataFrame, **kw):
         return H.docs_from_hits(self.index, hits, **kw)
 

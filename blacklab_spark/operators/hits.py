@@ -179,34 +179,75 @@ def push_hit_docs(hits: DataFrame, dm: DataFrame,
 
 def kwic(index: InvertedIndex, hits: DataFrame,
          context: int = DEFAULT_CONTEXT, pushdown: bool = True,
-         field: str = "a") -> DataFrame:
+         field: str = "a",
+         annotations: tuple = ()) -> DataFrame:
     """Keyword-in-context: left/match/right token windows
     (reference: search/results/Kwics.java:25, Contexts.java:34-120).
     With ``pushdown`` (default) the hits' doc ids are pushed into the
     doc_meta scan so a rare-term KWIC reads only the anchor's row
     groups — set False to keep the plan fully lazy. ``field="b"``
     slices the parallel field-b token array instead (hit coordinates
-    must already be field-b, e.g. from other_field_hits)."""
+    must already be field-b, e.g. from other_field_hits).
+
+    ``annotations`` adds further layers (the reference's multi-
+    annotation KWIC — Kwic.java carries every listed annotation's
+    context): per layer ``a``, columns ``left_a/match_a/right_a``
+    sliced from the SAME windows (multi-value layers display their
+    primary value). Layers derive lazily on the pushed-down doc set
+    only."""
+    extra: list[str] = []
     if field == "b":
+        if annotations:
+            raise ValueError("multi-annotation KWIC applies to the "
+                             "source field (field b has word only)")
         from blacklab_spark.operators.parallel import tokens_other_field
         dm = index.doc_meta.select(
             "doc_id", "conv_id", "turn_idx",
             tokens_other_field("tokens").alias("tokens"))
     else:
-        dm = index.doc_meta.select("doc_id", "conv_id", "turn_idx",
-                                   "tokens")
+        from blacklab_spark.annotations import (ANNOTATION_COLUMNS,
+                                                with_token_layers)
+        extra = [a for a in annotations if a != "word"]
+        for a in extra:
+            if a not in ANNOTATION_COLUMNS:
+                raise ValueError(f"unknown annotation {a!r} "
+                                 f"(have: {sorted(ANNOTATION_COLUMNS)})")
+        dm = index.doc_meta
+        if extra:
+            dm = with_token_layers(
+                dm, tuple({"pos" for a in extra
+                           if a.startswith("pos")}))
+        dm = dm.select("doc_id", "conv_id", "turn_idx", "tokens",
+                       *[F.col(ANNOTATION_COLUMNS[a]) for a in extra])
     if pushdown:
         dm = push_hit_docs(hits, dm)
     j = hits.join(dm, "doc_id")
     left_from = F.greatest(F.lit(0), F.col("start") - context)
-    return j.select(
-        "doc_id", "conv_id", "turn_idx", "start", "end",
-        F.slice("tokens", left_from + 1, F.col("start") - left_from)
-         .alias("left"),
-        F.slice("tokens", F.col("start") + 1, F.col("end") - F.col("start"))
-         .alias("match"),
-        F.slice("tokens", F.col("end") + 1, F.lit(context)).alias("right"),
-    )
+
+    def _windows(col: str, suffix: str = ""):
+        from blacklab_spark.annotations import MULTI_VALUE_LAYERS
+        def disp(c):
+            # multi-value layers (lemma): display the PRIMARY value
+            if suffix and suffix.lstrip("_") in MULTI_VALUE_LAYERS:
+                return F.transform(c, lambda v: v[0])
+            return c
+        return [
+            disp(F.slice(col, left_from + 1,
+                         F.col("start") - left_from))
+            .alias(f"left{suffix}"),
+            disp(F.slice(col, F.col("start") + 1,
+                         F.col("end") - F.col("start")))
+            .alias(f"match{suffix}"),
+            disp(F.slice(col, F.col("end") + 1, F.lit(context)))
+            .alias(f"right{suffix}"),
+        ]
+
+    cols = _windows("tokens")
+    from blacklab_spark.annotations import ANNOTATION_COLUMNS as _AC
+    for a in extra:
+        cols.extend(_windows(_AC[a], "_" + a.replace("/", "_")))
+    return j.select("doc_id", "conv_id", "turn_idx", "start", "end",
+                    *cols)
 
 
 def concordances(index: InvertedIndex, hits: DataFrame,

@@ -164,6 +164,49 @@ def group_hits(index: InvertedIndex, hits: DataFrame, spec: str,
         .groupBy(*[f"key_{i}" for i in range(len(keys))]).agg(*aggs)
 
 
+#: property-key heads whose value is a pure function of the DOCUMENT
+#: (not the hit) — the keys for which a per-group subcorpus exists
+_DOC_BASED_HEADS = {"field", "decade", "doc", "docid"} | _DOC_FIELDS
+
+
+def group_hits_subcorpus(index: InvertedIndex, hits: DataFrame,
+                         spec: str, docs: DataFrame | None = None
+                         ) -> DataFrame:
+    """HitGroups with per-group subcorpus sizes + relative frequency
+    (reference: the BLS grouped-hits response's ``subcorpusSize``
+    {documents, tokens} per group — server
+    WebserviceOperations/ResultHitGroup: when hits are grouped by a
+    DOCUMENT property, each group's subcorpus is every doc in the
+    (optionally filtered) corpus sharing the group's key values,
+    whether or not it has hits; relative frequency = group hit count /
+    subcorpus token count).
+
+    All keys must be document-based (``field:``/``decade``/``doc``);
+    hit-text keys have no per-group subcorpus and raise. The subcorpus
+    sizes come from ONE aggregation over doc_meta (scalar columns
+    only — the scan never touches token arrays) joined to the already-
+    aggregated group frame: two small post-agg relations, no per-group
+    scans, broadcast-joinable at any corpus size."""
+    keys = _parse_keys(spec)
+    for k, _ in keys:
+        if k.split(":")[0] not in _DOC_BASED_HEADS:
+            raise ValueError(
+                f"subcorpus sizes need document-based group keys "
+                f"(field:/decade/doc); got {k!r}")
+    groups = group_hits(index, hits, spec)
+    dm = docs if docs is not None else index.doc_meta
+    key_cols = [compile_property(k).alias(f"key_{i}")
+                for i, (k, _) in enumerate(keys)]
+    key_names = [f"key_{i}" for i in range(len(keys))]
+    sub = (dm.select(*key_cols, "n_tokens")
+           .groupBy(*key_names)
+           .agg(F.count("*").alias("subcorpus_docs"),
+                F.sum("n_tokens").alias("subcorpus_tokens")))
+    return (groups.join(sub, key_names)
+            .withColumn("rel_freq",
+                        F.col("count") / F.col("subcorpus_tokens")))
+
+
 def group_stats(groups: DataFrame) -> dict:
     """largestGroupSize / totalResults over a grouped frame
     (HitGroups.java:140-190)."""

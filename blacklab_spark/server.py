@@ -562,9 +562,27 @@ class BlsApp:
             group = None
 
         if group:
-            from blacklab_spark.operators.properties import group_hits
+            from blacklab_spark.operators.properties import (
+                _DOC_BASED_HEADS, _parse_keys as _pk, group_hits,
+                group_hits_subcorpus)
+            # doc-based group keys get per-group subcorpus sizes +
+            # relative frequency in the response (the BLS grouped
+            # response's subcorpusSize {documents, tokens})
             try:
-                g = group_hits(self.engine.index, hits, group)
+                doc_based = all(k.split(":")[0] in _DOC_BASED_HEADS
+                                for k, _ in _pk(group))
+                if doc_based:
+                    # the subcorpus honors the request's doc filter,
+                    # the same restriction the searched docs had
+                    dm = self.engine.index.doc_meta
+                    filt_col = self.engine._doc_filter(
+                        filter=self._str(params, "filter"))
+                    if filt_col is not None:
+                        dm = dm.filter(filt_col)
+                    g = group_hits_subcorpus(self.engine.index, hits,
+                                             group, docs=dm)
+                else:
+                    g = group_hits(self.engine.index, hits, group)
             except ValueError as e:
                 raise BlsError(400, "UNKNOWN_GROUP_PROPERTY",
                                str(e)) from None
@@ -587,13 +605,20 @@ class BlsApp:
             rows = (g.orderBy(oc.desc() if desc else oc.asc(), *keys)
                     .limit(first + number).collect()[first:])
             total = g.agg(F.sum("count"), F.count("*")).collect()[0]
+            def _grp(r):
+                d = {"identity": ":".join(str(r[k]) for k in keys),
+                     "size": r["count"]}
+                if doc_based:
+                    d["subcorpusSize"] = {
+                        "documents": r["subcorpus_docs"],
+                        "tokens": int(r["subcorpus_tokens"])}
+                    d["relativeFrequency"] = round(r["rel_freq"], 9)
+                return d
             return {
                 "summary": {"searchParam": search_param,
                             "numberOfHits": int(total[0] or 0),
                             "numberOfGroups": int(total[1])},
-                "hitGroups": [{
-                    "identity": ":".join(str(r[k]) for k in keys),
-                    "size": r["count"]} for r in rows],
+                "hitGroups": [_grp(r) for r in rows],
             }
 
         if sort:
@@ -628,12 +653,26 @@ class BlsApp:
                                                omit_empty)
         else:
             from blacklab_spark.operators.hits import kwic
+            # listvalues (WebserviceParameter LIST_VALUES): further
+            # annotation layers in the KWIC contexts, e.g.
+            # listvalues=pos,lemma → match.pos / match.lemma arrays
+            # (the reference returns all annotations by default and
+            # narrows with listvalues; we default to word — the only
+            # stored layer — and derive others on request)
+            lv = self._str(params, "listvalues", "")
+            annots = tuple(a for a in lv.split(",")
+                           if a and a != "word")
             spark = self.engine.index.spark
             wdf = spark.createDataFrame(
                 [(r["doc_id"], r["start"], r["end"]) for r in window],
                 "doc_id long, start int, end int")
-            krows = kwic(self.engine.index, wdf, context,
-                         field="b" if field_b else "a").collect()
+            try:
+                krows = kwic(self.engine.index, wdf, context,
+                             field="b" if field_b else "a",
+                             annotations=annots).collect()
+            except ValueError as e:
+                raise BlsError(400, "UNKNOWN_ANNOTATION",
+                               str(e)) from None
             by_key = {(r["doc_id"], r["start"], r["end"]): r
                       for r in krows}
             out_hits = []
@@ -648,6 +687,10 @@ class BlsApp:
                     "match": {"word": list(k["match"])},
                     "right": {"word": list(k["right"])},
                 }
+                for a in annots:
+                    safe = "_" + a.replace("/", "_")
+                    for part in ("left", "match", "right"):
+                        entry[part][a] = list(k[part + safe])
                 mi = self._match_infos(r, omit_empty)
                 if mi:
                     entry["matchInfos"] = mi
@@ -1517,13 +1560,19 @@ def _xml_esc(s: str) -> str:
 def _xml(tag: str, obj) -> str:
     """Recursive BLS-style XML rendering of a response tree."""
     if isinstance(obj, dict):
-        if tag in ("left", "match", "right") \
-                and set(obj) == {"word"}:
-            # BLS KWIC convention: <match><w>tok</w>…</match> (the
-            # annotation name lives on the w element, not a wrapper)
-            return (f"<{tag}>"
-                    + "".join(_xml("w", t) for t in obj["word"])
-                    + f"</{tag}>")
+        if tag in ("left", "match", "right") and "word" in obj \
+                and all(isinstance(v, list) for v in obj.values()):
+            if set(obj) == {"word"}:
+                # BLS KWIC convention: <match><w>tok</w>…</match> (the
+                # annotation name lives on the w element, not a wrapper)
+                return (f"<{tag}>"
+                        + "".join(_xml("w", t) for t in obj["word"])
+                        + f"</{tag}>")
+            # multi-annotation KWIC (listvalues=): one <w> per token
+            # carrying each annotation as a child element
+            toks = ("<w>" + "".join(_xml(k, obj[k][i]) for k in obj)
+                    + "</w>" for i in range(len(obj["word"])))
+            return f"<{tag}>{''.join(toks)}</{tag}>"
         inner = []
         for k, v in obj.items():
             if _XML_NAME.match(str(k)):

@@ -203,3 +203,32 @@ def test_collation_icu_multichar_folds(spark):
     assert abs(out.index("œuf") - out.index("oeuf")) == 1
     assert out.index("œuf") < out.index("ozz")
     assert out.index("strasse") < out.index("strasze")
+
+
+def test_group_hits_subcorpus(idx, tiny_oracle):
+    """Per-group subcorpus sizes + relative frequency (BLS grouped
+    subcorpusSize): subcorpus = ALL docs sharing the group's doc-field
+    value, hits or not; rel_freq = hits / subcorpus tokens."""
+    import pytest as _pt
+    from blacklab_spark.operators import spans as S_
+    hits = S_.term(idx, "visa")
+    rows = {r["key_0"]: r for r in
+            P.group_hits_subcorpus(idx, hits, "field:role").collect()}
+    exp_counts: dict = {}
+    for d, ps in tiny_oracle.postings["visa"].items():
+        role = tiny_oracle.meta[d]["role"]
+        exp_counts[role] = exp_counts.get(role, 0) + len(ps)
+    exp_sub: dict = {}
+    for d, m in tiny_oracle.meta.items():
+        docs, toks = exp_sub.get(m["role"], (0, 0))
+        exp_sub[m["role"]] = (docs + 1, toks + len(tiny_oracle.tokens[d]))
+    assert set(rows) == set(exp_counts)
+    for role, r in rows.items():
+        docs, toks = exp_sub[role]
+        assert r["count"] == exp_counts[role]
+        assert r["subcorpus_docs"] == docs
+        assert r["subcorpus_tokens"] == toks
+        assert r["rel_freq"] == _pt.approx(exp_counts[role] / toks)
+    # hit-text keys have no per-group subcorpus
+    with _pt.raises(ValueError):
+        P.group_hits_subcorpus(idx, hits, "hit")

@@ -280,3 +280,27 @@ def test_concordances_pushdown_plan(tiny_engine):
     plan = concordances(tiny_engine.index, hits)._jdf \
         .queryExecution().executedPlan().toString()
     assert "In(doc_id" in plan
+
+
+def test_kwic_multi_annotation(tiny_engine, tiny_oracle):
+    """Multi-annotation KWIC: extra layers slice the SAME windows;
+    lemma (multi-value) displays its primary value."""
+    import pytest
+    from blacklab_spark.annotations import py_pos_tag
+    from blacklab_spark.operators.hits import kwic
+    hits = tiny_engine.term_hits("visa")
+    rows = kwic(tiny_engine.index, hits, context=3,
+                annotations=("pos", "lemma")).collect()
+    assert rows
+    for r in rows:
+        toks = tiny_oracle.tokens[r["doc_id"]]
+        s, e = r["start"], r["end"]
+        assert list(r["match"]) == toks[s:e] == ["visa"]
+        assert list(r["match_pos"]) == [py_pos_tag("visa")]
+        assert list(r["left_pos"]) == [py_pos_tag(t)
+                                       for t in toks[max(0, s - 3):s]]
+        # lemma primary value of an unstemmable token = the token
+        assert list(r["match_lemma"]) == ["visa"]
+        assert len(r["right_lemma"]) == len(r["right"])
+    with pytest.raises(ValueError):
+        kwic(tiny_engine.index, hits, annotations=("bogus",)).collect()

@@ -695,3 +695,46 @@ def test_field_b_rejects_source_property_keys(server):
                           "?patt=%22visa%22&field=contents__b"
                           "&group=field:role", expect_status=400)
     assert e["error"]["code"] == "ILLEGAL_ARGUMENT"
+
+
+def test_hits_grouped_subcorpus_size(server, tiny_engine):
+    """Grouping by a doc property attaches subcorpusSize + relative
+    frequency to each group (BLS grouped-hits response)."""
+    from pyspark.sql import functions as F
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&group=field:role")
+    assert r["hitGroups"]
+    sub = {row["role"]: (row["docs"], row["toks"]) for row in
+           tiny_engine.index.doc_meta.groupBy("role")
+           .agg(F.count("*").alias("docs"),
+                F.sum("n_tokens").alias("toks")).collect()}
+    for g in r["hitGroups"]:
+        docs, toks = sub[g["identity"]]
+        assert g["subcorpusSize"] == {"documents": docs,
+                                      "tokens": toks}
+        assert g["relativeFrequency"] == round(g["size"] / toks, 9)
+    # hit-text grouping: no subcorpus fields, still works
+    r2 = _get_json(server, "/blacklab-server/tiny/hits"
+                           "?patt=%22visa%22&group=after:word:i:1")
+    assert r2["hitGroups"] and \
+        "subcorpusSize" not in r2["hitGroups"][0]
+
+
+def test_hits_listvalues_annotations(server, tiny_engine):
+    """listvalues= adds annotation layers to KWIC contexts
+    (multi-annotation Kwic; pos here is the derived layer)."""
+    r = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&number=3"
+                          "&listvalues=pos,lemma&context=2")
+    from blacklab_spark.annotations import py_pos_tag
+    assert r["hits"]
+    for h in r["hits"]:
+        for part in ("left", "match", "right"):
+            assert len(h[part]["pos"]) == len(h[part]["word"])
+            assert len(h[part]["lemma"]) == len(h[part]["word"])
+        assert h["match"]["word"] == ["visa"]
+        assert h["match"]["pos"] == [py_pos_tag("visa")]
+    e = _get_json(server, "/blacklab-server/tiny/hits"
+                          "?patt=%22visa%22&listvalues=bogus",
+                  expect_status=400)
+    assert e["error"]["code"] == "UNKNOWN_ANNOTATION"
