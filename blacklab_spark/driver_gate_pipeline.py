@@ -60,6 +60,40 @@ def pipeline_queries() -> dict:
     def minhash_lsh(spark, sf_dir):
         return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
 
+    def streaming_dedup(spark, sf_dir):
+        """Incremental streaming MinHash-LSH dedup
+        (streaming/dedup.py): the documents table arrives in three
+        micro-batches; each batch joins the LSH bucket state of the
+        prior batches. The union of emitted pairs must equal the
+        offline all-pairs result — so the brute-force Jaccard SQL is
+        the oracle (LSH ≡ brute on this corpus, test_pipeline.py)."""
+        import os
+        import tempfile
+
+        from blacklab_spark.streaming.dedup import (dedup_pairs,
+                                                    stream_dedup)
+        work = tempfile.mkdtemp(prefix="stream_dedup_gate_")
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        n = docs.agg(F.max("doc_id")).collect()[0][0]
+        cuts = [(0, n // 3), (n // 3 + 1, 2 * n // 3),
+                (2 * n // 3 + 1, n)]
+        for i, (lo, hi) in enumerate(cuts):
+            (docs.filter((F.col("doc_id") >= lo)
+                         & (F.col("doc_id") <= hi))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(os.path.join(src, f"f{i}.parquet")))
+            q = stream_dedup(spark, src + "/*",
+                             os.path.join(work, "state"),
+                             os.path.join(work, "out"),
+                             os.path.join(work, "ckpt"),
+                             schema="doc_id long, text string",
+                             threshold=JACCARD_T)
+            q.awaitTermination()
+        return dedup_pairs(spark, os.path.join(work, "out")) \
+            .select("id_a", "id_b", "jaccard")
+
     def simhash_pairs(spark, sf_dir):
         return D.simhash_near_pairs(_docs(spark, sf_dir),
                                     max_hamming=SIMHASH_T)
@@ -98,6 +132,7 @@ def pipeline_queries() -> dict:
         "dedup_exact": dedup_exact,
         "dedup_jaccard_pairs": jaccard_pairs,
         "dedup_minhash_lsh": minhash_lsh,
+        "dedup_streaming_lsh": streaming_dedup,
         "dedup_simhash_pairs": simhash_pairs,
         "embedding_cosine_topk": embedding_topk,
         "embedding_cosine_topk_ivf": embedding_topk_ivf,
@@ -216,6 +251,7 @@ FROM documents GROUP BY 1
         # LSH + exact-verify equals brute force on this corpus (100%
         # recall verified in tests) → same oracle as brute force.
         "dedup_minhash_lsh": _jaccard_sql(JACCARD_T),
+        "dedup_streaming_lsh": _jaccard_sql(JACCARD_T),
         "dedup_simhash_pairs": f"""
 WITH {_TOKS},
 occ AS (SELECT doc_id, unnest(ts) AS t FROM toks),

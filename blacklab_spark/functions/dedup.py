@@ -79,13 +79,68 @@ def minhash_signature(text_col: str = "text",
     """MinHash signature: per hash i, min over the shingle set of
     md5_long(shingle, salt=i). Pure JVM column expression — arrays of
     longs, no UDF. DuckDB can re-derive it exactly (same md5 prefix)."""
-    toks = _shingle_set(text_col, shingle_n)
-    mins = [F.array_min(F.transform(
-        toks, lambda x, i=i: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"mh{i}|"), x)), 1, 15),
-            16, 10).cast("long")))
-        for i in range(num_hashes)]
-    return F.array(*mins)
+    return minhash_signature_over(_shingle_set(text_col, shingle_n),
+                                  num_hashes)
+
+
+def minhash_signature_over(shingles_col, num_hashes: int = 16) -> F.Column:
+    """Signature over a shingle array column.
+
+    The per-hash salt MUST be closed over via a helper function, never
+    the ``lambda x, i=i`` default-argument idiom: PySpark derives the
+    lambda's arity from its *signature*, so the defaulted ``i`` becomes
+    transform's second (index) parameter and is passed a fresh
+    named-lambda-variable Column — which the f-string then embeds as
+    ``mh<Column<...x_42>>|``, a salt that changes with the global
+    variable counter. The signature was silently different on every
+    plan construction (caught by the streaming-dedup batch ≡ stream
+    identity test; within one plan both self-join sides shared the
+    same corrupted-but-consistent salt, so batch LSH still matched its
+    brute-force oracle)."""
+    def one(i: int) -> F.Column:
+        salt = F.lit(f"mh{i}|")
+        return F.array_min(F.transform(
+            shingles_col, lambda x: F.conv(
+                F.substring(F.md5(F.concat(salt, x)), 1, 15),
+                16, 10).cast("long")))
+    return F.array(*[one(i) for i in range(num_hashes)])
+
+
+def minhash_banded(df: DataFrame, num_hashes: int = 16, bands: int = 8,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   shingle_n: int = 3) -> DataFrame:
+    """Banded MinHash signature frame ``(id, s, band, key)`` — the
+    LSH bucket rows one doc contributes (``s`` = exact shingle set for
+    the verify step). Shared by the batch all-pairs path
+    (`minhash_lsh_pairs`) and the streaming incremental path
+    (`streaming/dedup.py`)."""
+    rows = num_hashes // bands
+    sig = (df.select(F.col(id_col).alias("id"),
+                     _shingle_set(text_col, shingle_n).alias("s"))
+           .select("id", "s",
+                   minhash_signature_over(F.col("s"),
+                                          num_hashes).alias("sig")))
+    banded = sig.select(
+        "id", "s",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws(",", *[
+                         F.element_at("sig", b * rows + r + 1).cast("string")
+                         for r in range(rows)]).alias("key"))
+            for b in range(bands)])).alias("bk"))
+    return banded.select("id", "s", "bk.band", "bk.key")
+
+
+def verify_jaccard_pairs(cand: DataFrame,
+                         threshold: float) -> DataFrame:
+    """Exact token-shingle Jaccard over candidate pairs
+    ``(id_a, id_b, sa, sb)`` → ``(id_a, id_b, jaccard ≥ threshold)``
+    (the LSH verify step, shared batch/streaming)."""
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    jac = rational_round4(inter, union)
+    return (cand.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
@@ -100,20 +155,8 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     token-set Jaccard, so output = true pairs ≥ threshold *among LSH
     candidates* (recall < 1 in theory; the gate fixture is verified to
     have 100% recall vs brute force — see tests)."""
-    rows = num_hashes // bands
-    sig = (df.select(F.col(id_col).alias("id"),
-                     _shingle_set(text_col, shingle_n).alias("s"),
-                     minhash_signature(text_col, num_hashes,
-                                       shingle_n).alias("sig")))
-    banded = sig.select(
-        "id", "s",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.concat_ws(",", *[
-                         F.element_at("sig", b * rows + r + 1).cast("string")
-                         for r in range(rows)]).alias("key"))
-            for b in range(bands)])).alias("bk"))
-    banded = banded.select("id", "s", "bk.band", "bk.key")
+    banded = minhash_banded(df, num_hashes, bands, id_col, text_col,
+                            shingle_n)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -121,11 +164,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
             .dropDuplicates(["id_a", "id_b"]))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size(F.array_union("sa", "sb"))
-    jac = rational_round4(inter, union)
-    return (cand.select("id_a", "id_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    return verify_jaccard_pairs(cand, threshold)
 
 
 SIMHASH_BITS = 60  # md5 15-hex prefix

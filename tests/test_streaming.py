@@ -170,3 +170,57 @@ def test_streaming_windowed_term_counts(spark, tmp_path):
         assert got.get(k) == v, (k, v, got)
     # the 14:00 window is still open → not emitted yet
     assert all(ws.hour == 10 for ws, _ in got)
+
+
+def test_streaming_dedup_equals_offline(spark, tmp_path):
+    """Incremental streaming MinHash-LSH (streaming/dedup.py): docs
+    arrive in three micro-batches; union of emitted pairs equals the
+    offline all-pairs minhash_lsh_pairs over the full corpus —
+    including cross-batch pairs (a planted dup split across batches)
+    and replay idempotency (re-running the stream adds nothing)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from blacklab_spark.functions.dedup import minhash_lsh_pairs
+    from blacklab_spark.streaming.dedup import dedup_pairs, stream_dedup
+
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select("doc_id", "text"))
+    offline = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert offline  # planted near-dups exist
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state, out, ckpt = (str(tmp_path / d)
+                        for d in ("state", "out", "ckpt"))
+    n = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [(0, n // 3), (n // 3 + 1, 2 * n // 3), (2 * n // 3 + 1, n)]
+    for i, (lo, hi) in enumerate(cuts):
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(src / f"f{i}.parquet")))
+        q = stream_dedup(spark, str(src) + "/*", state, out, ckpt,
+                         schema="doc_id long, text string",
+                         threshold=0.5)
+        q.awaitTermination()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup_pairs(spark, out).collect()}
+    assert got == offline
+    # at least one pair crosses batches (else the test is vacuous)
+    def batch_of(i):
+        return next(k for k, (lo, hi) in enumerate(cuts)
+                    if lo <= i <= hi)
+    assert any(batch_of(a) != batch_of(b) for a, b in got)
+    # replay: restarting the stream over the same source is a no-op
+    q = stream_dedup(spark, str(src) + "/*", state, out, ckpt,
+                     schema="doc_id long, text string", threshold=0.5)
+    q.awaitTermination()
+    got2 = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup_pairs(spark, out).collect()}
+    assert got2 == got
+    # state holds one subdir per batch, nothing duplicated
+    assert sorted(d for d in os.listdir(state)
+                  if d.startswith("batch=")) \
+        == [f"batch={i:08d}" for i in range(3)]
