@@ -162,6 +162,11 @@ def main() -> None:
         "q15_unbounded_repetition": lambda: eng.find('"the"+').count(),
         "q16_constraint_samewords": lambda: eng.find(
             'A:"the" B:[] :: A.word = B.word').count(),
+        # q16 constant-folds to a postings phrase (rewrite
+        # _fold_constrained); q17 is the non-foldable form that
+        # genuinely measures the forward-index constraint join
+        "q17_constraint_fi_join": lambda: eng.find(
+            "A:[] B:[] :: A.word = B.word").count(),
     }
     for name, fn in qdefs.items():
         fn()  # warm (JIT, file listing)

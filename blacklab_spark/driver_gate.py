@@ -1295,6 +1295,18 @@ def gate_queries() -> dict:
         return with_conv(eng, hits.drop("match_info")).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_constraint_folded(spark, sf_dir):
+        """``A:"the" B:[] :: A.word = B.word`` — the constraint
+        constant-folds into the B leaf (plans/rewrite._fold_constrained:
+        A.word is pinned by the TERM capture), executing as the
+        postings phrase ``"the" "the"`` with no forward-index join;
+        the oracle is the runtime-constraint semantics."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, 'A:"the" B:[] :: A.word = B.word')
+        return with_conv(eng, hits.drop("match_info")).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_constraint_full_grammar(spark, sf_dir):
         """Full MatchFilter grammar (cql.jj:171-243): literal, boolean
         combinators, functions — ``A.word = B.word & A != "the" &
@@ -1676,6 +1688,7 @@ def gate_queries() -> dict:
         "cql_regex_postings": cql_regex_postings,
         "cql_bracket_bool": cql_bracket_bool,
         "cql_constraint_samewords": cql_constraint_samewords,
+        "cql_constraint_folded": cql_constraint_folded,
         "cql_constraint_full_grammar": cql_constraint_full_grammar,
         "cql_pos_layer": cql_pos_layer,
         "cql_subannotation_coarse": cql_subannotation_coarse,
@@ -1783,6 +1796,13 @@ WITH {_DOC_POS}
 SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
 FROM pos a JOIN pos b
   ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.tok = b.tok
+""",
+        "cql_constraint_folded": f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.tok = b.tok
+WHERE a.tok = 'the'
 """,
         "cql_constraint_full_grammar": f"""
 WITH {_DOC_POS}

@@ -246,16 +246,25 @@ def expand(index: InvertedIndex, clause: DataFrame, direction: str,
 
 
 def repetition(clause: DataFrame, min_rep: int,
-               max_rep: int | None) -> DataFrame:
+               max_rep: int | None, width: int | None = None) -> DataFrame:
     """A{m,n}: consecutive self-concatenation
     (SpanQueryRepetition.java:25; unbounded = cql.jj:415
-    MAX_UNLIMITED). Bounded: iterated self-join on end == next.start.
-    Unbounded (``max_rep=None``): iterate the join to FIXPOINT — stop
-    when an iteration adds no rows (a run cannot exceed the longest
-    doc, so termination is guaranteed); each level is persisted so the
-    next join reads the cache, not the whole lineage."""
+    MAX_UNLIMITED).
+
+    ``width`` = the clause's statically-known fixed hit width
+    (plans/query.py static_width), or None. When the width is fixed
+    (the common shape: a term, a bracket expression, a fixed phrase),
+    concatenation chains are arithmetic progressions with stride
+    ``width``, so the whole closure is computable JVM-side with a
+    gaps-and-islands window + one explode — no Python kernel, no
+    output dedup (each chain sub-interval is generated exactly once).
+    Variable-width fallback: bounded = iterated self-join on
+    end == next.start; unbounded = per-doc BFS closure kernel."""
     assert min_rep >= 1
     base = _h(clause).dropDuplicates(HIT_COLS)
+    if width is not None and width > 0 and "match_info" not in base.columns:
+        return _repetition_chains(base.select(*HIT_COLS), width,
+                                  min_rep, max_rep)
     if max_rep is not None:
         reps = {1: base}
         for i in range(2, max_rep + 1):
@@ -277,6 +286,42 @@ def repetition(clause: DataFrame, min_rep: int,
     pos = base.filter(F.col("end") > F.col("start"))
     closed = _repetition_closure(pos, min_rep)
     return zero.unionByName(closed).dropDuplicates(HIT_COLS)
+
+
+def _repetition_chains(pos: DataFrame, w: int, min_rep: int,
+                       max_rep: int | None) -> DataFrame:
+    """A{m,n} for a clause whose every hit has fixed width ``w``.
+
+    Concatenation (end == next.start) only links hits whose starts
+    differ by exactly ``w``, i.e. hits in the same residue class
+    start ≡ r (mod w). Within a residue class, maximal chains are
+    found with the gaps-and-islands trick (start − w·row_number is
+    constant along a chain); a span of k consecutive hits starting at
+    chain index i and ending at index j covers
+    [start_j − (j−i)·w, start_j + w) with j−i+1 repetitions. Each
+    (chain, i, j) pair is generated exactly once, so the output needs
+    no dedup — one shuffle (the window partition), then pure
+    whole-stage codegen."""
+    from pyspark.sql import Window
+    m = max(1, min_rep)
+    win = Window.partitionBy("doc_id", "_r").orderBy("start")
+    df = (pos.select("doc_id", "start")
+          .withColumn("_r", F.pmod(F.col("start"), F.lit(w)))
+          .withColumn("_chain",
+                      F.col("start") - F.lit(w) * F.row_number().over(win)))
+    cwin = Window.partitionBy("doc_id", "_r", "_chain").orderBy("start")
+    df = (df.withColumn("_j", F.row_number().over(cwin) - 1)
+          .filter(F.col("_j") >= m - 1))
+    hi = F.col("_j") - (m - 1)
+    lo = F.lit(0) if max_rep is None else \
+        F.greatest(F.lit(0), F.col("_j") - (max_rep - 1))
+    out = df.select("doc_id", "start", "_j",
+                    F.explode(F.sequence(lo, hi)).alias("_i"))
+    return out.select(
+        "doc_id",
+        (F.col("start") - (F.col("_j") - F.col("_i")) * w)
+        .cast("int").alias("start"),
+        (F.col("start") + w).cast("int").alias("end"))
 
 
 # Kernel-group key: docs hashed into this many buckets so applyInPandas

@@ -394,7 +394,8 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             raise ValueError(
                 "possibly-empty pattern at top level is not supported "
                 "(inside a sequence it is rewritten to alternatives)")
-        return S.repetition(_exec(index, p.clause), p.min_rep, p.max_rep)
+        return S.repetition(_exec(index, p.clause), p.min_rep, p.max_rep,
+                            width=Q.static_width(p.clause))
     if isinstance(p, Q.Expand):
         return S.expand(index, _exec(index, p.clause), p.direction,
                         p.min_exp, p.max_exp)

@@ -359,6 +359,49 @@ class Tag(Pattern):
     attr_range: tuple | None = None       # (key, min, max)
 
 
+def static_width(p: Pattern) -> int | None:
+    """Token width of every hit ``p`` can produce, if statically
+    known; ``None`` when hits can vary in length. The reference keeps
+    the same notion as BLSpanQuery.hitsLengthMin()==hitsLengthMax()
+    (used by its NFA/clause-combining decisions); here it gates the
+    JVM chain-closure fast path for repetition of fixed-width clauses
+    (operators/spans.py) and other width-dependent rewrites."""
+    if isinstance(p, (Term, Regex, Fuzzy, Not)):
+        return 1                       # token leaves / token complement
+    if isinstance(p, AnyToken):
+        return p.min_len if p.max_len == p.min_len else None
+    if isinstance(p, Seq):
+        ws = [static_width(c) for c in p.clauses]
+        return None if any(w is None for w in ws) else sum(ws)
+    if isinstance(p, Or):
+        ws = {static_width(c) for c in p.clauses}
+        return ws.pop() if len(ws) == 1 and None not in ws else None
+    if isinstance(p, And):
+        # same-span AND: all clauses cover one span, so any clause
+        # with a known width pins the result width
+        ws = {static_width(c) for c in p.clauses} - {None}
+        return ws.pop() if len(ws) == 1 else None
+    if isinstance(p, (Capture, Force)):
+        return static_width(p.clause)
+    if isinstance(p, Rep):
+        w = static_width(p.clause)
+        if w is not None and p.max_rep == p.min_rep:
+            return w * p.min_rep
+        return None
+    if isinstance(p, Expand):
+        w = static_width(p.clause)
+        if w is not None and p.max_exp == p.min_exp:
+            return w + p.min_exp
+        return None
+    if isinstance(p, PosFilter):
+        return static_width(p.producer)
+    if isinstance(p, Constrained):
+        return static_width(p.clause)
+    if isinstance(p, Tag):
+        return 0 if p.adjust in ("lead", "trail") else None
+    return None
+
+
 def _b(v: int | None) -> str:
     return "inf" if v is None else str(v)
 

@@ -15,8 +15,9 @@ from __future__ import annotations
 
 import re
 
-from blacklab_spark.plans.query import (And, AnyToken, Capture, Constrained,
-                                        CrossField, Expand, Force, Not, Or,
+from blacklab_spark.plans.query import (And, AnyToken, CAnnot, Capture,
+                                        CBool, CCmp, Constrained, CrossField,
+                                        CStr, Expand, Force, Not, Or,
                                         Overlap,
                                         Pattern, PosFilter, RCapture, Regex,
                                         RelBranch, RelFunc, RelMatch,
@@ -96,6 +97,111 @@ def _map_children(p: Pattern, fn) -> Pattern:
         return CrossField(fn(p.source), p.target, p.rel_type,
                           p.target_version, p.optional)
     return p
+
+
+def _fold_constrained(p: Constrained) -> Pattern:
+    """Constant-propagation through captures (the analog of the
+    reference's clause-combining optimizations, query rewriting.md):
+    a top-level ``=`` conjunct whose one side is (a) a string literal
+    or (b) an annotation of a capture over a single fixed TERM, and
+    whose other side is an annotation of a capture over ``[]``, pins
+    that ``[]`` to a constant — the ``[]`` leaf becomes a TERM leaf
+    and the conjunct disappears. ``A:"the" B:[] :: A.word = B.word``
+    thereby becomes the postings phrase ``A:"the" B:"the"`` with no
+    forward-index join at all. Only ``=`` folds (``!=`` would
+    materialize a token complement, costlier than the FI join); only
+    single-occurrence captures reachable through Seq/Capture nesting
+    are eligible (a capture under OR/REP does not bind on every
+    match)."""
+    from blacklab_spark.annotations import (ANNOTATION_COLUMNS,
+                                            MULTI_VALUE_LAYERS)
+    caps: dict[str, Pattern] = {}
+    dup: set[str] = set()
+
+    def walk(q):
+        if isinstance(q, Capture):
+            if q.name in caps:
+                dup.add(q.name)
+            else:
+                caps[q.name] = q.clause
+            walk(q.clause)
+        elif isinstance(q, Seq):
+            for c in q.clauses:
+                walk(c)
+
+    walk(p.clause)
+
+    conjs: list = []
+
+    def split(c):
+        if isinstance(c, CBool) and c.op == "&":
+            split(c.a)
+            split(c.b)
+        else:
+            conjs.append(c)
+
+    split(p.filter)
+
+    def _single_col(annot: str) -> str | None:
+        if annot in ANNOTATION_COLUMNS and annot not in MULTI_VALUE_LAYERS:
+            return ANNOTATION_COLUMNS[annot]
+        return None
+
+    replaced: dict[str, Pattern] = {}
+    remaining: list = []
+    for c in conjs:
+        folded = False
+        if isinstance(c, CCmp) and c.op == "=":
+            for lhs, rhs in ((c.lhs, c.rhs), (c.rhs, c.lhs)):
+                if not (isinstance(rhs, CAnnot) and rhs.label in caps
+                        and rhs.label not in dup
+                        and rhs.label not in replaced
+                        and _single_col(rhs.annot) is not None):
+                    continue
+                tgt = caps[rhs.label]
+                if not (isinstance(tgt, AnyToken) and tgt.min_len == 1
+                        and tgt.max_len == 1):
+                    continue
+                if isinstance(lhs, CStr):
+                    # literal desensitizes per the annot layer — the
+                    # TERM leaf applies the identical fold
+                    text = lhs.value
+                elif (isinstance(lhs, CAnnot) and lhs.label in caps
+                      and lhs.label not in dup
+                      and lhs.label not in replaced
+                      and lhs.annot == rhs.annot):
+                    tc = caps[lhs.label]
+                    col = _single_col(lhs.annot)
+                    if not (isinstance(tc, Term) and col is not None
+                            and ANNOTATION_COLUMNS[tc.layer] == col):
+                        continue
+                    text = tc.text
+                else:
+                    continue
+                replaced[rhs.label] = Term(text, layer=rhs.annot)
+                folded = True
+                break
+        if not folded:
+            remaining.append(c)
+    if not replaced:
+        return p
+
+    def rep(q):
+        if isinstance(q, Capture):
+            if q.name in replaced:
+                return Capture(replaced[q.name], q.name)
+            return Capture(rep(q.clause), q.name)
+        if isinstance(q, Seq):
+            return Seq(*[rep(c) for c in q.clauses])
+        return q
+
+    new_clause = rep(p.clause)
+    if not remaining:
+        return new_clause
+    filt = remaining[0]
+    for c in remaining[1:]:
+        filt = CBool("&", filt, c)
+    return Constrained(new_clause, filt)
 
 
 def _rewrite_once(p: Pattern) -> Pattern:
@@ -184,6 +290,13 @@ def _rewrite_once(p: Pattern) -> Pattern:
             return flat[0]
         if flat != list(p.clauses):
             return And(*flat)
+
+    # constraint constant-folding: Constrained → phrase when conjuncts
+    # pin [] captures to constants
+    if isinstance(p, Constrained):
+        q = _fold_constrained(p)
+        if q is not p:
+            return q
 
     # !!A → A
     if isinstance(p, Not) and isinstance(p.clause, Not):

@@ -910,3 +910,62 @@ def test_fi_match_factor_override(idx):
     assert hits_off == hits_on == hits_of(find(idx, '"visa" "the"'))
     # override is scoped: default behavior restored
     assert _seq_choice(idx, seq.clauses) == base
+
+
+def test_static_width():
+    """plans/query.static_width — fixed hit width where statically
+    known (the BLSpanQuery hitsLengthMin==Max analog)."""
+    assert Q.static_width(Q.Term("the")) == 1
+    assert Q.static_width(Q.Seq(Q.Term("a"), Q.Term("b"))) == 2
+    assert Q.static_width(Q.AnyToken(2, 2)) == 2
+    assert Q.static_width(Q.AnyToken(1, 3)) is None
+    assert Q.static_width(Q.Or(Q.Term("a"), Q.Term("b"))) == 1
+    assert Q.static_width(
+        Q.Or(Q.Term("a"), Q.Seq(Q.Term("a"), Q.Term("b")))) is None
+    assert Q.static_width(Q.Rep(Q.Term("a"), 2, 2)) == 2
+    assert Q.static_width(Q.Rep(Q.Term("a"), 1, None)) is None
+    assert Q.static_width(Q.Capture(Q.Not(Q.Term("a")), "A")) == 1
+    assert Q.static_width(Q.Expand(Q.Term("a"), "right", 2, 2)) == 3
+
+
+def test_constraint_fold_shapes():
+    """Constant propagation through captures: a ``=`` conjunct pinning
+    an ``[]`` capture to a constant folds into a TERM leaf; the
+    constraint node disappears when every conjunct folds."""
+    folded = rewrite(parse('A:"the" B:[] :: A.word = B.word'))
+    assert isinstance(folded, Q.Seq) and not isinstance(folded,
+                                                        Q.Constrained)
+    assert folded.clauses[1] == Q.Capture(Q.Term("the", layer="word"), "B")
+    # literal pin, capture alone
+    assert rewrite(parse('A:[] :: A.word = "visa"')) == \
+        Q.Capture(Q.Term("visa", layer="word"), "A")
+    # cascading fold across conjuncts (A pins B, then B pins C)
+    chain = rewrite(
+        parse('A:"the" B:[] C:[] :: A.word = B.word & B.word = C.word'))
+    assert not isinstance(chain, Q.Constrained)
+    # partial fold keeps the unfoldable conjunct
+    part = rewrite(parse('A:[] B:[] :: B.word = "visa" & A.word < B.word'))
+    assert isinstance(part, Q.Constrained)
+    assert isinstance(part.filter, Q.CCmp) and part.filter.op == "<"
+    # never folds: both sides [], != comparison, mixed layers,
+    # capture under OR (may not bind on every match)
+    assert isinstance(rewrite(parse('A:[] B:[] :: A.word = B.word')),
+                      Q.Constrained)
+    assert isinstance(rewrite(parse('A:"the" B:[] :: A.word != B.word')),
+                      Q.Constrained)
+    assert isinstance(rewrite(parse('A:"the" B:[] :: A.word_s = B.word')),
+                      Q.Constrained)
+    assert isinstance(rewrite(parse('("x" | A:[]) :: A.word = "y"')),
+                      Q.Constrained)
+
+
+def test_constraint_fold_end_to_end(idx, tiny_oracle):
+    """Folded execution ≡ runtime-constraint execution ≡ oracle."""
+    from blacklab_spark.plans.executor import _exec
+    q = 'A:"the" B:[] :: A.word = B.word'
+    got = hits_of(find(idx, q))
+    expected = [(d, p, p + 2) for d, toks in otoks(tiny_oracle).items()
+                for p in range(len(toks) - 1)
+                if toks[p] == "the" and toks[p + 1] == "the"]
+    assert got == sorted(expected)
+    assert got == hits_of(_exec(idx, parse(q)))   # unfolded path

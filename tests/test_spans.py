@@ -237,3 +237,19 @@ def test_filter_ngrams(tiny_engine, tiny_oracle):
                 if p + 1 + w <= n:
                     expected.add((d, p, p + 1 + w))
     assert got == sorted(expected) and got
+
+
+def test_repetition_chain_fast_path(idx, tiny_oracle):
+    """Fixed-width repetition rides the JVM chain-closure path
+    (gaps-and-islands window + explode — no Python kernel, output
+    pre-deduplicated); hits identical to the variable-width fallback
+    across widths and bound shapes."""
+    the = S.term(idx, "the")
+    pairs = S.sequence(S.term(idx, "the"), S.any_token(idx, 1, 1))
+    for clause, w, m, n in [(the, 1, 1, None), (the, 1, 2, None),
+                            (the, 1, 2, 4), (pairs, 2, 1, None),
+                            (pairs, 2, 2, 3)]:
+        fast = hits_of(S.repetition(clause, m, n, width=w))
+        slow = hits_of(S.repetition(clause, m, n, width=None))
+        assert fast == slow, (w, m, n)
+    assert hits_of(S.repetition(the, 1, None, width=1))
