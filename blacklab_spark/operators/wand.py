@@ -48,6 +48,16 @@ LOCAL_TOPK_SCHEMA = T.StructType([
     T.StructField("score", T.DoubleType(), False),
 ])
 
+# Skip the threshold-seeding pass below this many candidate postings
+# (Σ df over the query terms). Seeding costs one fixed Spark job
+# (collect round-trip + block-metadata scan) before scoring can start;
+# decoding the unpruned postings is vectorized ~10^7 entries/s/core,
+# so below ~10^6 entries the seed job costs more wall-clock than the
+# decode it could save. At 10^11-posting stopword volume the seed +
+# block-max prune is what makes the query feasible at all — the same
+# statistics-driven physical choice as engine.topk's mode="auto".
+WAND_SEED_MIN_POSTINGS = 1_000_000
+
 
 def _seed_threshold(blocks: DataFrame, k: int) -> float:
     """k-th largest per-BUCKET max_score within a single term → lower
@@ -87,10 +97,14 @@ def topk_wand(index: InvertedIndex, terms: list[str], k: int = 10) -> DataFrame:
 
 
 def wand_scores(index: InvertedIndex, terms: list[str],
-                k: int) -> DataFrame:
+                k: int, seed: bool | None = None) -> DataFrame:
     """The block-pruned per-bucket local-top-k scores stage of
     :func:`topk_wand` (factored out so plan assertions can inspect the
-    scoring plan — finish_topk materializes the winners eagerly)."""
+    scoring plan — finish_topk materializes the winners eagerly).
+
+    ``seed=None`` decides from term statistics whether the
+    threshold-seeding job pays for itself (WAND_SEED_MIN_POSTINGS);
+    True/False forces it (tests / debugging)."""
     spark = index.spark
     info = index.lookup_terms(terms)
     if info.empty:
@@ -99,7 +113,9 @@ def wand_scores(index: InvertedIndex, terms: list[str],
     idf_map = {int(t): float(i) for t, i in zip(info["term_id"], info["idf"])}
     blocks = index.postings.filter(F.col("term_id").isin(term_ids))
 
-    t0 = _seed_threshold(blocks, k)
+    if seed is None:
+        seed = int(info["df"].sum()) >= WAND_SEED_MIN_POSTINGS
+    t0 = _seed_threshold(blocks, k) if seed else 0.0
     if t0 > 0.0:
         if len(term_ids) == 1:
             pruned = blocks.filter(F.col("max_score") >= t0)
@@ -140,7 +156,7 @@ def _filtered_scores(index: InvertedIndex, blocks: DataFrame,
 
 def topk_wand_filtered(index: InvertedIndex, terms: list[str],
                        doc_filter: Column, k: int = 10,
-                       seed_blocks: int = 64,
+                       seed_blocks: int = 64, seed: bool | None = None,
                        _debug: dict | None = None) -> DataFrame:
     """Filter-then-score block-max top-k under a metadata filter
     (VERDICT r01 #3 — the scale-safe filtered plan):
@@ -186,12 +202,19 @@ def topk_wand_filtered(index: InvertedIndex, terms: list[str],
               .join(abuckets, "bucket", "left_semi"))
 
     # seed pass: exact partial scores of allowed docs in the top
-    # metadata blocks (tiny: seed_blocks blocks through the kernel)
-    seed = (blocks.orderBy(F.desc("max_score")).limit(seed_blocks))
-    seed_rows = (_filtered_scores(index, seed, allowed, idf_map)
-                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-                 .collect())
-    t0 = float(seed_rows[-1]["score"]) if len(seed_rows) == k else 0.0
+    # metadata blocks (tiny: seed_blocks blocks through the kernel).
+    # Statistics-gated like wand_scores: below WAND_SEED_MIN_POSTINGS
+    # candidate postings the two seed/prune jobs cost more wall-clock
+    # than the decode they could save.
+    if seed is None:
+        seed = int(info["df"].sum()) >= WAND_SEED_MIN_POSTINGS
+    t0 = 0.0
+    if seed:
+        sblocks = (blocks.orderBy(F.desc("max_score")).limit(seed_blocks))
+        seed_rows = (_filtered_scores(index, sblocks, allowed, idf_map)
+                     .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+                     .collect())
+        t0 = float(seed_rows[-1]["score"]) if len(seed_rows) == k else 0.0
 
     pruned = blocks
     if t0 > 0.0:

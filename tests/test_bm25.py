@@ -119,7 +119,8 @@ def test_filtered_wand_seeds_threshold_and_prunes(small_engine):
     from blacklab_spark.operators.wand import topk_wand_filtered
     dbg = {}
     df = topk_wand_filtered(small_engine.index, ["visa"],
-                            F.col("role") == "assistant", k=3, _debug=dbg)
+                            F.col("role") == "assistant", k=3, seed=True,
+                            _debug=dbg)
     rows = df.collect()
     assert len(rows) == 3
     assert dbg["t0"] > 0.0

@@ -207,7 +207,7 @@ def test_wand_block_prune_reaches_parquet_scan(tiny_engine):
     the postings parquet scan (row-group pruning — pruned payloads are
     never materialized)."""
     from blacklab_spark.operators.wand import wand_scores
-    df = wand_scores(tiny_engine.index, ["visa"], k=2)
+    df = wand_scores(tiny_engine.index, ["visa"], k=2, seed=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "max_score" in plan
 
