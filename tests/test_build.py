@@ -23,6 +23,40 @@ def test_assign_dense_ids_matches_global_rank(spark, tiny_pdf):
     assert [g[2] for g in got] == list(range(len(expected)))
 
 
+def test_assign_doc_ids_fast_path_matches_generic(spark, tiny_pdf):
+    """The conv-offset fast path must assign the SAME ids as the
+    generic global-rank scheme (gates hash-verify doc_id everywhere,
+    so the two plans must be bit-identical)."""
+    from blacklab_spark.build import assign_doc_ids
+    df = spark.createDataFrame(tiny_pdf)
+    fast, c1 = assign_doc_ids(df, 4)
+    slow, c2 = assign_dense_ids(df, ["conv_id", "turn_idx"], "doc_id", 4)
+    got = sorted((r["conv_id"], r["turn_idx"], r["doc_id"])
+                 for r in fast.select("conv_id", "turn_idx",
+                                      "doc_id").collect())
+    exp = sorted((r["conv_id"], r["turn_idx"], r["doc_id"])
+                 for r in slow.select("conv_id", "turn_idx",
+                                      "doc_id").collect())
+    c1.unpersist()
+    c2.unpersist()
+    assert got == exp
+
+
+def test_assign_doc_ids_nondense_falls_back(spark, tiny_pdf):
+    """Gapped turn_idx (e.g. a deleted middle turn in the source) must
+    take the generic path and still produce dense global ranks."""
+    from blacklab_spark.build import assign_doc_ids
+    pdf = tiny_pdf.copy()
+    pdf["turn_idx"] = pdf["turn_idx"] * 2  # gaps: 0,2,4,...
+    df = spark.createDataFrame(pdf)
+    out, cached = assign_doc_ids(df, 4)
+    rows = sorted((r["conv_id"], r["turn_idx"], r["doc_id"])
+                  for r in out.select("conv_id", "turn_idx",
+                                      "doc_id").collect())
+    cached.unpersist()
+    assert [r[2] for r in rows] == list(range(len(rows)))
+
+
 def test_doc_meta_matches_oracle(spark, tiny_index_dir, tiny_oracle):
     idx = open_index(spark, tiny_index_dir)
     assert idx.n_docs == tiny_oracle.n_docs
