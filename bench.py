@@ -91,9 +91,19 @@ def build_once(spark, corpus_path: str, out_dir: str, partitions: int,
     corpus = spark.read.parquet(corpus_path)
     cfg = BuildConfig(block_size=128, bucket_size=4096,
                       num_partitions=partitions)
-    t0 = time.time()
-    m = build_index(spark, corpus, out_dir, cfg)
-    dur = time.time() - t0
+    # median of 3 timed builds: a single run at this corpus size is
+    # noise-dominated (measured 21.8 / 11.6 / 9.6 s for identical
+    # back-to-back builds — residual JIT tiering + box-level clock /
+    # contention blips), and one bad window would be recorded as a
+    # throughput regression that doesn't exist.
+    durs, m = [], None
+    for rep in range(3):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        m = build_index(spark, corpus, out_dir, cfg)
+        durs.append(time.time() - t0)
+        log(f"build rep{rep}: {durs[-1]:.2f}s")
+    dur = statistics.median(durs)
     return {"sec": round(dur, 2), "turns": m["stats"]["n_docs"],
             "turns_per_sec": round(m["stats"]["n_docs"] / dur, 1),
             "tokens": m["stats"]["total_tokens"]}
@@ -170,7 +180,10 @@ def main() -> None:
     }
     for name, fn in qdefs.items():
         fn()  # warm (JIT, file listing)
-        queries[name] = round(median_of(fn, reps=3), 3)
+        # 5 reps: the median of 3 is defenceless against one multi-
+        # second machine-level blip covering the whole window (observed
+        # once: q14 5.69s recorded vs 1.3s steady state re-measured)
+        queries[name] = round(median_of(fn, reps=5), 3)
         log(f"{name}: {queries[name]}s")
 
     # p50/p95 for the headline top-k queries (driver north metric
@@ -196,7 +209,7 @@ def main() -> None:
     queries["docs_index_build_or_open"] = round(time.time() - t0, 3)
     queries["q11_docs_bm25"] = round(median_of(
         lambda: fmt_topk_docs(deng.topk(["spark", "vector"], k=10)).collect(),
-        reps=3), 3)
+        reps=5), 3)
 
     # -- scaling evidence: same job + input at several parallelism
     # levels (N→4N criterion; BASELINE.md). Each level runs in a FRESH
