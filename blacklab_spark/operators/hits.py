@@ -153,15 +153,47 @@ def term_hits_auto(index: InvertedIndex, term: str,
 # same bound as plans/executor.FISEQ_MAX_ANCHOR_DOCS).
 MAX_PUSHDOWN_DOCS = 65536
 
+# Pushdown must also be SELECTIVE: an IN-list covering more than
+# 1/this of the corpus prunes (almost) no row groups, so the scan does
+# full work PLUS a large In-filter per row — measured 5.7s vs 0.86s
+# for the plain join when the id set covered 70% of a 21k-doc corpus.
+# At 10^12 docs the same 65k-id list passes easily (selectivity
+# ~10^-7) and saves the full-table scan, which is the case the
+# pushdown exists for.
+PUSHDOWN_MIN_SELECTIVITY = 64
+
+
+def in_list_pred(ids, col: str = "doc_id"):
+    """``col IN (...)`` for a large id list via ONE parsed SQL
+    expression. ``Column.isin(list)`` marshals every literal through
+    Py4J individually — measured 13.3s to merely BUILD the Column at
+    15k ids; the SQL parser takes the same list in ~1s. Sorted for
+    deterministic plans. Strings are SQL-quoted (doubled single
+    quotes); everything else renders as an integer literal. An empty
+    list is always-false (``isin([])`` semantics; ``IN ()`` would be a
+    SQL parse error)."""
+    vals = sorted(ids)
+    if not vals:
+        return F.lit(False)
+    if vals and isinstance(vals[0], str):
+        body = ",".join("'" + v.replace("'", "''") + "'" for v in vals)
+    else:
+        body = ",".join(map(str, vals))
+    return F.expr(f"{col} IN ({body})")
+
 
 def push_hit_docs(hits: DataFrame, dm: DataFrame,
-                  max_docs: int = MAX_PUSHDOWN_DOCS) -> DataFrame:
+                  max_docs: int = MAX_PUSHDOWN_DOCS,
+                  n_docs: int | None = None) -> DataFrame:
     """Push a hits frame's doc set into a doc_meta scan as
     ``doc_id IN (...)`` — the _fiseq anchor pattern: a rare-term
     context fetch then reads only the anchor's row groups instead of
     broadcast-joining against a full-table scan. Falls back to the
     plain scan (join prunes rows, not row groups) when the HIT count
-    exceeds the driver-collect bound. Costs one extra bounded job over
+    exceeds the driver-collect bound, or when the id set is too large
+    a fraction of the corpus for row-group pruning to pay
+    (PUSHDOWN_MIN_SELECTIVITY; ``n_docs`` = corpus size, pass
+    ``index.n_docs``). Costs one extra bounded job over
     the hits plan — deliberately a non-distinct limit: CollectLimit
     over raw hits short-circuits after max_docs+1 ROWS (a hot-term
     frame stops after its first partition), where a distinct() would
@@ -171,10 +203,12 @@ def push_hit_docs(hits: DataFrame, dm: DataFrame,
     falls back to the plain join — the bound is a heuristic, not a
     semantic."""
     rows = hits.select("doc_id").limit(max_docs + 1).collect()
-    if len(rows) <= max_docs:
-        ids = list({r[0] for r in rows})
-        return dm.filter(F.col("doc_id").isin(ids))
-    return dm
+    if len(rows) > max_docs:
+        return dm
+    ids = {r[0] for r in rows}
+    if n_docs is not None and len(ids) * PUSHDOWN_MIN_SELECTIVITY > n_docs:
+        return dm
+    return dm.filter(in_list_pred(ids))
 
 
 def kwic(index: InvertedIndex, hits: DataFrame,
@@ -220,7 +254,7 @@ def kwic(index: InvertedIndex, hits: DataFrame,
         dm = dm.select("doc_id", "conv_id", "turn_idx", "tokens",
                        *[F.col(ANNOTATION_COLUMNS[a]) for a in extra])
     if pushdown:
-        dm = push_hit_docs(hits, dm)
+        dm = push_hit_docs(hits, dm, n_docs=index.n_docs)
     j = hits.join(dm, "doc_id")
     left_from = F.greatest(F.lit(0), F.col("start") - context)
 
@@ -273,7 +307,7 @@ def concordances(index: InvertedIndex, hits: DataFrame,
     dm = index.doc_meta.select("doc_id", "conv_id", "turn_idx",
                                F.col(col).alias("_raw"))
     if pushdown:
-        dm = push_hit_docs(hits, dm)
+        dm = push_hit_docs(hits, dm, n_docs=index.n_docs)
     j = hits.select("doc_id", "start", "end").join(dm, "doc_id")
 
     import re as _re
@@ -325,7 +359,8 @@ def group_hits_by_context_word(index: InvertedIndex, hits: DataFrame,
     offset>0 → after-hit, offset<0 → before-hit. Hits that have no such
     token (doc edge) group under NULL, then are dropped (reference
     groups them under an empty context)."""
-    dm = push_hit_docs(hits, index.doc_meta.select("doc_id", "tokens"))
+    dm = push_hit_docs(hits, index.doc_meta.select("doc_id", "tokens"),
+                       n_docs=index.n_docs)
     j = hits.join(dm, "doc_id")
     idx = (F.col("end") + offset) if offset > 0 else (F.col("start") + 1 + offset)
     # guard idx >= 1: negative element_at indexes from the array END
@@ -339,7 +374,8 @@ def group_hits_by_context_word(index: InvertedIndex, hits: DataFrame,
 def group_hits_by_doc_field(index: InvertedIndex, hits: DataFrame,
                             field: str) -> DataFrame:
     """Group hits by a per-doc metadata field (HitPropertyDocumentStoredField)."""
-    dm = push_hit_docs(hits, index.doc_meta.select("doc_id", field))
+    dm = push_hit_docs(hits, index.doc_meta.select("doc_id", field),
+                       n_docs=index.n_docs)
     return (hits.join(dm, "doc_id")
             .groupBy(F.col(field).alias("group_key"))
             .agg(F.count("*").alias("count")))
@@ -414,7 +450,8 @@ def collocations(index: InvertedIndex, term: str, window: int = 10,
         pos = F.col("pos")
     else:
         hits = term_hits_auto(index, folded, doc_filter)
-        dm = push_hit_docs(hits, index.doc_meta.select("doc_id", "tokens"))
+        dm = push_hit_docs(hits, index.doc_meta.select("doc_id", "tokens"),
+                       n_docs=index.n_docs)
         j = hits.join(dm, "doc_id")
         pos = F.col("start")
     idxs = F.array_remove(
@@ -433,7 +470,8 @@ def collocations_from_hits(index: InvertedIndex, hits: DataFrame,
     ``/hits?calc=colloc`` (Contexts.java:247-292 over a pattern's
     hits). The hits' doc ids are pushed into the doc_meta scan, so the
     context fetch reads only the anchor docs' row groups."""
-    dm = push_hit_docs(hits, index.doc_meta.select("doc_id", "tokens"))
+    dm = push_hit_docs(hits, index.doc_meta.select("doc_id", "tokens"),
+                       n_docs=index.n_docs)
     j = hits.join(dm, "doc_id")
     idxs = F.filter(
         F.sequence(F.greatest(F.lit(0), F.col("start") - window),

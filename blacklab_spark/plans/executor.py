@@ -90,7 +90,9 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
     other clauses against the token-array forward index of ONLY the
     anchor's docs (doc_id IN-list pushed to the parquet scan)."""
     from blacklab_spark.annotations import ANNOTATION_COLUMNS
-    from blacklab_spark.operators.hits import hits_for_term_ids
+    from blacklab_spark.operators.hits import (PUSHDOWN_MIN_SELECTIVITY,
+                                               hits_for_term_ids,
+                                               in_list_pred)
     n = len(clauses)
     anchor = hits_for_term_ids(index, stats[a][2])
     ids = [r[0] for r in anchor.select("doc_id").distinct()
@@ -112,8 +114,12 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
                 f"annotation layer {layer!r} was not materialized in "
                 f"this index (have columns: {sorted(dm_cols)})")
     dm = index.doc_meta.select("doc_id", "n_tokens", *sorted(layers))
-    if len(ids) <= FISEQ_MAX_ANCHOR_DOCS:
-        dm = dm.filter(F.col("doc_id").isin(ids))
+    if len(ids) <= FISEQ_MAX_ANCHOR_DOCS and \
+            len(ids) * PUSHDOWN_MIN_SELECTIVITY <= index.n_docs:
+        # selectivity guard + SQL-parsed IN list: see push_hit_docs —
+        # Column.isin marshals literals one Py4J call each (13s at 15k
+        # ids), and an unselective IN-list costs more than it prunes.
+        dm = dm.filter(in_list_pred(ids))
     j = anchor.join(dm, "doc_id")
     start0 = F.col("start") - a
     j = j.filter((start0 >= 0) & (start0 + n <= F.col("n_tokens")))

@@ -60,7 +60,11 @@ def _pairs_against_state(new_banded: DataFrame, state: DataFrame,
             new_banded.select("key").distinct()
             .limit(push_limit + 1).collect()]
     if len(keys) <= push_limit:
-        state = state.filter(F.col("key").isin(keys))
+        # one parsed SQL IN — Column.isin marshals each key through
+        # Py4J individually (~1ms each: minutes per micro-batch at
+        # this bound; see operators.hits.in_list_pred)
+        from blacklab_spark.operators.hits import in_list_pred
+        state = state.filter(in_list_pred(keys, col="key"))
     both = state.unionByName(new_banded)
     cand = (both.alias("a").join(
         new_b.alias("b"),

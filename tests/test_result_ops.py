@@ -5,6 +5,13 @@ from blacklab_spark.oracle import collocations as oracle_colloc
 from blacklab_spark.oracle import term_frequencies as oracle_tf
 
 
+def _rarest_term(eng) -> str:
+    """A term selective enough that the doc-id IN-list pushdown fires
+    (len(docs) * PUSHDOWN_MIN_SELECTIVITY <= n_docs)."""
+    return (eng.index.terms.orderBy("df", "term_id").limit(1)
+            .collect()[0]["term"])
+
+
 def test_term_frequencies(tiny_engine, tiny_oracle):
     got = {r["term"]: r["count"] for r in
            tiny_engine.term_frequencies().collect()}
@@ -110,11 +117,15 @@ def test_kwic_pushes_anchor_docs_into_scan(tiny_engine):
     """A rare-term KWIC must read doc_meta only for the anchor's docs:
     the hits' doc ids are pushed as a doc_id IN (...) parquet filter
     (VERDICT r02 #2 'done' criterion — mirror of the CQL postings
-    plan assertion)."""
-    hits = tiny_engine.term_hits("visa")
+    plan assertion). Uses the corpus's rarest term: pushdown is
+    selectivity-gated (PUSHDOWN_MIN_SELECTIVITY), so a term covering
+    a large corpus fraction deliberately keeps the plain join."""
+    hits = tiny_engine.term_hits(_rarest_term(tiny_engine))
     df = tiny_engine.kwic(hits, context=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "In(doc_id" in plan
+    # a 1-element IN list constant-folds to EqualTo — both are the
+    # pushed data-source filter we require
+    assert "In(doc_id" in plan or "EqualTo(doc_id" in plan
 
 
 def test_facade_term_hits_uses_postings(tiny_engine):
@@ -272,14 +283,60 @@ def test_concordances_match_kwic(tiny_engine):
             (k["conv_id"], k["turn_idx"])
 
 
+def test_push_hit_docs_selectivity_gate(tiny_engine):
+    """A doc set covering too large a corpus fraction must NOT become
+    an IN-list: building Column.isin at 15k ids took 13s of Py4J
+    marshalling alone, and the unselective scan filter ran 6x slower
+    than the plain join it was meant to beat (measured, hits.py
+    PUSHDOWN_MIN_SELECTIVITY). The hot term falls back (same frame
+    returned); the rarest term still pushes down, and both paths
+    return identical groups."""
+    from blacklab_spark.operators.hits import push_hit_docs
+    idx = tiny_engine.index
+    dm = idx.doc_meta.select("doc_id", "tokens")
+
+    hot = push_hit_docs(tiny_engine.term_hits("a"), dm, n_docs=idx.n_docs)
+    assert hot is dm
+
+    rare_hits = tiny_engine.term_hits(_rarest_term(tiny_engine))
+    rare = push_hit_docs(rare_hits, dm, n_docs=idx.n_docs)
+    assert rare is not dm
+    pushed = {(r["doc_id"],) for r in
+              rare.select("doc_id").distinct().collect()}
+    plain = {(r["doc_id"],) for r in
+             rare_hits.select("doc_id").distinct().collect()}
+    assert plain <= pushed
+
+
+def test_push_hit_docs_empty_hits(tiny_engine):
+    """Zero hits → always-false filter, not a ``IN ()`` parse error
+    (isin([]) semantics)."""
+    from blacklab_spark.operators.hits import push_hit_docs
+    idx = tiny_engine.index
+    empty = tiny_engine.spark.createDataFrame(
+        [], "doc_id long, start int, end int")
+    out = push_hit_docs(empty, idx.doc_meta.select("doc_id"),
+                        n_docs=idx.n_docs)
+    assert out.count() == 0
+
+
+def test_group_by_context_hot_term_avoids_in_list(tiny_engine):
+    """group_hits_by_context_word over a hot term must not carry a
+    giant IN(...) in its plan (the q10 regression: 14.6s vs 1.1s)."""
+    hits = tiny_engine.term_hits("a")
+    df = tiny_engine.group_hits_by_context_word(hits, offset=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" not in plan
+
+
 def test_concordances_pushdown_plan(tiny_engine):
     """The content fetch reads only the hits' docs (doc_id pushed
-    into the scan)."""
+    into the scan; rare term — pushdown is selectivity-gated)."""
     from blacklab_spark.operators.hits import concordances
-    hits = tiny_engine.term_hits("visa")
+    hits = tiny_engine.term_hits(_rarest_term(tiny_engine))
     plan = concordances(tiny_engine.index, hits)._jdf \
         .queryExecution().executedPlan().toString()
-    assert "In(doc_id" in plan
+    assert "In(doc_id" in plan or "EqualTo(doc_id" in plan
 
 
 def test_kwic_multi_annotation(tiny_engine, tiny_oracle):
