@@ -75,7 +75,7 @@ def warm_python_workers(spark, partitions: int) -> None:
 
 
 def build_once(spark, corpus_path: str, out_dir: str, partitions: int,
-               warmup_corpus: str | None = None) -> dict:
+               warmup_corpus: str | None = None, reps: int = 3) -> dict:
     """Timed build. If ``warmup_corpus`` is given, an untimed build of
     that (tiny) corpus runs first in the same session: it pays the
     one-off JVM whole-stage-codegen compilation for every stage shape
@@ -91,13 +91,15 @@ def build_once(spark, corpus_path: str, out_dir: str, partitions: int,
     corpus = spark.read.parquet(corpus_path)
     cfg = BuildConfig(block_size=128, bucket_size=4096,
                       num_partitions=partitions)
-    # median of 3 timed builds: a single run at this corpus size is
-    # noise-dominated (measured 21.8 / 11.6 / 9.6 s for identical
-    # back-to-back builds — residual JIT tiering + box-level clock /
-    # contention blips), and one bad window would be recorded as a
-    # throughput regression that doesn't exist.
+    # median of `reps` timed builds: a single run at the main-corpus
+    # size (~10s) is noise-dominated (measured 21.8 / 11.6 / 9.6 s for
+    # identical back-to-back builds — residual JIT tiering + box-level
+    # clock / contention blips), and one bad window would be recorded
+    # as a throughput regression that doesn't exist. The scaling child
+    # passes reps=1: its builds run 40-380s (blips amortize) and it
+    # already takes best-of-3 across calls.
     durs, m = [], None
-    for rep in range(3):
+    for rep in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         m = build_index(spark, corpus, out_dir, cfg)
@@ -301,7 +303,8 @@ def scale_child(argv: list[str]) -> None:
     best = None
     for i in range(3):
         r = build_once(s, scaling_path, out_dir, partitions,
-                       warmup_corpus=warm_path if i == 0 else None)
+                       warmup_corpus=warm_path if i == 0 else None,
+                       reps=1)
         log(f"local[{cores}] rep{i}: {r}")
         if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
             best = r
