@@ -182,12 +182,20 @@ def assign_doc_ids(df: DataFrame, num_partitions: int):
     offsets = stats.select(
         "conv_id",
         F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off"))
+    # The partition sort must come AFTER the join: Catalyst's
+    # EliminateSorts silently drops a local sort that sits below a
+    # join (verified on the executed plan — no Sort node survived),
+    # which left each doc_meta file a concatenation of a few sorted
+    # mapper-chunk runs instead of one sorted run. Sorting the
+    # computed doc_id above the join survives the optimizer (plan-
+    # asserted in tests) and is also cheaper: one int64 key instead
+    # of (string, int).
     out = (df.repartitionByRange(num_partitions, "conv_id", "turn_idx")
-           .sortWithinPartitions("conv_id", "turn_idx")
            .join(F.broadcast(offsets), "conv_id")
            .withColumn("doc_id",
                        (F.col("_off") + F.col("turn_idx")).cast("long"))
-           .drop("_off"))
+           .drop("_off")
+           .sortWithinPartitions("doc_id"))
     return out, stats
 
 

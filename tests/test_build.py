@@ -42,6 +42,38 @@ def test_assign_doc_ids_fast_path_matches_generic(spark, tiny_pdf):
     assert got == exp
 
 
+def test_assign_doc_ids_sort_survives_optimizer(spark, tiny_pdf):
+    """Catalyst's EliminateSorts drops a local sort BELOW a join, so
+    the fast path must sort doc_id ABOVE the join. Assert (a) a Sort
+    node survives in the executed plan and (b) every written doc_meta
+    file is internally doc_id-ascending — the invariant the SPIMI
+    kernel's presorted fast path and row-group pruning rely on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from blacklab_spark.build import assign_doc_ids
+    df = spark.createDataFrame(tiny_pdf)
+    out, cached = assign_doc_ids(df, 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    cached.unpersist()
+    assert "Sort [doc_id" in plan, plan
+    # (b) on a real index dir built by the session fixture
+    # (tiny_index_dir builds through this exact path)
+
+
+def test_doc_meta_files_internally_sorted(spark, tiny_index_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(os.path.join(tiny_index_dir, "doc_meta",
+                                          "part-*.parquet")))
+    assert files
+    for f in files:
+        d = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_numpy()
+        assert (np.diff(d) >= 0).all(), f
+
+
 def test_assign_doc_ids_nondense_falls_back(spark, tiny_pdf):
     """Gapped turn_idx (e.g. a deleted middle turn in the source) must
     take the generic path and still produce dense global ranks."""
