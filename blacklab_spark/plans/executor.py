@@ -240,27 +240,126 @@ def _seq_captures_arithmetic(index: InvertedIndex,
                        F.create_map(*entries).alias("match_info"))
 
 
-def _compile_constraint(c, layers: set[str]):
+def _anyseq_caps(clause):
+    """``(width, {name: (offset, cap_width)})`` when ``clause`` is a
+    fixed-width sequence of any-token elements (``[]{k,k}``, plain or
+    captured) — the shape where the generic constrained path would
+    materialize EVERY w-gram of the corpus and join the forward index
+    back onto it. None otherwise (a selective leaf anchors better via
+    postings)."""
+    elems = list(clause.clauses) if isinstance(clause, Q.Seq) \
+        else [clause]
+    off, caps = 0, {}
+    for e in elems:
+        name = None
+        if isinstance(e, Q.Capture):
+            name, e = e.name, e.clause
+        if not (isinstance(e, Q.AnyToken) and e.max_len is not None
+                and e.min_len == e.max_len):
+            return None
+        if name is not None:
+            if name in caps:
+                return None
+            caps[name] = (off, e.min_len)
+        off += e.min_len
+    if not caps:
+        return None
+    return off, caps
+
+
+def _constraint_labels(c) -> set[str]:
+    """Capture labels a MatchFilter tree references."""
+    if isinstance(c, Q.CBool):
+        return _constraint_labels(c.a) | _constraint_labels(c.b)
+    if isinstance(c, Q.CNot):
+        return _constraint_labels(c.v)
+    if isinstance(c, Q.CCmp):
+        return _constraint_labels(c.lhs) | _constraint_labels(c.rhs)
+    if isinstance(c, (Q.CAnnot, Q.CFunc)):
+        return {c.label}
+    return set()
+
+
+def _constrained_scan(index: InvertedIndex, width: int, caps: dict,
+                      filt) -> DataFrame | None:
+    """CONSTRAINED over an all-any-token fixed-width sequence → ONE
+    forward-index scan: per document, filter ``sequence(0, n - w)``
+    with the constraint compiled against arithmetic capture positions
+    (start + offset), entirely inside whole-stage codegen. No w-gram
+    materialization, no join — the generic path for ``A:[] B:[] ::
+    A.word = B.word`` explodes every adjacent pair of the corpus and
+    joins doc_meta back onto it (reference: SpanQueryConstrained over
+    SpansNGrams, the worst case its forward-index NFA exists for)."""
+    if not _constraint_labels(filt) <= set(caps):
+        return None                      # undefined capture → generic
+
+    def acol(i):
+        def resolve(label, col):
+            off, _w = caps[label]
+            return F.try_element_at(
+                F.col(col), (i + F.lit(off + 1)).cast("int"))
+        return resolve
+
+    def pcol(i):
+        def resolve(label, key):
+            off, w = caps[label]
+            return (i + F.lit(off if key == "s" else off + w)) \
+                .cast("int")
+        return resolve
+
+    layers: set[str] = set()
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("n_tokens") - width),
+        lambda i: _compile_constraint(filt, layers, acol(i), pcol(i)))
+    missing = [c for c in sorted(layers)
+               if c not in index.doc_meta.columns]
+    if missing:
+        raise ValueError(
+            f"annotation layer column(s) {missing} were not "
+            "materialized in this index")
+    out = (index.doc_meta.select("doc_id", "n_tokens", *sorted(layers))
+           .filter(F.col("n_tokens") >= width)
+           .select("doc_id", F.explode(starts).alias("start")))
+    entries = []
+    for name, (off, w) in caps.items():
+        entries.extend([
+            F.lit(name),
+            F.struct((F.col("start") + off).cast("int").alias("s"),
+                     (F.col("start") + off + w).cast("int").alias("e"))])
+    return out.select(
+        "doc_id", F.col("start").cast("int").alias("start"),
+        (F.col("start") + width).cast("int").alias("end"),
+        F.create_map(*entries).alias("match_info"))
+
+
+def _compile_constraint(c, layers: set[str],
+                        annot_col=None, pos_col=None):
     """MatchFilter AST → ONE Catalyst boolean Column over match_info +
     the forward-index layer arrays (reference: the MatchFilter
     hierarchy cql.jj:171-243 evaluated per-hit via HitQueryContext;
     here Catalyst evaluates the whole tree inside whole-stage codegen).
     ``layers`` collects the doc_meta array columns the predicate reads
-    so the constrained join selects only those."""
+    so the constrained join selects only those.
+
+    ``annot_col(label, layer_column)`` / ``pos_col(label, "s"|"e")``
+    override how capture references resolve: the default reads
+    match_info on a hits frame; the all-any-token scan path
+    (_constrained_scan) resolves them arithmetically from the
+    candidate start index instead."""
     from blacklab_spark.annotations import (ANNOTATION_COLUMNS,
                                             MULTI_VALUE_LAYERS)
     from blacklab_spark.tokenizer import (py_fold_diacritics,
                                           py_fold_insensitive)
     if isinstance(c, Q.CBool):
-        a = _compile_constraint(c.a, layers)
-        b = _compile_constraint(c.b, layers)
+        a = _compile_constraint(c.a, layers, annot_col, pos_col)
+        b = _compile_constraint(c.b, layers, annot_col, pos_col)
         if c.op == "&":
             return a & b
         if c.op == "|":
             return a | b
         return ~a | b                 # '->' (MatchFilterImplication)
     if isinstance(c, Q.CNot):
-        return ~_compile_constraint(c.v, layers)
+        return ~_compile_constraint(c.v, layers, annot_col, pos_col)
     if isinstance(c, Q.CCmp):
         def operand(v):
             """(column|None, multi?, layer name|None); None column =
@@ -274,15 +373,18 @@ def _compile_constraint(c, layers: set[str]):
                         f"(supported: {sorted(ANNOTATION_COLUMNS)})")
                 col = ANNOTATION_COLUMNS[v.annot]
                 layers.add(col)
-                return (S.capture_token(v.label, column=col),
-                        v.annot in MULTI_VALUE_LAYERS, v.annot)
+                token = (annot_col(v.label, col) if annot_col is not None
+                         else S.capture_token(v.label, column=col))
+                return (token, v.annot in MULTI_VALUE_LAYERS, v.annot)
             if isinstance(v, Q.CFunc):
                 if v.fn not in ("start", "end"):
                     raise ValueError(
                         f"unknown constraint function {v.fn!r} "
                         "(supported: start, end)")
                 key = "s" if v.fn == "start" else "e"
-                return (F.col("match_info")[v.label][key], False, None)
+                pos = (pos_col(v.label, key) if pos_col is not None
+                       else F.col("match_info")[v.label][key])
+                return (pos, False, None)
             if isinstance(v, Q.CStr):
                 return (None, False, None)
             raise ValueError(
@@ -429,6 +531,11 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
     if isinstance(p, Q.Capture):
         return S.capture(_exec(index, p.clause), p.name)
     if isinstance(p, Q.Constrained):
+        anyseq = _anyseq_caps(p.clause)
+        if anyseq is not None:
+            scan = _constrained_scan(index, *anyseq, p.filter)
+            if scan is not None:
+                return scan
         hits = _exec(index, p.clause)
         if "match_info" not in hits.columns:
             raise ValueError(

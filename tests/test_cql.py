@@ -373,6 +373,33 @@ def test_find_constraint_equal(idx, tiny_oracle):
     assert got == sorted(expected) and got
 
 
+def test_constrained_anyseq_scan_no_join(idx):
+    """An all-any-token constrained query executes as ONE doc_meta
+    scan (_constrained_scan): no join, no w-gram explosion — the
+    generic path materializes every adjacent pair and joins the
+    forward index back onto it."""
+    df = find(idx, "A:[] B:[] :: A.word = B.word & start(A) < end(B)")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_constrained_anyseq_scan_equals_generic(idx):
+    """Dual physical path: the arithmetic scan ≡ the generic
+    explode-then-join constrained path, per hit."""
+    from blacklab_spark.operators import spans as S
+    from blacklab_spark.plans import query as Q
+    from blacklab_spark.plans.executor import _compile_constraint, _exec
+    from blacklab_spark.plans.parser import parse
+    p = parse('A:[] B:[] :: A.word = B.word & A != "the"')
+    fast = hits_of(find(idx, 'A:[] B:[] :: A.word = B.word & A != "the"'))
+    hits = _exec(idx, p.clause)
+    layers: set = set()
+    pred = _compile_constraint(p.filter, layers)
+    generic = S.constrained(idx, hits, pred,
+                            columns=tuple(sorted(layers)))
+    assert fast == hits_of(generic) and fast
+
+
 def test_find_constraint_not_equal(idx, tiny_oracle):
     got = hits_of(find(idx, 'A:"the" B:[] :: A.word != B.word'))
     expected = []
