@@ -204,6 +204,53 @@ def _fold_constrained(p: Constrained) -> Pattern:
     return Constrained(new_clause, filt)
 
 
+def _matches_empty(p: Pattern) -> bool:
+    """Can ``p`` match the empty token sequence? (TextPattern
+    matchesEmptySequence() in the reference — every composite that can
+    contribute zero tokens must be lifted out of sequences by
+    EmptyClauseAlts before physical planning.)"""
+    if isinstance(p, Rep):
+        return p.min_rep == 0 or _matches_empty(p.clause)
+    if isinstance(p, AnyToken):
+        return p.min_len == 0
+    if isinstance(p, Or):
+        return any(_matches_empty(c) for c in p.clauses)
+    if isinstance(p, Seq):
+        return all(_matches_empty(c) for c in p.clauses)
+    if isinstance(p, Capture):
+        return _matches_empty(p.clause)
+    return False
+
+
+def _nonempty(p: Pattern) -> Pattern:
+    """The variant of ``p`` that matches everything ``p`` matches
+    EXCEPT the empty sequence (noEmpty() in the reference's
+    TextPattern rewrites). Only called on empty-matchable patterns;
+    identity otherwise."""
+    if not _matches_empty(p):
+        return p
+    if isinstance(p, Rep):
+        # repetitions of an empty match contribute nothing, so the
+        # non-empty variant always needs just one non-empty turn:
+        # (a?){2,5} ≡ ε | a{1,5}
+        return Rep(_nonempty(p.clause), 1, p.max_rep)
+    if isinstance(p, AnyToken):
+        return AnyToken(1, p.max_len)
+    if isinstance(p, Or):
+        return Or(*[_nonempty(c) for c in p.clauses])
+    if isinstance(p, Capture):
+        return Capture(_nonempty(p.clause), p.name)
+    if isinstance(p, Seq):
+        # nonempty(A·R) = nonempty(A)·R ∪ nonempty(R)  (A,R both
+        # empty-matchable here, else the Seq itself would not be)
+        a, rest = p.clauses[0], p.clauses[1:]
+        if not rest:
+            return _nonempty(a)
+        r = Seq(*rest)
+        return Or(Seq(_nonempty(a), r), _nonempty(r))
+    return p
+
+
 def _rewrite_once(p: Pattern) -> Pattern:
     p = _map_children(p, _rewrite_once)
 
@@ -216,13 +263,28 @@ def _rewrite_once(p: Pattern) -> Pattern:
     if isinstance(p, Rep):
         if p.min_rep == 1 and p.max_rep == 1:
             return p.clause
+        # (A{a,b}){c,d} → A{a·c, b·d} is only sound when the per-count
+        # length ranges [a·k, b·k] for k = c..d tile with no holes:
+        # a·(k+1) ≤ b·k + 1 for every k in [c, d). The gap a(k+1)−bk
+        # is non-increasing in k (a ≤ b), so the smallest k binds.
+        # Counterexample the merge must NOT fire on: (A{2,}){0,1} —
+        # lengths {0} ∪ {2,3,…}, whereas A{0,} also admits 1.
+        # Non-mergeable nestings stay nested; the executor evaluates
+        # Rep over the inner pattern's hit relation directly.
+        def _contiguous(a: int, b: int | None) -> bool:
+            if p.max_rep == p.min_rep:      # single k: one range
+                return True
+            if b is None:                    # inner unbounded: only the
+                return p.min_rep >= 1 or a <= 1   # k=0→1 step can gap
+            return a * (p.min_rep + 1) <= b * p.min_rep + 1
         if isinstance(p.clause, AnyToken):
-            return AnyToken(p.clause.min_len * p.min_rep,
-                            _mul(p.clause.max_len, p.max_rep))
-        # nested repetition: (A{a,b}){c,d} → A{a·c, b·d} (consecutive)
-        if isinstance(p.clause, Rep):
-            return Rep(p.clause.clause, p.clause.min_rep * p.min_rep,
-                       _mul(p.clause.max_rep, p.max_rep))
+            if _contiguous(p.clause.min_len, p.clause.max_len):
+                return AnyToken(p.clause.min_len * p.min_rep,
+                                _mul(p.clause.max_len, p.max_rep))
+        elif isinstance(p.clause, Rep):
+            if _contiguous(p.clause.min_rep, p.clause.max_rep):
+                return Rep(p.clause.clause, p.clause.min_rep * p.min_rep,
+                           _mul(p.clause.max_rep, p.max_rep))
 
     # Flatten + Trivial Seq/Or/And
     if isinstance(p, Seq):
@@ -239,6 +301,25 @@ def _rewrite_once(p: Pattern) -> Pattern:
                                        _add(prev.max_len, c.max_len)))
             else:
                 merged.append(c)
+        # EmptyClauseAlts (correctness-critical, SURVEY §4.1 / §7 hard
+        # part 2): a possibly-empty clause inside a sequence becomes an
+        # OR of with/without variants: A B{0,n} C → (A C) | (A B{1,n} C).
+        # Runs BEFORE CCAnyExpansion (which would otherwise bury a
+        # possibly-empty Rep inside an Expand where it can no longer be
+        # lifted) and recognizes ANY empty-matchable clause — Rep{0,},
+        # Or with an optional branch, nested Seq/Capture — not just
+        # direct Rep children. AnyToken children are exempt: []{0,n}
+        # neighbours are handled natively (and more cheaply) by the
+        # expansion rewrite below.
+        if len(merged) > 1:
+            for i, c in enumerate(merged):
+                if isinstance(c, AnyToken) or not _matches_empty(c):
+                    continue
+                without = [x for j, x in enumerate(merged) if j != i]
+                with_ = list(merged)
+                with_[i] = _nonempty(c)
+                left = without[0] if len(without) == 1 else Seq(*without)
+                return Or(left, Seq(*with_))
         # CCAnyExpansion: A []{m,n} → EXPAND(A, right, m, n);
         # []{m,n} A → EXPAND(A, left, m, n)
         out: list[Pattern] = []
@@ -254,16 +335,6 @@ def _rewrite_once(p: Pattern) -> Pattern:
                 out.append(c)
         if len(out) == 1:
             return out[0]
-        # EmptyClauseAlts (correctness-critical, SURVEY §4.1 / §7 hard
-        # part 2): a possibly-empty clause inside a sequence becomes an
-        # OR of with/without variants: A B{0,n} C → (A C) | (A B{1,n} C)
-        for i, c in enumerate(out):
-            if isinstance(c, Rep) and c.min_rep == 0:
-                without = [x for j, x in enumerate(out) if j != i]
-                with_ = list(out)
-                with_[i] = Rep(c.clause, 1, c.max_rep)
-                left = without[0] if len(without) == 1 else Seq(*without)
-                return Or(left, Seq(*with_))
         if out != list(p.clauses):
             return Seq(*out)
         return p
@@ -314,7 +385,7 @@ def _rewrite_once(p: Pattern) -> Pattern:
     return p
 
 
-def rewrite(p: Pattern, max_iters: int = 10) -> Pattern:
+def rewrite(p: Pattern, max_iters: int = 30) -> Pattern:
     """Apply rules to fixpoint."""
     for _ in range(max_iters):
         q = _rewrite_once(p)
