@@ -125,3 +125,31 @@ def test_filtered_wand_seeds_threshold_and_prunes(small_engine):
     assert len(rows) == 3
     assert dbg["t0"] > 0.0
     assert dbg["blocks_after_prune"] < dbg["blocks_total"]
+
+
+# ---------------- randomized differential top-k ----------------
+
+_FUZZ_VOCAB = ["the", "a", "and", "you", "visa", "very", "good",
+               "application", "search", "python", "please", "browser",
+               "nosuchterm"]
+_ROLES = [None, "assistant", "user"]
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_topk_random(seed, tiny_engine, tiny_oracle):
+    """Seeded random term multisets × k × mode × role filter, rank- and
+    score-identical to the brute-force scorer. Duplicate query terms
+    are generated on purpose (choices with replacement) — both engine
+    and oracle must treat the query as a term set."""
+    import random
+    rng = random.Random(seed + 31_337)
+    terms = rng.choices(_FUZZ_VOCAB, k=rng.randint(1, 4))
+    k = rng.choice([1, 3, 10])
+    role = rng.choice(_ROLES)
+    pred = (lambda m: m["role"] == role) if role else None
+    expected = brute_topk(tiny_oracle, terms, k=k, predicate=pred)
+    for mode in ("exhaustive", "wand"):
+        kwargs = {"role": role} if role else {}
+        got = [(r["doc_id"], r["score"]) for r in
+               tiny_engine.topk(terms, k=k, mode=mode, **kwargs).collect()]
+        _assert_rank_identical(got, expected)
