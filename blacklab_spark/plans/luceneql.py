@@ -96,19 +96,63 @@ class _LuceneParser:
         return t
 
     # query := clause ((AND|OR|bare) clause)*   — OR default operator
+    # query := [+|-] andChain ((OR | bare) [+|-] andChain)*
+    # Two precedence levels (docstring contract, NOT > AND > OR):
+    # OR / bare juxtaposition bind loosest, AND tighter — so
+    # ``a:x OR b:y c:z AND d:w`` is x ∨ y ∨ (z ∧ w), not
+    # ((x ∨ y ∨ z) ∧ w) as a flat left fold would give. ``+``/``-``
+    # mark their chain required / prohibited within this group:
+    # result = AND(required) ∧ ¬each(prohibited) ∧ (OR of the
+    # unmarked chains, when any exist).
     def query(self, field: str | None = None) -> str:
+        shoulds: list[str] = []
+        musts: list[str] = []
+        must_nots: list[str] = []
+
+        def take() -> None:
+            t = self.peek()
+            if t == "+":
+                self.next()
+                musts.append(self.and_chain(field))
+            elif t == "-":
+                self.next()
+                must_nots.append(self.and_chain(field))
+            else:
+                shoulds.append(self.and_chain(field))
+
+        take()
+        while True:
+            t = self.peek()
+            if t is None or t == ")":
+                break
+            if t.upper() == "OR":
+                self.next()
+            take()
+        disj = None
+        if shoulds:
+            disj = shoulds[0]
+            for s in shoulds[1:]:
+                disj = f"({disj}) OR ({s})"
+        if not (musts or must_nots):
+            return disj
+        conjs = list(musts) + [f"NOT ({m})" for m in must_nots]
+        if disj is not None:
+            conjs.append(disj)
+        out = conjs[0]
+        for c in conjs[1:]:
+            out = f"({out}) AND ({c})"
+        return out
+
+    # andChain := clause (AND clause)*
+    def and_chain(self, field: str | None) -> str:
         out = self.clause(field)
         while True:
             t = self.peek()
-            if t is None or t in (")",):
-                return out
-            if t.upper() in ("AND", "OR"):
-                op = self.next().upper()
-                rhs = self.clause(field)
-                out = f"({out}) {op} ({rhs})"
+            if t is not None and t.upper() == "AND":
+                self.next()
+                out = f"({out}) AND ({self.clause(field)})"
             else:
-                rhs = self.clause(field)       # juxtaposition = OR
-                out = f"({out}) OR ({rhs})"
+                return out
 
     # clause := [+|-|NOT] atom
     def clause(self, field: str | None) -> str:
