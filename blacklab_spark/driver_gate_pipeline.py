@@ -98,6 +98,28 @@ def pipeline_queries() -> dict:
         return D.simhash_near_pairs(_docs(spark, sf_dir),
                                     max_hamming=SIMHASH_T)
 
+    def dedup_clusters(spark, sf_dir):
+        """LSH pairs → duplicate clusters (min-label connected
+        components, functions/clustering.py); the recursive-CTE
+        oracle re-derives reachability over the same pair graph."""
+        from blacklab_spark.functions.clustering import \
+            duplicate_clusters
+        docs = _docs(spark, sf_dir)
+        pairs = D.minhash_lsh_pairs(docs, threshold=JACCARD_T)
+        return duplicate_clusters(docs, pairs)
+
+    def dedup_keep_canonical(spark, sf_dir):
+        """The deduplicated corpus: one canonical doc per cluster."""
+        from blacklab_spark.functions.clustering import (
+            duplicate_clusters, keep_canonical)
+        from blacklab_spark.functions.hashing import md5_long
+        docs = _docs(spark, sf_dir)
+        clusters = duplicate_clusters(
+            docs, D.minhash_lsh_pairs(docs, threshold=JACCARD_T))
+        return (keep_canonical(docs, clusters)
+                .select("doc_id", md5_long(F.col("text"))
+                        .alias("digest")))
+
     def embedding_topk(spark, sf_dir):
         return S.cosine_topk(_emb(spark, sf_dir), EMB_QUERY_ID, k=10)
 
@@ -134,6 +156,8 @@ def pipeline_queries() -> dict:
         "dedup_minhash_lsh": minhash_lsh,
         "dedup_streaming_lsh": streaming_dedup,
         "dedup_simhash_pairs": simhash_pairs,
+        "dedup_clusters": dedup_clusters,
+        "dedup_keep_canonical": dedup_keep_canonical,
         "embedding_cosine_topk": embedding_topk,
         "embedding_cosine_topk_ivf": embedding_topk_ivf,
         "embedding_near_pairs": embedding_near_pairs,
@@ -238,6 +262,25 @@ WHERE round({cos}, 4) >= {threshold}
 """
 
 
+def _cluster_ctes() -> str:
+    """Shared CTE chain for the clustering oracles: Jaccard pairs at
+    the gate threshold → symmetric edges → recursive reachability
+    (``reach(id, r)``: label r reaches doc id). min(r) per id is the
+    component's minimum doc id — exactly duplicate_clusters' output."""
+    jac = R4("len(list_intersect(a.s, b.s))",
+             "len(list_distinct(list_concat(a.s, b.s)))")
+    return f"""{_SHINGLES},
+jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM tsets a JOIN tsets b ON a.doc_id < b.doc_id
+       WHERE {jac} >= {JACCARD_T}),
+edges AS (SELECT id_a AS u, id_b AS v FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)"""
+
+
 def pipeline_oracles() -> dict[str, str]:
     sw = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
     tok_h = H15.format(x="t")
@@ -252,6 +295,19 @@ FROM documents GROUP BY 1
         # recall verified in tests) → same oracle as brute force.
         "dedup_minhash_lsh": _jaccard_sql(JACCARD_T),
         "dedup_streaming_lsh": _jaccard_sql(JACCARD_T),
+        "dedup_clusters": f"""
+WITH RECURSIVE {_cluster_ctes()}
+SELECT id AS doc_id, min(r) AS cluster_id,
+       CAST(CASE WHEN min(r) = id THEN 1 ELSE 0 END AS INT)
+         AS is_canonical
+FROM reach GROUP BY id
+""",
+        "dedup_keep_canonical": f"""
+WITH RECURSIVE {_cluster_ctes()},
+cl AS (SELECT id, min(r) AS cid FROM reach GROUP BY id)
+SELECT d.doc_id, {H15.format(x='d.text')} AS digest
+FROM documents d JOIN cl ON cl.id = d.doc_id AND cl.cid = d.doc_id
+""",
         "dedup_simhash_pairs": f"""
 WITH {_TOKS},
 occ AS (SELECT doc_id, unnest(ts) AS t FROM toks),
