@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from blacklab_spark.functions import curation as C
 from blacklab_spark.functions import dedup as D
 from blacklab_spark.functions import multimodal as M
 from blacklab_spark.functions import similarity as S
@@ -40,6 +41,9 @@ JACCARD_T = 0.5   # planted near-dup pairs sit at 0.9-0.99; next-highest < 0.1
 SIMHASH_T = 4
 EMB_QUERY_ID = 7
 NEAR_COS_T = 0.45
+DECON_N = 8       # decontamination n-gram width
+DECON_MOD = 97    # benchmark set = docs with doc_id % DECON_MOD == 0
+SAMPLE_RATES = {"en": 300, "de": 500}   # permille per stratum
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,6 +154,37 @@ def pipeline_queries() -> dict:
         docs = _docs(spark, sf_dir)
         return M.byte_features(M.media_from_documents(docs))
 
+    def decontaminate(spark, sf_dir):
+        """Benchmark = every DECON_MOD-th doc (stands in for an eval
+        set; the corpus's planted near-dups of those docs surface as
+        contaminated rows, which is exactly the production failure
+        mode the op exists to catch)."""
+        docs = _docs(spark, sf_dir)
+        bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+        return C.decontaminate(docs, bench, n=DECON_N)
+
+    def redact_pii(spark, sf_dir):
+        """The corpus carries no PII, so the gate plants a
+        deterministic email/IP/card suffix on every 7th doc (the SQL
+        oracle builds the identical text expression) and checks
+        counts + the md5 of the redacted text."""
+        docs = _docs(spark, sf_dir)
+        planted = docs.withColumn("text", F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.concat(
+                F.lit(" contact admin"), F.col("doc_id").cast("string"),
+                F.lit("@example.org from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 card 4111111111111111")))
+             .otherwise(F.lit(""))))
+        return C.redact_pii(planted)
+
+    def stratified_sample(spark, sf_dir):
+        return C.stratified_sample(_docs(spark, sf_dir), SAMPLE_RATES)
+
+    def repetition_ratio(spark, sf_dir):
+        return C.repetition_ratio(_docs(spark, sf_dir), n=3)
+
     return {
         "dedup_exact": dedup_exact,
         "dedup_jaccard_pairs": jaccard_pairs,
@@ -166,7 +201,11 @@ def pipeline_queries() -> dict:
         "text_quality_score": quality,
         "text_token_stats": tokstats,
         "text_fingerprint": fp,
+        "text_repetition_ratio": repetition_ratio,
         "multimodal_byte_features": mm_features,
+        "curation_decontaminate": decontaminate,
+        "curation_redact_pii": redact_pii,
+        "curation_stratified_sample": stratified_sample,
     }
 
 
@@ -388,6 +427,70 @@ SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS n_bytes,
        CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1))
                  ELSE NULL END AS INT) AS head_byte
 FROM documents
+""",
+        "text_repetition_ratio": f"""
+WITH {_TOKS},
+g AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(0, len(ts) - 2)),
+                            i -> array_to_string(list_slice(ts, i, i + 2),
+                                                 ' ')) AS sh
+      FROM toks)
+SELECT doc_id, CAST(len(sh) AS INT) AS n_ngrams,
+       CAST(len(list_distinct(sh)) AS INT) AS n_distinct,
+       CASE WHEN len(sh) > 0
+            THEN {R4("len(sh) - len(list_distinct(sh))", "len(sh)")}
+            ELSE 0.0 END AS dup_ratio
+FROM g
+""",
+        "curation_decontaminate": f"""
+WITH {_TOKS},
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(0, len(ts) - {DECON_N - 1})),
+                i -> array_to_string(list_slice(ts, i, i + {DECON_N - 1}),
+                                     ' '))) AS s
+       FROM toks),
+bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+          WHERE doc_id % {DECON_MOD} = 0),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+hits AS (SELECT ex.doc_id, count(*) AS n
+         FROM ex JOIN bench USING (shingle) GROUP BY ex.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS INT) AS n_contaminated_ngrams,
+       CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+        "curation_redact_pii": f"""
+WITH p AS (SELECT doc_id,
+  text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact admin' || doc_id || '@example.org from 10.0.'
+                    || (doc_id % 256) || '.1 card 4111111111111111'
+               ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{C.PII_PATTERNS[0][1]}')) AS INT)
+    AS n_email,
+  CAST(len(regexp_extract_all(text, '{C.PII_PATTERNS[1][1]}')) AS INT)
+    AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{C.PII_PATTERNS[2][1]}')) AS INT)
+    AS n_card,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '{C.PII_PATTERNS[0][1]}', '{C.PII_PATTERNS[0][2]}', 'g'),
+        '{C.PII_PATTERNS[1][1]}', '{C.PII_PATTERNS[1][2]}', 'g'),
+        '{C.PII_PATTERNS[2][1]}', '{C.PII_PATTERNS[2][2]}', 'g'))
+    AS redacted_digest
+FROM p
+""",
+        "curation_stratified_sample": f"""
+WITH b AS (SELECT doc_id, lang,
+                  CAST((('0x' || substr(md5('{C.SAMPLE_SALT}' || doc_id),
+                                        1, 15))::BIGINT
+                        % {C.SAMPLE_DENOM}) AS INT) AS bucket
+           FROM documents)
+SELECT doc_id, lang AS stratum, bucket FROM b
+WHERE (lang = 'en' AND bucket < {SAMPLE_RATES['en']})
+   OR (lang = 'de' AND bucket < {SAMPLE_RATES['de']})
 """,
     }
     return oracles

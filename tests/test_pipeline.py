@@ -167,3 +167,75 @@ def test_ivf_centroids_fixed_k(spark, emb):
     broadcast — VERDICT r01 IVF fix)."""
     assert S.centroids(emb, 16).count() == 16
     assert S.centroids(emb.limit(100), 16).count() == 16
+
+
+# ---------------------------------------------------------------- curation
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from blacklab_spark.functions import curation as C
+    bench = spark.createDataFrame(
+        [(0, "one two three four five six seven eight tail")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "prefix one two three four five six seven eight suffix"),
+         (2, "completely different words with no overlap at all here"),
+         (3, "short doc")],   # < n tokens -> zero shingles
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_contaminated_ngrams"], r["contaminated"])
+           for r in C.decontaminate(docs, bench, n=8).collect()}
+    assert out[1][1] == 1 and out[1][0] >= 1
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+
+
+def test_redact_pii_matches_python_re(spark):
+    import re
+    from blacklab_spark.functions import curation as C
+    rows = [(1, "mail me at a.b+c@example.co.uk or 10.0.0.1 now"),
+            (2, "card 4111111111111111 expires"),
+            (3, "no pii here, just text with 42 and 1.5 numbers"),
+            (4, "two mails x@y.io z@w.dev and ip 192.168.255.254")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.redact_pii(df).collect()}
+    import hashlib
+    for doc_id, text in rows:
+        counts = {name: len(re.findall(pat, text))
+                  for name, pat, _ in C.PII_PATTERNS}
+        red = text
+        for _, pat, repl in C.PII_PATTERNS:
+            red = re.sub(pat, repl, red)
+        g = got[doc_id]
+        assert (g["n_email"], g["n_ipv4"], g["n_card"]) == (
+            counts["email"], counts["ipv4"], counts["card"]), doc_id
+        assert g["redacted_digest"] == hashlib.md5(red.encode()).hexdigest()
+    assert got[4]["n_email"] == 2
+
+
+def test_stratified_sample_partition_invariant(spark, docs):
+    """The hash predicate must select the SAME doc set at any
+    partitioning (the property rand()-sampling lacks)."""
+    from blacklab_spark.functions import curation as C
+    rates = {"en": 300, "de": 500}
+    a = {r["doc_id"] for r in
+         C.stratified_sample(docs.repartition(1), rates).collect()}
+    b = {r["doc_id"] for r in
+         C.stratified_sample(docs.repartition(16), rates).collect()}
+    assert a == b and len(a) > 0
+    for r in C.stratified_sample(docs, rates).collect():
+        assert r["bucket"] < rates[r["stratum"]]
+
+
+def test_repetition_ratio_hand_example(spark):
+    from blacklab_spark.functions import curation as C
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),        # 3-grams: aba bab aba -> 3 total 2 distinct
+         (2, "x y"),              # < n tokens
+         (3, "w w w w w w")],     # 4 identical 3-grams
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.repetition_ratio(df, n=3).collect()}
+    assert (out[1]["n_ngrams"], out[1]["n_distinct"]) == (3, 2)
+    assert out[1]["dup_ratio"] == 0.3333
+    assert (out[2]["n_ngrams"], out[2]["dup_ratio"]) == (0, 0.0)
+    assert (out[3]["n_ngrams"], out[3]["n_distinct"]) == (4, 1)
+    assert out[3]["dup_ratio"] == 0.75
