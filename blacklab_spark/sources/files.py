@@ -220,6 +220,125 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+_CHAT_BULLET = "\x15"   # NAK delimits CHAT media bullets: •start_end•
+
+
+def read_chat(spark: SparkSession, path: str) -> DataFrame:
+    """CHAT (CHILDES) transcripts — the reference's dedicated
+    conversation format (formats/chat.blf.yaml, DocIndexerChat): one
+    ``.cha`` file = one conversation; each main tier line
+    ``*SPK:<tab>utterance`` = one turn with the speaker code as the
+    role. ``@``-headers and ``%``-dependent tiers are skipped (the
+    reference indexes only the main tier's words); continuation lines
+    (leading whitespace) re-join their utterance. Media bullets
+    ``\\x15start_end\\x15`` are stripped from the text but their start
+    millisecond becomes the turn timestamp when present (CHAT's only
+    time axis); otherwise ts falls back to a deterministic per-turn
+    value. Wholetext read + JVM regexp projections — one file per
+    task, parallel by file count."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+    conv_id = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "value", r"(?m)^@PID:\s*(\S+)", 1), F.lit("")),
+        F.regexp_extract("_file", r"([^/]+?)(?:\.cha)?$", 1))
+    # continuation lines (tab/space-indented) re-join their tier line
+    flat = F.regexp_replace("value", r"\n[ \t]+", " ")
+    utts = files.select(
+        conv_id.alias("conv_id"),
+        F.posexplode(F.regexp_extract_all(
+            flat, F.lit(r"(?m)^\*[A-Za-z0-9]+:[ \t]*\S.*$"), 0))
+        .alias("turn_idx", "_utt"))
+    speaker = F.regexp_extract("_utt", r"^\*([A-Za-z0-9]+):", 1)
+    bullet_ms = F.nullif(F.regexp_extract(
+        "_utt", _CHAT_BULLET + r"(\d+)_\d+" + _CHAT_BULLET, 1),
+        F.lit("")).cast("long")
+    body = F.trim(F.regexp_replace(F.regexp_replace(
+        F.regexp_replace("_utt", r"^\*[A-Za-z0-9]+:[ \t]*", ""),
+        _CHAT_BULLET + "[^" + _CHAT_BULLET + "]*" + _CHAT_BULLET, ""),
+        r"\s+", " "))
+    return _canonicalize(utts.select(
+        "conv_id", "turn_idx", speaker.alias("role"), body.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.coalesce(
+            F.timestamp_millis(F.lit(946684800000) + bullet_ms),
+            F.timestamp_seconds(F.lit(946684800) + F.col("turn_idx")))
+        .alias("ts")))
+
+
+def _xml_unescape(col):
+    """The five predefined XML entities (the only ones our wellformed-
+    input contract allows in token text)."""
+    pairs = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&apos;", "'"), ("&amp;", "&")]   # &amp; last
+    for ent, ch in pairs:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def read_folia(spark: SparkSession, path: str) -> DataFrame:
+    """FoLiA transcripts — the reference's pre-annotated linguistic
+    XML format (formats/folia.blf.yaml: wordPath ``//w``, word =
+    ``t`` text, lemma = ``lemma/@class``, pos = ``pos/@class``). One
+    file = one conversation (id from the ``FoLiA`` root's ``xml:id``,
+    else the file name); one ``<s>`` element = one turn (an optional
+    ``speaker`` attribute on ``<s>`` becomes the role). Returns the
+    PRE-ANNOTATED columns (tokens_s/tokens_pos/tokens_lemma) so
+    build_index takes the pre-tokenized path — the token stream and
+    its layers are the input's, exactly like read_conllu. ``text``
+    honors FoLiA's ``space="no"`` word attribute. Wholetext read +
+    JVM regexp/array projections — one file per task."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+    conv_id = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "value", r'(?s)<FoLiA\b[^>]*\bxml:id\s*=\s*"([^"]*)"', 1),
+            F.lit("")),
+        F.regexp_extract("_file", r"([^/]+?)(?:\.xml)?$", 1))
+    sents = files.select(
+        conv_id.alias("conv_id"),
+        F.posexplode(F.regexp_extract_all(
+            "value", F.lit(r"(?s)<s\b[^>]*>.*?</s>"), 0))
+        .alias("turn_idx", "_s"))
+    words = F.regexp_extract_all("_s", F.lit(r"(?s)<w\b[^>]*>.*?</w>"), 0)
+
+    def _form(w):
+        return _xml_unescape(F.regexp_extract(
+            w, r"(?s)<t(?:\s[^>]*)?>\s*(.*?)\s*</t>", 1))
+
+    def _cls(w, tag: str):
+        return F.nullif(F.regexp_extract(
+            w, r'(?s)<%s\b[^>]*\bclass\s*=\s*"([^"]*)"' % tag, 1),
+            F.lit(""))
+
+    text = F.rtrim(F.aggregate(
+        F.col("_w"), F.lit(""),
+        lambda acc, w: F.concat(
+            acc, _form(w),
+            F.when(w.rlike(r'<w\b[^>]*\bspace\s*=\s*"no"'), F.lit(""))
+            .otherwise(F.lit(" ")))))
+    out = (sents.withColumn("_w", words)
+           .filter(F.size("_w") > 0)
+           .select(
+               "conv_id", "turn_idx",
+               F.nullif(F.regexp_extract(
+                   "_s", r'(?s)^<s\b[^>]*\bspeaker\s*=\s*"([^"]*)"', 1),
+                   F.lit("")).alias("role"),
+               text.alias("text"),
+               F.lit(None).cast("string").alias("tool"),
+               F.timestamp_seconds(F.lit(946684800)
+                                   + F.col("turn_idx")).alias("ts"),
+               F.transform(F.col("_w"), _form).alias("tokens_s"),
+               F.transform(F.col("_w"),
+                           lambda w: F.coalesce(_cls(w, "pos"), F.lit("_")))
+               .alias("tokens_pos"),
+               F.transform(F.col("_w"),
+                           lambda w: F.array(F.coalesce(
+                               _xml_unescape(_cls(w, "lemma")), _form(w))))
+               .alias("tokens_lemma")))
+    return out
+
+
 def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg catalog table (the production input per
     BASELINE.json.input_hint): ``spark.read.table`` against a
@@ -234,7 +353,8 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
 
 READERS = {"parquet": read_parquet, "jsonl": read_jsonl, "csv": read_csv,
            "tsv": read_tsv, "xml": read_xml, "conllu": read_conllu,
-           "txt": read_plaintext, "iceberg": read_iceberg}
+           "txt": read_plaintext, "iceberg": read_iceberg,
+           "chat": read_chat, "folia": read_folia}
 
 
 def read_transcripts(spark: SparkSession, path: str,

@@ -142,3 +142,98 @@ def test_plaintext_builds(spark, tmp_path):
     build_index(spark, read_transcripts(spark, str(tmp_path), fmt="txt"),
                 out, BuildConfig(num_partitions=2))
     assert SearchEngine.open(spark, out).find('"visa"').count() == 2
+
+
+CHA_FIXTURE = ("@UTF8\n@PID:\t11312/c-00044224-1\n@Begin\n"
+               "@Participants:\tCHI Target_Child, MOT Mother\n"
+               "*MOT:\tare you okay ?\n"
+               "*CHI:\tyes I am\n\tvery happy today . \x152500_4800\x15\n"
+               "%mor:\tco|yes pro|I\n"
+               "*MOT:\tgood !\n@End\n")
+
+
+def test_read_chat(spark, tmp_path):
+    (tmp_path / "conv_a.cha").write_text(CHA_FIXTURE)
+    from blacklab_spark.sources.files import read_chat
+    rows = {r["turn_idx"]: r for r in
+            read_chat(spark, str(tmp_path / "*.cha")).collect()}
+    assert len(rows) == 3                         # %mor / @headers skipped
+    assert all(r["conv_id"] == "11312/c-00044224-1" for r in rows.values())
+    assert rows[0]["role"] == "MOT" and rows[0]["text"] == "are you okay ?"
+    # continuation line re-joined, media bullet stripped from text
+    assert rows[1]["role"] == "CHI"
+    assert rows[1]["text"] == "yes I am very happy today ."
+    # bullet start ms becomes the timestamp
+    assert rows[1]["ts"].microsecond == 500000
+    assert rows[2]["text"] == "good !"
+
+
+def test_chat_builds(spark, tmp_path):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.sources.files import read_transcripts
+    (tmp_path / "a.cha").write_text(CHA_FIXTURE)
+    out = str(tmp_path / "idx")
+    build_index(spark, read_transcripts(spark, str(tmp_path / "*.cha"),
+                                        fmt="chat"),
+                out, BuildConfig(num_partitions=2))
+    eng = SearchEngine.open(spark, out)
+    assert eng.find('"happy"').count() == 1
+    assert eng.topk("okay", k=1, role="MOT").count() == 1
+
+
+FOLIA_FIXTURE = """<?xml version="1.0"?>
+<FoLiA xmlns="http://ilk.uvt.nl/folia" xml:id="folia_demo" version="2.0">
+ <text>
+  <s xml:id="s.1" speaker="alice">
+   <w xml:id="w.1"><t>Cafés</t><pos class="NOUN"/><lemma class="café"/></w>
+   <w xml:id="w.2" space="no"><t>are</t><pos class="VERB"/><lemma class="be"/></w>
+   <w xml:id="w.3"><t>!</t><pos class="PUNCT"/></w>
+  </s>
+  <s xml:id="s.2">
+   <w><t>a &amp; b</t><pos class="X"/><lemma class="ab"/></w>
+   <w><t>end</t></w>
+  </s>
+ </text>
+</FoLiA>
+"""
+
+
+def test_read_folia(spark, tmp_path):
+    (tmp_path / "doc1.xml").write_text(FOLIA_FIXTURE, encoding="utf-8")
+    from blacklab_spark.sources.files import read_folia
+    rows = {r["turn_idx"]: r for r in
+            read_folia(spark, str(tmp_path / "*.xml")).collect()}
+    assert len(rows) == 2
+    assert rows[0]["conv_id"] == "folia_demo"
+    assert rows[0]["role"] == "alice" and rows[1]["role"] is None
+    # space="no" honored; pre-annotated layers taken as given
+    assert rows[0]["text"] == "Cafés are!"
+    assert rows[0]["tokens_s"] == ["Cafés", "are", "!"]
+    assert rows[0]["tokens_pos"] == ["NOUN", "VERB", "PUNCT"]
+    assert [list(v) for v in rows[0]["tokens_lemma"]] == \
+        [["café"], ["be"], ["!"]]
+    # entity unescape; missing pos -> "_"; missing lemma -> surface form
+    assert rows[1]["tokens_s"] == ["a & b", "end"]
+    assert rows[1]["tokens_pos"] == ["X", "_"]
+    assert [list(v) for v in rows[1]["tokens_lemma"]] == [["ab"], ["end"]]
+
+
+def test_folia_builds_preannotated(spark, tmp_path):
+    """FoLiA feeds the pre-tokenized build path: the given pos layer
+    is queryable and the word layer folds the given forms."""
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.sources.files import read_transcripts
+    (tmp_path / "d.xml").write_text(FOLIA_FIXTURE, encoding="utf-8")
+    out = str(tmp_path / "idx")
+    build_index(spark, read_transcripts(spark, str(tmp_path / "*.xml"),
+                                        fmt="folia"),
+                out, BuildConfig(num_partitions=2,
+                                 annotations=("pos", "lemma")))
+    eng = SearchEngine.open(spark, out)
+    assert eng.find('[pos="NOUN"]').count() == 1      # the given UPOS
+    assert eng.find('"cafes"').count() == 1           # fold of given form
+    assert eng.find('[lemma="be"]').count() == 1
