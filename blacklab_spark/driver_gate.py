@@ -46,6 +46,19 @@ def _idx_root() -> str:
     tag = hashlib.md5(f"{blacklab_spark.__version__}|{INDEX_FORMAT_VERSION}|"
                       f"{TOKENIZER_VERSION}".encode()).hexdigest()[:10]
     return f"/tmp/blacklab_idx_{tag}"
+def _write_fixture_files(subdir: str, files: dict[str, str]) -> str:
+    """Materialize a deterministic file fixture under the version-
+    fingerprinted cache root; returns the directory."""
+    src_dir = os.path.join(_idx_root(), subdir)
+    os.makedirs(src_dir, exist_ok=True)
+    for name, content in files.items():
+        p = os.path.join(src_dir, name)
+        if not os.path.exists(p):
+            with open(p, "w", encoding="utf-8") as fh:
+                fh.write(content)
+    return src_dir
+
+
 def docs_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     ensure_shipped(spark)
     key = os.path.abspath(sf_dir)
@@ -372,6 +385,45 @@ SELECT d.conv_id, d.turn_idx, CAST(t.p AS INT) AS start,
        CAST(t.p + 1 AS INT) AS "end"
 FROM tpos t JOIN tdocs d USING (doc_id)
 WHERE t.tok = 'tre' OR {duckdb_lemma_stem('t.tok')} = 'tre'
+"""
+
+
+def _chat_turns_sql() -> str:
+    """Oracle for read_chat: the independent pure-Python parse of the
+    same .cha fixture, embedded as a VALUES CTE."""
+    from blacklab_spark.sources.transcripts import (gen_chat_texts,
+                                                    parse_chat_texts)
+    rows = parse_chat_texts(gen_chat_texts(seed=42))
+    vals = ",\n  ".join(
+        f"('{t['conv_id']}', {t['turn_idx']}, '{t['role']}', "
+        f"'{t['text']}', "
+        f"{t['ts_ms'] if t['ts_ms'] is not None else t['turn_idx'] * 1000})"
+        for t in rows)
+    return f"""
+WITH cturns(conv_id, turn_idx, role, text, ts_off) AS (VALUES
+  {vals})
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text,
+       CAST(ts_off AS BIGINT) AS ts_off
+FROM cturns
+"""
+
+
+def _folia_tokens_sql() -> str:
+    """Oracle for read_folia: the xml.etree parse of the same FoLiA
+    fixture as a VALUES CTE (per-position form/pos/lemma + turn
+    text)."""
+    from blacklab_spark.sources.transcripts import (gen_folia_texts,
+                                                    parse_folia_texts)
+    rows = parse_folia_texts(gen_folia_texts(seed=42))
+    vals = ",\n  ".join(
+        f"('{t['conv_id']}', {t['turn_idx']}, {t['p']}, '{t['form']}', "
+        f"'{t['pos']}', '{t['lemma']}', '{t['text']}')" for t in rows)
+    return f"""
+WITH ftoks(conv_id, turn_idx, p, form, pos, lemma, text) AS (VALUES
+  {vals})
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, CAST(p AS INT) AS p,
+       form, pos, lemma, text
+FROM ftoks
 """
 
 
@@ -1667,6 +1719,39 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select("conv_id", "turn_idx",
                                            "start", "end")
 
+    def chat_turns_parse(spark, sf_dir):
+        """read_chat's JVM regexp parse vs an independent pure-Python
+        parse of the same .cha fixture (continuation joins, bullet
+        stripping, %-tier skipping, PID/filename conv ids). ts_off =
+        millis since the synthetic epoch: the bullet start ms when
+        present, else turn_idx seconds — the full timestamp rule."""
+        from blacklab_spark.sources.files import read_chat
+        from blacklab_spark.sources.transcripts import gen_chat_texts
+        src = _write_fixture_files("chat_src", gen_chat_texts(seed=42))
+        df = read_chat(spark, os.path.join(src, "*.cha"))
+        return df.select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+            "role", "text",
+            (F.unix_millis("ts") - 946684800000).alias("ts_off"))
+
+    def folia_tokens_parse(spark, sf_dir):
+        """read_folia's JVM regexp/array parse vs an xml.etree parse
+        of the same FoLiA fixture: per-position form/pos/lemma and the
+        space="no"-honoring text reconstruction."""
+        from blacklab_spark.sources.files import read_folia
+        from blacklab_spark.sources.transcripts import gen_folia_texts
+        src = _write_fixture_files("folia_src", gen_folia_texts(seed=42))
+        df = read_folia(spark, os.path.join(src, "*.xml"))
+        z = F.arrays_zip("tokens_s", "tokens_pos", "tokens_lemma")
+        return (df.select("conv_id",
+                          F.col("turn_idx").cast("int").alias("turn_idx"),
+                          "text", F.posexplode(z).alias("p", "_t"))
+                .select("conv_id", "turn_idx", "p",
+                        F.col("_t.tokens_s").alias("form"),
+                        F.col("_t.tokens_pos").alias("pos"),
+                        F.element_at("_t.tokens_lemma", 1).alias("lemma"),
+                        "text"))
+
     from blacklab_spark.driver_gate_pipeline import pipeline_queries
     return {
         **pipeline_queries(),
@@ -1756,6 +1841,8 @@ def gate_queries() -> dict:
         "conllu_pos_given": conllu_pos_given,
         "conllu_lemma_given": conllu_lemma_given,
         "conllu_word_folded": conllu_word_folded,
+        "chat_turns_parse": chat_turns_parse,
+        "folia_tokens_parse": folia_tokens_parse,
     }
 
 
@@ -2083,4 +2170,6 @@ WHERE t.tok LIKE 'vis%' AND lower(d.role) = 'user'
         "conllu_pos_given": _conllu_layer_sql("upos", "NOUN"),
         "conllu_lemma_given": _conllu_layer_sql("lemma", "be"),
         "conllu_word_folded": _conllu_layer_sql("word", "cafe"),
+        "chat_turns_parse": _chat_turns_sql(),
+        "folia_tokens_parse": _folia_tokens_sql(),
     }

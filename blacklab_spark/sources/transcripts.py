@@ -299,3 +299,152 @@ def gen_transcripts_spark(spark: SparkSession, fixture: str = "tiny",
                 yield o
 
     return conv_ids.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
+
+
+# -- CHAT (.cha) fixture + independent parse --------------------------
+CHAT_BANK = ["are you okay", "yes I am very happy today",
+             "look at the visa form", "we go to the bank now",
+             "good job little one", "what did you say",
+             "tell me more about it", "no more juice please"]
+CHAT_SPEAKERS = ["MOT", "CHI", "INV"]
+
+
+def gen_chat_texts(seed: int = 42) -> dict[str, str]:
+    """Deterministic CHAT fixture: file name -> .cha content.
+    3 files x 4 main-tier utterances by index arithmetic (no RNG).
+    Covers: @PID and the filename-fallback conv id, @headers,
+    %-dependent tiers (skipped), tab-indented continuation lines
+    (re-joined), media bullets (stripped from text, start ms -> ts),
+    and utterance terminators."""
+    files = {}
+    for f in range(3):
+        lines = ["@UTF8"]
+        if f != 1:  # file 1 exercises the filename-fallback conv id
+            lines.append(f"@PID:\t{seed}-chat-{f}")
+        lines.append("@Begin")
+        lines.append("@Participants:\tCHI Target_Child, MOT Mother")
+        for u in range(4):
+            spk = CHAT_SPEAKERS[(f + u) % len(CHAT_SPEAKERS)]
+            words = CHAT_BANK[(f * 5 + u * 3) % len(CHAT_BANK)]
+            if u == 1:  # continuation line mid-utterance
+                head, tail = words.rsplit(" ", 1)
+                lines.append(f"*{spk}:\t{head}")
+                lines.append(f"\t{tail} .")
+            elif u == 2:  # media bullet
+                ms = 1000 * (f * 10 + u)
+                lines.append(f"*{spk}:\t{words} . "
+                             f"\x15{ms}_{ms + 900}\x15")
+            else:
+                lines.append(f"*{spk}:\t{words} .")
+            if u == 0:
+                lines.append(f"%mor:\tskip|this tier|{f}")
+        lines.append("@End")
+        files[f"chat{f}.cha"] = "\n".join(lines) + "\n"
+    return files
+
+
+def parse_chat_texts(files: dict[str, str]) -> list[dict]:
+    """Pure-Python reference parse of gen_chat_texts output — the
+    oracle's independent second implementation of read_chat's JVM
+    regexp parse. One dict per turn: conv_id, turn_idx, role, text,
+    ts_ms (bullet start ms or None)."""
+    import re as _re
+    out = []
+    for fname, content in sorted(files.items()):
+        m = _re.search(r"(?m)^@PID:\s*(\S+)", content)
+        conv = m.group(1) if m else _re.sub(r"\.cha$", "", fname)
+        flat = _re.sub(r"\n[ \t]+", " ", content)
+        turn = 0
+        for line in flat.split("\n"):
+            lm = _re.match(r"^\*([A-Za-z0-9]+):[ \t]*(\S.*)$", line)
+            if not lm:
+                continue
+            utt = lm.group(2)
+            bm = _re.search("\x15(\\d+)_\\d+\x15", utt)
+            text = _re.sub(r"\s+", " ",
+                           _re.sub("\x15[^\x15]*\x15", "", utt)).strip()
+            out.append({"conv_id": conv, "turn_idx": turn,
+                        "role": lm.group(1), "text": text,
+                        "ts_ms": int(bm.group(1)) if bm else None})
+            turn += 1
+    return out
+
+
+# -- FoLiA fixture + independent (ElementTree) parse ------------------
+FOLIA_BANK = [("Cafés", "café", "NOUN"), ("are", "be", "VERB"),
+              ("very", None, "ADV"), ("nice", "nice", "ADJ"),
+              ("a &amp; b", "ab", None), ("visa", "visa", "NOUN"),
+              ("granted", "grant", "VERB"), ("!", None, "PUNCT")]
+
+
+def gen_folia_texts(seed: int = 42) -> dict[str, str]:
+    """Deterministic FoLiA-ish fixture: file name -> XML content.
+    2 files x 2 sentences; covers: root xml:id and the filename
+    fallback, per-sentence speaker attr (and its absence),
+    space="no", missing pos/lemma elements, and the &amp; entity.
+    Generated without a namespace declaration so the ElementTree
+    oracle parse stays prefix-free (read_folia ignores namespaces
+    either way)."""
+    files = {}
+    for f in range(2):
+        sents = []
+        for s in range(2):
+            n = 3 + (f + s) % 2
+            ws = []
+            for j in range(n):
+                form, lemma, pos = FOLIA_BANK[(f * 5 + s * 3 + j)
+                                              % len(FOLIA_BANK)]
+                space = ' space="no"' if j == n - 2 else ""
+                parts = [f"<t>{form}</t>"]
+                if pos:
+                    parts.append(f'<pos class="{pos}"/>')
+                if lemma:
+                    parts.append(f'<lemma class="{lemma}"/>')
+                ws.append(f'<w xml:id="w.{f}.{s}.{j}"{space}>'
+                          + "".join(parts) + "</w>")
+            spk = ' speaker="spk0"' if s == 0 else ""
+            sents.append(f'<s xml:id="s.{f}.{s}"{spk}>'
+                         + "".join(ws) + "</s>")
+        root_id = f' xml:id="fdoc{seed}{f}"' if f == 0 else ""
+        body = "".join(sents)
+        files[f"folia{f}.xml"] = (
+            f'<?xml version="1.0"?>\n<FoLiA{root_id} version="2.0">'
+            f"<text>{body}</text></FoLiA>\n")
+    return files
+
+
+def parse_folia_texts(files: dict[str, str]) -> list[dict]:
+    """Independent reference parse of gen_folia_texts output via
+    xml.etree (a genuinely different engine from read_folia's JVM
+    regexes). One dict per token position: conv_id, turn_idx, p,
+    form, pos ('_' when absent), lemma (surface form when absent),
+    plus the reconstructed turn text (space="no" honored)."""
+    import re as _re
+    import xml.etree.ElementTree as ET
+    out = []
+    for fname, content in sorted(files.items()):
+        root = ET.fromstring(content)
+        conv = root.get("{http://www.w3.org/XML/1998/namespace}id") \
+            or _re.sub(r"\.xml$", "", fname)
+        for turn, s in enumerate(root.iter("s")):
+            text = ""
+            toks = []
+            for p, w in enumerate(s.iter("w")):
+                form = (w.find("t").text or "").strip()
+                pos_el = w.find("pos")
+                lem_el = w.find("lemma")
+                toks.append({
+                    "conv_id": conv, "turn_idx": turn, "p": p,
+                    "form": form,
+                    "pos": pos_el.get("class") if pos_el is not None
+                    else "_",
+                    "lemma": lem_el.get("class") if lem_el is not None
+                    else form})
+                text += form
+                if w.get("space") != "no":
+                    text += " "
+            text = text.rstrip()
+            for t in toks:
+                t["text"] = text
+            out.extend(toks)
+    return out
