@@ -68,28 +68,26 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     typical).
 
     Plan: benchmark shingles (small — eval sets are MBs) are
-    broadcast; the corpus side is explode → broadcast LEFT semi-count
-    → groupBy(doc_id) partial agg. Docs with < n tokens have zero
-    shingles and are re-attached with a left join so every input doc
-    appears exactly once.
+    broadcast; the corpus side is ONE scan — explode_outer (so docs
+    with < n tokens keep a null-shingle row) → broadcast left join →
+    groupBy(doc_id) partial agg. Every input doc appears exactly
+    once; the corpus is never scanned twice and never shuffled on
+    anything but the final doc_id aggregation.
 
     Output: (doc_id, n_contaminated_ngrams, contaminated 0/1).
     """
     toks = tokens_insensitive(text_col)
-    bench = F.broadcast(benchmark_shingles(benchmark, n, text_col))
-    exploded = (docs.select(F.col(id_col).alias("doc_id"),
-                            F.explode(_shingles(toks, n)).alias("shingle")))
-    hits = (exploded.join(bench, "shingle")
+    bench = F.broadcast(benchmark_shingles(benchmark, n, text_col)
+                        .withColumn("_m", F.lit(1)))
+    exploded = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(_shingles(toks, n)).alias("shingle")))
+    n_hits = F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+    return (exploded.join(bench, "shingle", "left")
             .groupBy("doc_id")
-            .agg(F.count("*").alias("n_hits")))
-    return (docs.select(F.col(id_col).alias("doc_id"))
-            .join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("int")
-                     .alias("n_contaminated_ngrams"),
-                    F.when(F.coalesce(F.col("n_hits"), F.lit(0)) > 0,
-                           F.lit(1)).otherwise(F.lit(0))
-                     .alias("contaminated")))
+            .agg(n_hits.cast("int").alias("n_contaminated_ngrams"),
+                 F.when(n_hits > 0, F.lit(1)).otherwise(F.lit(0))
+                  .alias("contaminated")))
 
 
 #: PII patterns — intersection of Java-regex and RE2 syntax so the

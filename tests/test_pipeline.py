@@ -239,3 +239,54 @@ def test_repetition_ratio_hand_example(spark):
     assert (out[2]["n_ngrams"], out[2]["dup_ratio"]) == (0, 0.0)
     assert (out[3]["n_ngrams"], out[3]["n_distinct"]) == (4, 1)
     assert out[3]["dup_ratio"] == 0.75
+
+
+def test_curation_plan_shapes(spark, docs):
+    """Scale assertions for the curation ops: the benchmark/rate
+    sides broadcast (never a corpus shuffle join), and the per-row
+    ops have zero exchanges."""
+    from pyspark.sql import functions as F
+    from blacklab_spark.functions import curation as C
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    p = C.decontaminate(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    p = C.stratified_sample(docs, {"en": 300})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    for op in (C.redact_pii(docs), C.repetition_ratio(docs)):
+        p = op._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p, p
+
+
+def test_redact_pii_randomized_vs_python():
+    """Property: on random ASCII texts with planted PII the JVM
+    regexes and Python's re agree on counts and the redacted text
+    (the patterns live in the common Java/RE2/Python syntax
+    subset)."""
+    import hashlib
+    import random
+    import re
+    from pyspark.sql import SparkSession
+    from blacklab_spark.functions import curation as C
+    spark = SparkSession.getActiveSession()
+    rng = random.Random(42)
+    words = ["alpha", "beta", "42", "x.y", "a@b", "@", "10.0", "1234",
+             "mail", "192.168.0.1", "u.ser+tag@ex-1.example.org",
+             "4111111111111111", "123456789012", "end."]
+    rows = [(i, " ".join(rng.choice(words)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.redact_pii(df).collect()}
+    for doc_id, text in rows:
+        red = text
+        counts = {}
+        for name, pat, repl in C.PII_PATTERNS:
+            counts[name] = len(re.findall(pat, text))
+            red = re.sub(pat, repl, red)
+        g = got[doc_id]
+        assert (g["n_email"], g["n_ipv4"], g["n_card"]) == (
+            counts["email"], counts["ipv4"], counts["card"]), (doc_id, text)
+        assert g["redacted_digest"] == \
+            hashlib.md5(red.encode()).hexdigest(), (doc_id, text, red)
