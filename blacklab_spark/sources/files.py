@@ -339,6 +339,117 @@ def read_folia(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def read_wpl(spark: SparkSession, path: str) -> DataFrame:
+    """Sketch Engine WPL (word-per-line) input — the reference's
+    tabular format with inline tags (formats/sketch-wpl.blf.yaml:
+    word=col1, pos=col2, lemma=col3, ``documentPath: doc``,
+    glueTags). ``<doc ...>`` elements (attrs ``id`` → conv id, else
+    file name + element index) contain ``<s>`` sentence elements =
+    turns; non-tag lines are token rows; the glue tag ``<g/>``
+    suppresses the space before the next token in the reconstructed
+    text (inline tags other than g are structural and skipped here).
+    Pre-annotated columns returned → pre-tokenized build. Wholetext +
+    JVM regexp/aggregate projections; one file per task."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+    fname = F.regexp_extract("_file", r"([^/]+?)(?:\.(?:wpl|vert|tsv))?$", 1)
+    docs = files.select(
+        fname.alias("_fname"),
+        F.posexplode(F.regexp_extract_all(
+            "value", F.lit(r"(?s)<doc\b[^>]*>.*?</doc>"), 0))
+        .alias("_didx", "_doc"))
+    conv_id = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "_doc", r'(?s)^<doc\b[^>]*\bid\s*=\s*"([^"]*)"', 1), F.lit("")),
+        F.concat("_fname", F.lit("-"), F.col("_didx").cast("string")))
+    sents = docs.select(
+        conv_id.alias("conv_id"),
+        F.posexplode(F.regexp_extract_all(
+            "_doc", F.lit(r"(?s)<s\b[^>]*>.*?</s>"), 0))
+        .alias("turn_idx", "_s"))
+    # token rows: lines not starting with '<'; columns word/pos/lemma
+    rows = F.filter(
+        F.transform(F.split("_s", "\n"), lambda l: F.trim(l)),
+        lambda l: (l != "") & ~l.startswith("<"))
+    col = lambda a, i: F.try_element_at(F.split(a, "\t"), F.lit(i))  # noqa: E731
+    # glue-aware text: fold over ALL lines, '<g/>' arms no-space
+    lines = F.filter(F.transform(F.split("_s", "\n"),
+                                 lambda l: F.trim(l)),
+                     lambda l: l != "")
+    acc0 = F.struct(F.lit("").alias("txt"), F.lit(False).alias("glue"))
+    step = lambda acc, l: F.when(  # noqa: E731
+        l == "<g/>",
+        F.struct(acc["txt"].alias("txt"), F.lit(True).alias("glue"))) \
+        .when(l.startswith("<"), acc) \
+        .otherwise(F.struct(
+            F.concat(acc["txt"],
+                     F.when(acc["glue"] | (acc["txt"] == ""), F.lit(""))
+                      .otherwise(F.lit(" ")),
+                     col(l, 1)).alias("txt"),
+            F.lit(False).alias("glue")))
+    text = F.aggregate(lines, acc0, step)["txt"]
+    out = (sents.withColumn("_t", rows)
+           .filter(F.size("_t") > 0)
+           .select(
+               "conv_id", "turn_idx",
+               F.lit(None).cast("string").alias("role"),
+               text.alias("text"),
+               F.lit(None).cast("string").alias("tool"),
+               F.timestamp_seconds(F.lit(946684800)
+                                   + F.col("turn_idx")).alias("ts"),
+               F.transform(F.col("_t"), lambda a: col(a, 1))
+               .alias("tokens_s"),
+               F.transform(F.col("_t"),
+                           lambda a: F.coalesce(col(a, 2), F.lit("_")))
+               .alias("tokens_pos"),
+               F.transform(F.col("_t"),
+                           lambda a: F.array(F.coalesce(col(a, 3),
+                                                        col(a, 1))))
+               .alias("tokens_lemma")))
+    return out
+
+
+def read_frog(spark: SparkSession, path: str) -> DataFrame:
+    """Frog tagger TSV — the reference's tsv-frog.blf.yaml mapping
+    (word=col2, lemma=col3, pos=col5; no header). One file = one
+    conversation (file name → conv id); blank-line-separated token
+    blocks = turns. Pre-annotated columns returned. Wholetext + JVM
+    higher-order functions; one file per task."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+    blocks = files.select(
+        F.regexp_extract("_file", r"([^/]+?)(?:\.(?:tsv|frog\.out))?$", 1)
+        .alias("conv_id"),
+        F.posexplode(F.filter(
+            F.split("value", r"\n[ \t]*\n"),
+            lambda b: b.rlike(r"(?m)^\d+\t"))).alias("turn_idx", "_blk"))
+    fields = F.filter(
+        F.transform(F.split("_blk", "\n"), lambda l: F.split(l, "\t")),
+        lambda a: F.element_at(a, 1).rlike(r"^\d+$"))
+    word = lambda a: F.element_at(a, 2)                 # noqa: E731
+    lemma = lambda a: F.try_element_at(a, F.lit(3))     # noqa: E731
+    pos = lambda a: F.try_element_at(a, F.lit(5))       # noqa: E731
+    out = (blocks.withColumn("_t", fields)
+           .filter(F.size("_t") > 0)
+           .select(
+               "conv_id", "turn_idx",
+               F.lit(None).cast("string").alias("role"),
+               F.concat_ws(" ", F.transform(F.col("_t"), word))
+               .alias("text"),
+               F.lit(None).cast("string").alias("tool"),
+               F.timestamp_seconds(F.lit(946684800)
+                                   + F.col("turn_idx")).alias("ts"),
+               F.transform(F.col("_t"), word).alias("tokens_s"),
+               F.transform(F.col("_t"),
+                           lambda a: F.coalesce(pos(a), F.lit("_")))
+               .alias("tokens_pos"),
+               F.transform(F.col("_t"),
+                           lambda a: F.array(F.coalesce(lemma(a),
+                                                        word(a))))
+               .alias("tokens_lemma")))
+    return out
+
+
 def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg catalog table (the production input per
     BASELINE.json.input_hint): ``spark.read.table`` against a
@@ -354,7 +465,8 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
 READERS = {"parquet": read_parquet, "jsonl": read_jsonl, "csv": read_csv,
            "tsv": read_tsv, "xml": read_xml, "conllu": read_conllu,
            "txt": read_plaintext, "iceberg": read_iceberg,
-           "chat": read_chat, "folia": read_folia}
+           "chat": read_chat, "folia": read_folia,
+           "wpl": read_wpl, "frog": read_frog}
 
 
 def read_transcripts(spark: SparkSession, path: str,

@@ -237,3 +237,74 @@ def test_folia_builds_preannotated(spark, tmp_path):
     assert eng.find('[pos="NOUN"]').count() == 1      # the given UPOS
     assert eng.find('"cafes"').count() == 1           # fold of given form
     assert eng.find('[lemma="be"]').count() == 1
+
+
+WPL_FIXTURE = """<doc id="wdoc1" src="news">
+<s>
+The\tDET\tthe
+visa\tNOUN\tvisa
+<g/>
+.\tPUNCT\t.
+</s>
+<s>
+Granted\tVERB\tgrant
+</s>
+</doc>
+<doc>
+<s>
+ok\tINTJ\tok
+</s>
+</doc>
+"""
+
+
+def test_read_wpl(spark, tmp_path):
+    (tmp_path / "corp.wpl").write_text(WPL_FIXTURE)
+    from blacklab_spark.sources.files import read_wpl
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in
+            read_wpl(spark, str(tmp_path / "*.wpl")).collect()}
+    assert set(rows) == {("wdoc1", 0), ("wdoc1", 1), ("corp-1", 0)}
+    r0 = rows[("wdoc1", 0)]
+    # glue tag suppresses the space before '.'
+    assert r0["text"] == "The visa."
+    assert r0["tokens_s"] == ["The", "visa", "."]
+    assert r0["tokens_pos"] == ["DET", "NOUN", "PUNCT"]
+    assert [list(v) for v in r0["tokens_lemma"]] == [["the"], ["visa"], ["."]]
+    assert rows[("corp-1", 0)]["tokens_s"] == ["ok"]
+
+
+FROG_FIXTURE = ("1\tDit\tdit\t[dit]\tVNW\t0.9\tO\tB-NP\t0\tROOT\n"
+                "2\twerkt\twerken\t[werk]\tWW\t0.8\tO\tB-VP\t1\tsu\n"
+                "\n"
+                "1\tKlaar\tklaar\t[klaar]\tADJ\t0.7\tO\tB-AP\t0\tROOT\n")
+
+
+def test_read_frog(spark, tmp_path):
+    (tmp_path / "conv7.tsv").write_text(FROG_FIXTURE)
+    from blacklab_spark.sources.files import read_frog
+    rows = {r["turn_idx"]: r for r in
+            read_frog(spark, str(tmp_path / "*.tsv")).collect()}
+    assert len(rows) == 2
+    assert rows[0]["conv_id"] == "conv7"
+    assert rows[0]["text"] == "Dit werkt"
+    assert rows[0]["tokens_s"] == ["Dit", "werkt"]
+    assert rows[0]["tokens_pos"] == ["VNW", "WW"]
+    assert [list(v) for v in rows[0]["tokens_lemma"]] == \
+        [["dit"], ["werken"]]
+    assert rows[1]["tokens_s"] == ["Klaar"]
+
+
+def test_wpl_builds_preannotated(spark, tmp_path):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.sources.files import read_transcripts
+    (tmp_path / "c.wpl").write_text(WPL_FIXTURE)
+    out = str(tmp_path / "idx")
+    build_index(spark, read_transcripts(spark, str(tmp_path / "*.wpl"),
+                                        fmt="wpl"),
+                out, BuildConfig(num_partitions=2,
+                                 annotations=("pos", "lemma")))
+    eng = SearchEngine.open(spark, out)
+    assert eng.find('[pos="NOUN"]').count() == 1
+    assert eng.find('[lemma="grant"]').count() == 1
