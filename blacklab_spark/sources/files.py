@@ -450,6 +450,92 @@ def read_frog(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def read_eaf(spark: SparkSession, path: str) -> DataFrame:
+    """EAF (ELAN Annotation Format) — the reference's time-aligned
+    standoff format (formats/eaf.blf.yaml: word tier
+    ``LINGUISTIC_TYPE_REF='Words'`` of ALIGNABLE_ANNOTATIONs; Lemma /
+    PoS tiers of REF_ANNOTATIONs joined on ``@ANNOTATION_REF`` —
+    standoffAnnotations). One ``.eaf`` file = one conversation; one
+    Words TIER = one turn (its ``PARTICIPANT`` attr → role), tokens
+    in tier order. The TIME_ORDER slot table resolves each tier's
+    first TIME_SLOT_REF1 to milliseconds → the turn ``ts`` (EAF is
+    the one reference format with a real time axis). Standoff lemma /
+    pos lookups are JVM map_from_entries maps keyed by annotation id.
+    Pre-annotated columns returned. Wholetext + regexp/map
+    projections; one file per task."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+
+    def _attr_map(tier_type: str):
+        """ANNOTATION_REF → ANNOTATION_VALUE map for a standoff
+        REF_ANNOTATION tier of the given LINGUISTIC_TYPE_REF."""
+        tier = F.regexp_extract(
+            "value",
+            r"(?s)<TIER\b[^>]*LINGUISTIC_TYPE_REF=\"%s\"[^>]*>.*?</TIER>"
+            % tier_type, 0)
+        refs = F.regexp_extract_all(
+            tier, F.lit(r"(?s)<REF_ANNOTATION\b[^>]*>.*?</REF_ANNOTATION>"),
+            0)
+        ent = lambda r: F.struct(  # noqa: E731
+            F.regexp_extract(r, r'ANNOTATION_REF="([^"]*)"', 1).alias("k"),
+            _xml_unescape(F.regexp_extract(
+                r, r"(?s)<ANNOTATION_VALUE>\s*(.*?)\s*</ANNOTATION_VALUE>",
+                1)).alias("v"))
+        return F.map_from_entries(F.transform(refs, ent))
+
+    slots = F.map_from_entries(F.transform(
+        F.regexp_extract_all("value", F.lit(r"<TIME_SLOT\b[^>]*/?>"), 0),
+        lambda s: F.struct(
+            F.regexp_extract(s, r'TIME_SLOT_ID="([^"]*)"', 1).alias("k"),
+            F.regexp_extract(s, r'TIME_VALUE="(\d+)"', 1).cast("long")
+            .alias("v"))))
+    doc = files.select(
+        F.regexp_extract("_file", r"([^/]+?)(?:\.eaf)?$", 1)
+        .alias("conv_id"),
+        slots.alias("_slots"),
+        _attr_map("Lemma").alias("_lem"),
+        _attr_map("PoS").alias("_pos"),
+        F.posexplode(F.regexp_extract_all(
+            "value",
+            F.lit(r"(?s)<TIER\b[^>]*LINGUISTIC_TYPE_REF=\"Words\""
+                  r"[^>]*>.*?</TIER>"), 0)).alias("turn_idx", "_tier"))
+    anns = F.regexp_extract_all(
+        "_tier",
+        F.lit(r"(?s)<ALIGNABLE_ANNOTATION\b[^>]*>.*?"
+              r"</ALIGNABLE_ANNOTATION>"), 0)
+    aid = lambda a: F.regexp_extract(  # noqa: E731
+        a, r'ANNOTATION_ID="([^"]*)"', 1)
+    form = lambda a: _xml_unescape(F.regexp_extract(  # noqa: E731
+        a, r"(?s)<ANNOTATION_VALUE>\s*(.*?)\s*</ANNOTATION_VALUE>", 1))
+    first_slot = F.regexp_extract(
+        F.element_at(F.col("_a"), 1), r'TIME_SLOT_REF1="([^"]*)"', 1)
+    out = (doc.withColumn("_a", anns)
+           .filter(F.size("_a") > 0)
+           .select(
+               "conv_id", "turn_idx",
+               F.nullif(F.regexp_extract(
+                   "_tier", r'(?s)^<TIER\b[^>]*PARTICIPANT="([^"]*)"', 1),
+                   F.lit("")).alias("role"),
+               F.concat_ws(" ", F.transform(F.col("_a"), form))
+               .alias("text"),
+               F.lit(None).cast("string").alias("tool"),
+               F.timestamp_millis(
+                   F.lit(946684800000)
+                   + F.coalesce(F.element_at("_slots", first_slot),
+                                F.lit(0))).alias("ts"),
+               F.transform(F.col("_a"), form).alias("tokens_s"),
+               F.transform(
+                   F.col("_a"),
+                   lambda a: F.coalesce(F.element_at("_pos", aid(a)),
+                                        F.lit("_"))).alias("tokens_pos"),
+               F.transform(
+                   F.col("_a"),
+                   lambda a: F.array(F.coalesce(
+                       F.element_at("_lem", aid(a)), form(a))))
+               .alias("tokens_lemma")))
+    return out
+
+
 def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg catalog table (the production input per
     BASELINE.json.input_hint): ``spark.read.table`` against a
@@ -466,7 +552,7 @@ READERS = {"parquet": read_parquet, "jsonl": read_jsonl, "csv": read_csv,
            "tsv": read_tsv, "xml": read_xml, "conllu": read_conllu,
            "txt": read_plaintext, "iceberg": read_iceberg,
            "chat": read_chat, "folia": read_folia,
-           "wpl": read_wpl, "frog": read_frog}
+           "wpl": read_wpl, "frog": read_frog, "eaf": read_eaf}
 
 
 def read_transcripts(spark: SparkSession, path: str,

@@ -308,3 +308,61 @@ def test_wpl_builds_preannotated(spark, tmp_path):
     eng = SearchEngine.open(spark, out)
     assert eng.find('[pos="NOUN"]').count() == 1
     assert eng.find('[lemma="grant"]').count() == 1
+
+
+EAF_FIXTURE = """<?xml version="1.0"?>
+<ANNOTATION_DOCUMENT AUTHOR="t" DATE="2024-01-01" FORMAT="3.0">
+ <TIME_ORDER>
+  <TIME_SLOT TIME_SLOT_ID="ts1" TIME_VALUE="1500"/>
+  <TIME_SLOT TIME_SLOT_ID="ts2" TIME_VALUE="2000"/>
+  <TIME_SLOT TIME_SLOT_ID="ts3" TIME_VALUE="4200"/>
+  <TIME_SLOT TIME_SLOT_ID="ts4" TIME_VALUE="5000"/>
+ </TIME_ORDER>
+ <TIER LINGUISTIC_TYPE_REF="Words" PARTICIPANT="spkA" TIER_ID="W1">
+  <ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="a1"
+    TIME_SLOT_REF1="ts1" TIME_SLOT_REF2="ts2">
+   <ANNOTATION_VALUE>hello</ANNOTATION_VALUE>
+  </ALIGNABLE_ANNOTATION></ANNOTATION>
+  <ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="a2"
+    TIME_SLOT_REF1="ts2" TIME_SLOT_REF2="ts3">
+   <ANNOTATION_VALUE>world</ANNOTATION_VALUE>
+  </ALIGNABLE_ANNOTATION></ANNOTATION>
+ </TIER>
+ <TIER LINGUISTIC_TYPE_REF="Words" PARTICIPANT="spkB" TIER_ID="W2">
+  <ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="a3"
+    TIME_SLOT_REF1="ts3" TIME_SLOT_REF2="ts4">
+   <ANNOTATION_VALUE>bye</ANNOTATION_VALUE>
+  </ALIGNABLE_ANNOTATION></ANNOTATION>
+ </TIER>
+ <TIER LINGUISTIC_TYPE_REF="Lemma" TIER_ID="L">
+  <ANNOTATION><REF_ANNOTATION ANNOTATION_ID="l1" ANNOTATION_REF="a1">
+   <ANNOTATION_VALUE>hello</ANNOTATION_VALUE></REF_ANNOTATION></ANNOTATION>
+  <ANNOTATION><REF_ANNOTATION ANNOTATION_ID="l2" ANNOTATION_REF="a2">
+   <ANNOTATION_VALUE>world</ANNOTATION_VALUE></REF_ANNOTATION></ANNOTATION>
+ </TIER>
+ <TIER LINGUISTIC_TYPE_REF="PoS" TIER_ID="P">
+  <ANNOTATION><REF_ANNOTATION ANNOTATION_ID="p1" ANNOTATION_REF="a1">
+   <ANNOTATION_VALUE>INTJ</ANNOTATION_VALUE></REF_ANNOTATION></ANNOTATION>
+  <ANNOTATION><REF_ANNOTATION ANNOTATION_ID="p3" ANNOTATION_REF="a3">
+   <ANNOTATION_VALUE>INTJ</ANNOTATION_VALUE></REF_ANNOTATION></ANNOTATION>
+ </TIER>
+</ANNOTATION_DOCUMENT>
+"""
+
+
+def test_read_eaf(spark, tmp_path):
+    (tmp_path / "sess1.eaf").write_text(EAF_FIXTURE)
+    from blacklab_spark.sources.files import read_eaf
+    rows = {r["turn_idx"]: r for r in
+            read_eaf(spark, str(tmp_path / "*.eaf")).collect()}
+    assert len(rows) == 2                       # one turn per Words tier
+    assert rows[0]["conv_id"] == "sess1"
+    assert rows[0]["role"] == "spkA" and rows[1]["role"] == "spkB"
+    assert rows[0]["text"] == "hello world"
+    assert rows[0]["tokens_s"] == ["hello", "world"]
+    # standoff joins: pos present for a1 only, lemma falls back for a3
+    assert rows[0]["tokens_pos"] == ["INTJ", "_"]
+    assert [list(v) for v in rows[1]["tokens_lemma"]] == [["bye"]]
+    # TIME_ORDER resolution: turn ts = first slot's ms offset
+    assert rows[0]["ts"].microsecond == 500000          # 1500 ms
+    assert rows[1]["ts"].second % 10 == 4               # 4200 ms
