@@ -536,6 +536,151 @@ def read_eaf(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def read_tcf(spark: SparkSession, path: str) -> DataFrame:
+    """TCF (WebLicht Text Corpus Format) — reference
+    formats/tcf.blf.yaml: tokens = ``<token ID="..">word</token>``,
+    lemma / pos layers standoff via ``tokenIDs`` references, and the
+    ``<sentence tokenIDs="..">`` layer defining turn boundaries. One
+    file = one conversation. The yaml's XPath contains()-joins become
+    JVM maps: token-ID → word / lemma / pos, sentence token-ID lists
+    resolved through them. Pre-annotated columns returned. Wholetext
+    + regexp/map projections; one file per task."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+
+    tok_ent = lambda t: F.struct(  # noqa: E731
+        F.regexp_extract(t, r'ID="([^"]*)"', 1).alias("k"),
+        _xml_unescape(F.regexp_extract(
+            t, r"(?s)>\s*(.*?)\s*</token>", 1)).alias("v"))
+    toks = F.map_from_entries(F.transform(
+        F.regexp_extract_all(
+            "value", F.lit(r"(?s)<token\b[^>]*>.*?</token>"), 0),
+        tok_ent))
+
+    def _ref_map(elem: str):
+        """tokenID → value map for <elem tokenIDs="a b ...">v</elem>
+        standoff layers (first value per token wins, as the yaml's
+        [1] predicate does)."""
+        els = F.regexp_extract_all(
+            "value", F.lit(r"(?s)<%s\b[^>]*tokenIDs=\"[^\"]*\"[^>]*>"
+                           r".*?</%s>" % (elem, elem)), 0)
+        ents = F.flatten(F.transform(
+            els,
+            lambda e: F.transform(
+                F.split(F.regexp_extract(e, r'tokenIDs="([^"]*)"', 1),
+                        r"\s+"),
+                lambda tid: F.named_struct(
+                    F.lit("k"), tid,
+                    F.lit("v"), _xml_unescape(F.regexp_extract(
+                        e, r"(?s)>\s*(.*?)\s*</%s>" % elem, 1))))))
+        # duplicate keys: keep the FIRST occurrence (yaml [1])
+        return F.map_from_entries(F.filter(
+            ents, lambda s, i: ~F.exists(
+                F.slice(ents, 1, i),
+                lambda p: p["k"] == s["k"])))
+
+    doc = files.select(
+        F.regexp_extract("_file", r"([^/]+?)(?:\.(?:tcf|xml))?$", 1)
+        .alias("conv_id"),
+        toks.alias("_tok"),
+        _ref_map("lemma").alias("_lem"),
+        _ref_map("tag").alias("_pos"),
+        F.posexplode(F.regexp_extract_all(
+            "value", F.lit(r"<sentence\b[^>]*tokenIDs=\"[^\"]*\"[^>]*/?>"),
+            0)).alias("turn_idx", "_sent"))
+    ids = F.split(F.regexp_extract("_sent", r'tokenIDs="([^"]*)"', 1),
+                  r"\s+")
+    word = lambda tid: F.element_at("_tok", tid)  # noqa: E731
+    out = (doc.withColumn("_ids", ids)
+           .filter(F.size("_ids") > 0)
+           .select(
+               "conv_id", "turn_idx",
+               F.lit(None).cast("string").alias("role"),
+               F.concat_ws(" ", F.transform(F.col("_ids"), word))
+               .alias("text"),
+               F.lit(None).cast("string").alias("tool"),
+               F.timestamp_seconds(F.lit(946684800)
+                                   + F.col("turn_idx")).alias("ts"),
+               F.transform(F.col("_ids"), word).alias("tokens_s"),
+               F.transform(F.col("_ids"),
+                           lambda t: F.coalesce(F.element_at("_pos", t),
+                                                F.lit("_")))
+               .alias("tokens_pos"),
+               F.transform(F.col("_ids"),
+                           lambda t: F.array(F.coalesce(
+                               F.element_at("_lem", t), word(t))))
+               .alias("tokens_lemma")))
+    return out
+
+
+def read_naf(spark: SparkSession, path: str) -> DataFrame:
+    """NAF (NLP Annotation Format) — reference formats/naf.blf.yaml:
+    word forms ``<wf id=".." sent="..">word</wf>`` in the text layer,
+    standoff ``<term lemma=".." pos=".."><span><target id=".."/>``
+    joins per token. One file = one conversation; the ``sent``
+    attribute groups word forms into turns (document order). Term
+    lemma/pos lookups are JVM maps keyed by the span target id.
+    Pre-annotated columns returned; wholetext + regexp/map
+    projections, one file per task."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+    wfs = F.regexp_extract_all(
+        "value", F.lit(r"(?s)<wf\b[^>]*>.*?</wf>"), 0)
+    terms = F.regexp_extract_all(
+        "value", F.lit(r"(?s)<term\b[^>]*>.*?</term>"), 0)
+
+    def _term_map(attr: str):
+        ents = F.flatten(F.transform(
+            terms,
+            lambda t: F.transform(
+                F.regexp_extract_all(t, F.lit(r'<target\b[^>]*id="([^"]*)"'),
+                                     1),
+                lambda tid: F.named_struct(
+                    F.lit("k"), tid,
+                    F.lit("v"), F.nullif(F.regexp_extract(
+                        t, r'(?s)^<term\b[^>]*\b%s="([^"]*)"' % attr, 1),
+                        F.lit(""))))))
+        return F.map_from_entries(F.filter(
+            ents, lambda s, i: ~F.exists(
+                F.slice(ents, 1, i), lambda p: p["k"] == s["k"])))
+
+    doc = files.select(
+        F.regexp_extract("_file", r"([^/]+?)(?:\.(?:naf|xml))?$", 1)
+        .alias("conv_id"),
+        wfs.alias("_wfs"),
+        _term_map("lemma").alias("_lem"),
+        _term_map("pos").alias("_pos"))
+    sent = lambda w: F.regexp_extract(w, r'sent="([^"]*)"', 1)  # noqa: E731
+    wid = lambda w: F.regexp_extract(w, r'id="([^"]*)"', 1)     # noqa: E731
+    form = lambda w: _xml_unescape(F.regexp_extract(            # noqa: E731
+        w, r"(?s)>\s*(.*?)\s*</wf>", 1))
+    sents = F.array_distinct(F.transform(F.col("_wfs"), sent))
+    doc = (doc.withColumn("_sents", sents)
+           .select("conv_id", "_wfs", "_lem", "_pos",
+                   F.posexplode("_sents").alias("turn_idx", "_sent")))
+    tws = F.filter(F.col("_wfs"), lambda w: sent(w) == F.col("_sent"))
+    out = (doc.withColumn("_t", tws)
+           .filter(F.size("_t") > 0)
+           .select(
+               "conv_id", "turn_idx",
+               F.lit(None).cast("string").alias("role"),
+               F.concat_ws(" ", F.transform(F.col("_t"), form))
+               .alias("text"),
+               F.lit(None).cast("string").alias("tool"),
+               F.timestamp_seconds(F.lit(946684800)
+                                   + F.col("turn_idx")).alias("ts"),
+               F.transform(F.col("_t"), form).alias("tokens_s"),
+               F.transform(F.col("_t"),
+                           lambda w: F.coalesce(
+                               F.element_at("_pos", wid(w)), F.lit("_")))
+               .alias("tokens_pos"),
+               F.transform(F.col("_t"),
+                           lambda w: F.array(F.coalesce(
+                               F.element_at("_lem", wid(w)), form(w))))
+               .alias("tokens_lemma")))
+    return out
+
+
 def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg catalog table (the production input per
     BASELINE.json.input_hint): ``spark.read.table`` against a
@@ -552,7 +697,8 @@ READERS = {"parquet": read_parquet, "jsonl": read_jsonl, "csv": read_csv,
            "tsv": read_tsv, "xml": read_xml, "conllu": read_conllu,
            "txt": read_plaintext, "iceberg": read_iceberg,
            "chat": read_chat, "folia": read_folia,
-           "wpl": read_wpl, "frog": read_frog, "eaf": read_eaf}
+           "wpl": read_wpl, "frog": read_frog, "eaf": read_eaf,
+           "tcf": read_tcf, "naf": read_naf}
 
 
 def read_transcripts(spark: SparkSession, path: str,

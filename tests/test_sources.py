@@ -366,3 +366,74 @@ def test_read_eaf(spark, tmp_path):
     # TIME_ORDER resolution: turn ts = first slot's ms offset
     assert rows[0]["ts"].microsecond == 500000          # 1500 ms
     assert rows[1]["ts"].second % 10 == 4               # 4200 ms
+
+
+TCF_FIXTURE = """<?xml version="1.0"?>
+<D-Spin><TextCorpus lang="en">
+ <tokens>
+  <token ID="t1">The</token>
+  <token ID="t2">visa</token>
+  <token ID="t3">works</token>
+  <token ID="t4">Done</token>
+ </tokens>
+ <sentences>
+  <sentence ID="s1" tokenIDs="t1 t2 t3"/>
+  <sentence ID="s2" tokenIDs="t4"/>
+ </sentences>
+ <lemmas>
+  <lemma ID="l1" tokenIDs="t1">the</lemma>
+  <lemma ID="l2" tokenIDs="t2 t4">visa</lemma>
+ </lemmas>
+ <POStags tagset="upos">
+  <tag ID="p1" tokenIDs="t2">NOUN</tag>
+  <tag ID="p2" tokenIDs="t3">VERB</tag>
+ </POStags>
+</TextCorpus></D-Spin>
+"""
+
+
+def test_read_tcf(spark, tmp_path):
+    (tmp_path / "corp1.tcf").write_text(TCF_FIXTURE)
+    from blacklab_spark.sources.files import read_tcf
+    rows = {r["turn_idx"]: r for r in
+            read_tcf(spark, str(tmp_path / "*.tcf")).collect()}
+    assert len(rows) == 2
+    assert rows[0]["conv_id"] == "corp1"
+    assert rows[0]["text"] == "The visa works"
+    assert rows[0]["tokens_s"] == ["The", "visa", "works"]
+    assert rows[0]["tokens_pos"] == ["_", "NOUN", "VERB"]
+    assert [list(v) for v in rows[0]["tokens_lemma"]] == \
+        [["the"], ["visa"], ["works"]]
+    # multi-token lemma ref (t2 t4) reaches the second sentence too
+    assert [list(v) for v in rows[1]["tokens_lemma"]] == [["visa"]]
+
+
+NAF_FIXTURE = """<?xml version="1.0"?>
+<NAF xml:lang="en" version="3.0">
+ <text>
+  <wf id="w1" sent="1" offset="0" length="3">The</wf>
+  <wf id="w2" sent="1" offset="4" length="4">visa</wf>
+  <wf id="w3" sent="2" offset="9" length="4">Done</wf>
+ </text>
+ <terms>
+  <term id="term1" lemma="the" pos="DET"><span><target id="w1"/></span></term>
+  <term id="term2" lemma="visa" pos="NOUN"><span><target id="w2"/></span></term>
+ </terms>
+</NAF>
+"""
+
+
+def test_read_naf(spark, tmp_path):
+    (tmp_path / "doc9.naf").write_text(NAF_FIXTURE)
+    from blacklab_spark.sources.files import read_naf
+    rows = {r["turn_idx"]: r for r in
+            read_naf(spark, str(tmp_path / "*.naf")).collect()}
+    assert len(rows) == 2                    # sent attr groups turns
+    assert rows[0]["conv_id"] == "doc9"
+    assert rows[0]["text"] == "The visa"
+    assert rows[0]["tokens_pos"] == ["DET", "NOUN"]
+    assert [list(v) for v in rows[0]["tokens_lemma"]] == \
+        [["the"], ["visa"]]
+    # w3 has no term: pos default, lemma falls back to the form
+    assert rows[1]["tokens_pos"] == ["_"]
+    assert [list(v) for v in rows[1]["tokens_lemma"]] == [["Done"]]
