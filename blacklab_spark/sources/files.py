@@ -681,6 +681,54 @@ def read_naf(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def read_cmdi(spark: SparkSession, path: str) -> DataFrame:
+    """CMDI (CLARIN Component MetaData) — the reference's linked
+    METADATA format (formats/cmdi.blf.yaml: ``type: metadata``,
+    ``store: false``; every leaf element with text becomes a metadata
+    field named by its local name). One ``.cmdi``/``.xml`` file
+    describes one conversation: conv id from ``<MdSelfLink>`` when
+    present, else the file name. Returns the long frame
+    ``(conv_id, field, value)`` — join it onto ``doc_meta`` by
+    conv_id (the reference's linkedDocument mechanism) or pivot with
+    ``cmdi_metadata_map``. Leaf extraction is one JVM regexp with a
+    backreference (open/close tag names must match); elements with
+    child elements never match because ``[^<>]`` excludes nested
+    tags."""
+    files = spark.read.text(path, wholetext=True) \
+        .withColumn("_file", F.input_file_name())
+    conv_id = F.coalesce(
+        F.nullif(F.regexp_extract(
+            "value", r"(?s)<MdSelfLink[^>]*>\s*([^<]*?)\s*</MdSelfLink>",
+            1), F.lit("")),
+        F.regexp_extract("_file", r"([^/]+?)(?:\.(?:cmdi|xml))?$", 1))
+    leaves = F.regexp_extract_all(
+        "value",
+        F.lit(r"<([A-Za-z_][\w.-]*)(?:\s[^>]*)?>([^<>]+)</\1>"), 0)
+    out = (files.select(
+        conv_id.alias("conv_id"),
+        F.explode(leaves).alias("_leaf"))
+        .select(
+            "conv_id",
+            F.regexp_extract("_leaf", r"^<([A-Za-z_][\w.-]*)", 1)
+            .alias("field"),
+            F.trim(_xml_unescape(F.regexp_extract(
+                "_leaf", r">([^<>]+)<", 1))).alias("value"))
+        .filter(F.col("value") != ""))
+    return out
+
+
+def cmdi_metadata_map(cmdi: DataFrame) -> DataFrame:
+    """Pivot the long CMDI frame to one row per conversation with a
+    field→value map (first value per field wins, deterministic by
+    value order) — the shape that joins straight onto doc_meta."""
+    return (cmdi.groupBy("conv_id", "field")
+            .agg(F.min("value").alias("value"))
+            .groupBy("conv_id")
+            .agg(F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("field", "value"))))
+                .alias("metadata")))
+
+
 def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     """Iceberg catalog table (the production input per
     BASELINE.json.input_hint): ``spark.read.table`` against a

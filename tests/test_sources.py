@@ -437,3 +437,41 @@ def test_read_naf(spark, tmp_path):
     # w3 has no term: pos default, lemma falls back to the form
     assert rows[1]["tokens_pos"] == ["_"]
     assert [list(v) for v in rows[1]["tokens_lemma"]] == [["Done"]]
+
+
+CMDI_FIXTURE = """<?xml version="1.0"?>
+<CMD CMDVersion="1.2">
+ <Header>
+  <MdCreator>tool</MdCreator>
+  <MdSelfLink> conv-42 </MdSelfLink>
+ </Header>
+ <Components>
+  <Session>
+    <Name>morning call</Name>
+    <Country>NL</Country>
+    <Actors><Actor><Role>interviewer</Role><Age>31</Age></Actor></Actors>
+    <Empty></Empty>
+  </Session>
+ </Components>
+</CMD>
+"""
+
+
+def test_read_cmdi(spark, tmp_path):
+    """Leaf-element metadata harvest cross-checked against an
+    ElementTree parse (cmdi.blf.yaml forEachPath leaf rule)."""
+    import xml.etree.ElementTree as ET
+    (tmp_path / "sess.cmdi").write_text(CMDI_FIXTURE)
+    from blacklab_spark.sources.files import read_cmdi, cmdi_metadata_map
+    got = {(r["conv_id"], r["field"], r["value"]) for r in
+           read_cmdi(spark, str(tmp_path / "*.cmdi")).collect()}
+    root = ET.fromstring(CMDI_FIXTURE)
+    expect = {("conv-42", el.tag, el.text.strip())
+              for el in root.iter()
+              if len(el) == 0 and el.text and el.text.strip()}
+    assert got == expect
+    assert ("conv-42", "Role", "interviewer") in got
+    assert ("conv-42", "Age", "31") in got
+    m = cmdi_metadata_map(
+        read_cmdi(spark, str(tmp_path / "*.cmdi"))).collect()
+    assert len(m) == 1 and m[0]["metadata"]["Country"] == "NL"
