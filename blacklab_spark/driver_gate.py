@@ -408,13 +408,11 @@ FROM cturns
 """
 
 
-def _folia_tokens_sql() -> str:
-    """Oracle for read_folia: the xml.etree parse of the same FoLiA
-    fixture as a VALUES CTE (per-position form/pos/lemma + turn
-    text)."""
-    from blacklab_spark.sources.transcripts import (gen_folia_texts,
-                                                    parse_folia_texts)
-    rows = parse_folia_texts(gen_folia_texts(seed=42))
+def _token_layers_sql(gen, parse) -> str:
+    """Oracle for a pre-annotated reader-parity gate: the independent
+    parse of the same fixture as a VALUES CTE (per-position
+    form/pos/lemma + turn text)."""
+    rows = parse(gen(seed=42))
     vals = ",\n  ".join(
         f"('{t['conv_id']}', {t['turn_idx']}, {t['p']}, '{t['form']}', "
         f"'{t['pos']}', '{t['lemma']}', '{t['text']}')" for t in rows)
@@ -425,6 +423,21 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, CAST(p AS INT) AS p,
        form, pos, lemma, text
 FROM ftoks
 """
+
+
+def _folia_tokens_sql() -> str:
+    from blacklab_spark.sources.transcripts import (gen_folia_texts,
+                                                    parse_folia_texts)
+    return _token_layers_sql(gen_folia_texts, parse_folia_texts)
+
+
+def _reader_fixtures():
+    from blacklab_spark.sources import transcripts as _st
+    return [("wpl", _st.gen_wpl_texts, _st.parse_wpl_texts),
+            ("frog", _st.gen_frog_texts, _st.parse_frog_texts),
+            ("eaf", _st.gen_eaf_texts, _st.parse_eaf_texts),
+            ("tcf", _st.gen_tcf_texts, _st.parse_tcf_texts),
+            ("naf", _st.gen_naf_texts, _st.parse_naf_texts)]
 
 
 def _tags_spans_all_sql() -> str:
@@ -1734,14 +1747,10 @@ def gate_queries() -> dict:
             "role", "text",
             (F.unix_millis("ts") - 946684800000).alias("ts_off"))
 
-    def folia_tokens_parse(spark, sf_dir):
-        """read_folia's JVM regexp/array parse vs an xml.etree parse
-        of the same FoLiA fixture: per-position form/pos/lemma and the
-        space="no"-honoring text reconstruction."""
-        from blacklab_spark.sources.files import read_folia
-        from blacklab_spark.sources.transcripts import gen_folia_texts
-        src = _write_fixture_files("folia_src", gen_folia_texts(seed=42))
-        df = read_folia(spark, os.path.join(src, "*.xml"))
+    def _token_layers(df):
+        """Pre-annotated reader output → one row per token position
+        (conv_id, turn_idx, p, form, pos, lemma, text) — the common
+        comparable shape for every reader-parity gate."""
         z = F.arrays_zip("tokens_s", "tokens_pos", "tokens_lemma")
         return (df.select("conv_id",
                           F.col("turn_idx").cast("int").alias("turn_idx"),
@@ -1751,6 +1760,36 @@ def gate_queries() -> dict:
                         F.col("_t.tokens_pos").alias("pos"),
                         F.element_at("_t.tokens_lemma", 1).alias("lemma"),
                         "text"))
+
+    def folia_tokens_parse(spark, sf_dir):
+        """read_folia's JVM regexp/array parse vs an xml.etree parse
+        of the same FoLiA fixture: per-position form/pos/lemma and the
+        space="no"-honoring text reconstruction."""
+        from blacklab_spark.sources.files import read_folia
+        from blacklab_spark.sources.transcripts import gen_folia_texts
+        src = _write_fixture_files("folia_src", gen_folia_texts(seed=42))
+        return _token_layers(read_folia(spark, os.path.join(src, "*.xml")))
+
+    def _reader_gate(subdir, gen, reader, glob):
+        """Reader-parity gate body: fixture files → reader →
+        token-layer frame (oracle: the independent parse as VALUES)."""
+        def run(spark, sf_dir):
+            src = _write_fixture_files(subdir, gen(seed=42))
+            return _token_layers(reader(spark, os.path.join(src, glob)))
+        return run
+
+    from blacklab_spark.sources import files as _sf
+    from blacklab_spark.sources import transcripts as _st
+    wpl_tokens_parse = _reader_gate("wpl_src", _st.gen_wpl_texts,
+                                    _sf.read_wpl, "*.wpl")
+    frog_tokens_parse = _reader_gate("frog_src", _st.gen_frog_texts,
+                                     _sf.read_frog, "*.tsv")
+    eaf_tokens_parse = _reader_gate("eaf_src", _st.gen_eaf_texts,
+                                    _sf.read_eaf, "*.eaf")
+    tcf_tokens_parse = _reader_gate("tcf_src", _st.gen_tcf_texts,
+                                    _sf.read_tcf, "*.tcf")
+    naf_tokens_parse = _reader_gate("naf_src", _st.gen_naf_texts,
+                                    _sf.read_naf, "*.naf")
 
     from blacklab_spark.driver_gate_pipeline import pipeline_queries
     return {
@@ -1843,6 +1882,11 @@ def gate_queries() -> dict:
         "conllu_word_folded": conllu_word_folded,
         "chat_turns_parse": chat_turns_parse,
         "folia_tokens_parse": folia_tokens_parse,
+        "wpl_tokens_parse": wpl_tokens_parse,
+        "frog_tokens_parse": frog_tokens_parse,
+        "eaf_tokens_parse": eaf_tokens_parse,
+        "tcf_tokens_parse": tcf_tokens_parse,
+        "naf_tokens_parse": naf_tokens_parse,
     }
 
 
@@ -2172,4 +2216,6 @@ WHERE t.tok LIKE 'vis%' AND lower(d.role) = 'user'
         "conllu_word_folded": _conllu_layer_sql("word", "cafe"),
         "chat_turns_parse": _chat_turns_sql(),
         "folia_tokens_parse": _folia_tokens_sql(),
+        **{f"{k}_tokens_parse": _token_layers_sql(g, p)
+           for k, g, p in _reader_fixtures()},
     }

@@ -448,3 +448,263 @@ def parse_folia_texts(files: dict[str, str]) -> list[dict]:
                 t["text"] = text
             out.extend(toks)
     return out
+
+
+# -- WPL / Frog / EAF / TCF / NAF fixtures + independent parses -------
+# Each gen_*_texts is a deterministic file fixture; each parse_*_texts
+# is the oracle's SECOND implementation (pure Python string handling
+# for the tabular formats, xml.etree for the XML standoff formats —
+# genuinely different engines from the readers' JVM regexp plans).
+# All return one dict per token position: conv_id, turn_idx, p, form,
+# pos ('_' when absent), lemma (surface form when absent), text (the
+# reconstructed turn text).
+
+def gen_wpl_texts(seed: int = 42) -> dict[str, str]:
+    """Sketch-WPL fixture: 2 docs in one file (id attr + fallback),
+    glue tags, inline structural tags, multi-sentence docs."""
+    return {f"wpl{seed}.wpl": (
+        f'<doc id="wd{seed}" src="news">\n'
+        "<s>\nThe\tDET\tthe\nvisa\tNOUN\tvisa\n<g/>\n.\tPUNCT\t.\n</s>\n"
+        "<s>\nGranted\tVERB\tgrant\nnow\tADV\tnow\n</s>\n"
+        "</doc>\n"
+        "<doc>\n<s>\nok\tINTJ\tok\n<g/>\n!\tPUNCT\t!\n</s>\n</doc>\n")}
+
+
+def parse_wpl_texts(files: dict[str, str]) -> list[dict]:
+    import re as _re
+    out = []
+    for fname, content in sorted(files.items()):
+        base = _re.sub(r"\.(wpl|vert|tsv)$", "", fname)
+        for didx, dm in enumerate(_re.finditer(
+                r"(?s)<doc\b[^>]*>.*?</doc>", content)):
+            doc = dm.group(0)
+            idm = _re.search(r'^<doc\b[^>]*\bid\s*=\s*"([^"]*)"', doc)
+            conv = idm.group(1) if idm else f"{base}-{didx}"
+            for turn, sm in enumerate(_re.finditer(
+                    r"(?s)<s\b[^>]*>.*?</s>", doc)):
+                lines = [l.strip() for l in sm.group(0).split("\n")
+                         if l.strip()]
+                text, glue, toks = "", False, []
+                for l in lines:
+                    if l == "<g/>":
+                        glue = True
+                    elif l.startswith("<"):
+                        continue
+                    else:
+                        cols = l.split("\t")
+                        word = cols[0]
+                        toks.append(
+                            (word,
+                             cols[1] if len(cols) > 1 else "_",
+                             cols[2] if len(cols) > 2 else word))
+                        text += ("" if glue or text == "" else " ") + word
+                        glue = False
+                for p, (form, pos, lemma) in enumerate(toks):
+                    out.append({"conv_id": conv, "turn_idx": turn, "p": p,
+                                "form": form, "pos": pos, "lemma": lemma,
+                                "text": text})
+    return out
+
+
+def gen_frog_texts(seed: int = 42) -> dict[str, str]:
+    """Frog TSV fixture: 2 files, blank-line sentence blocks, the
+    reference's 10-column layout (word=2, lemma=3, pos=5)."""
+    return {
+        f"frog{seed}a.tsv": (
+            "1\tDit\tdit\t[dit]\tVNW\t0.9\tO\tB-NP\t0\tROOT\n"
+            "2\twerkt\twerken\t[werk]\tWW\t0.8\tO\tB-VP\t1\tsu\n\n"
+            "1\tKlaar\tklaar\t[klaar]\tADJ\t0.7\tO\tB-AP\t0\tROOT\n"),
+        f"frog{seed}b.tsv": (
+            "1\tVisa\tvisa\t[visa]\tN\t0.9\tO\tB-NP\t0\tROOT\n"),
+    }
+
+
+def parse_frog_texts(files: dict[str, str]) -> list[dict]:
+    import re as _re
+    out = []
+    for fname, content in sorted(files.items()):
+        conv = _re.sub(r"\.(tsv|frog\.out)$", "", fname)
+        turn = 0
+        for blk in _re.split(r"\n[ \t]*\n", content):
+            rows = [l.split("\t") for l in blk.split("\n")
+                    if _re.match(r"^\d+\t", l)]
+            if not rows:
+                continue
+            text = " ".join(r[1] for r in rows)
+            for p, r in enumerate(rows):
+                out.append({"conv_id": conv, "turn_idx": turn, "p": p,
+                            "form": r[1],
+                            "pos": r[4] if len(r) > 4 else "_",
+                            "lemma": r[2] if len(r) > 2 else r[1],
+                            "text": text})
+            turn += 1
+    return out
+
+
+def _eaf_ann(aid, ref1, value):
+    return ('<ANNOTATION><ALIGNABLE_ANNOTATION ANNOTATION_ID="%s" '
+            'TIME_SLOT_REF1="%s" TIME_SLOT_REF2="tsX">'
+            "<ANNOTATION_VALUE>%s</ANNOTATION_VALUE>"
+            "</ALIGNABLE_ANNOTATION></ANNOTATION>" % (aid, ref1, value))
+
+
+def _eaf_ref(aid, ref, value):
+    return ('<ANNOTATION><REF_ANNOTATION ANNOTATION_ID="%s" '
+            'ANNOTATION_REF="%s"><ANNOTATION_VALUE>%s'
+            "</ANNOTATION_VALUE></REF_ANNOTATION></ANNOTATION>"
+            % (aid, ref, value))
+
+
+def gen_eaf_texts(seed: int = 42) -> dict[str, str]:
+    """EAF fixture: two Words tiers (participants), TIME_ORDER slots,
+    partial standoff Lemma/PoS coverage."""
+    return {f"eaf{seed}.eaf": (
+        '<?xml version="1.0"?>\n<ANNOTATION_DOCUMENT FORMAT="3.0">\n'
+        "<TIME_ORDER>"
+        '<TIME_SLOT TIME_SLOT_ID="ts1" TIME_VALUE="1500"/>'
+        '<TIME_SLOT TIME_SLOT_ID="ts2" TIME_VALUE="2000"/>'
+        '<TIME_SLOT TIME_SLOT_ID="ts3" TIME_VALUE="4200"/>'
+        '<TIME_SLOT TIME_SLOT_ID="tsX" TIME_VALUE="9000"/>'
+        "</TIME_ORDER>\n"
+        '<TIER LINGUISTIC_TYPE_REF="Words" PARTICIPANT="spkA">'
+        + _eaf_ann("a1", "ts1", "hello") + _eaf_ann("a2", "ts2", "world")
+        + "</TIER>\n"
+        '<TIER LINGUISTIC_TYPE_REF="Words" PARTICIPANT="spkB">'
+        + _eaf_ann("a3", "ts3", "bye") + "</TIER>\n"
+        '<TIER LINGUISTIC_TYPE_REF="Lemma">'
+        + _eaf_ref("l1", "a1", "hello") + _eaf_ref("l2", "a2", "world")
+        + "</TIER>\n"
+        '<TIER LINGUISTIC_TYPE_REF="PoS">'
+        + _eaf_ref("p1", "a1", "INTJ") + _eaf_ref("p3", "a3", "INTJ")
+        + "</TIER>\n</ANNOTATION_DOCUMENT>\n")}
+
+
+def parse_eaf_texts(files: dict[str, str]) -> list[dict]:
+    import re as _re
+    import xml.etree.ElementTree as ET
+    out = []
+    for fname, content in sorted(files.items()):
+        conv = _re.sub(r"\.eaf$", "", fname)
+        root = ET.fromstring(content)
+        lem, pos = {}, {}
+        for tier in root.iter("TIER"):
+            kind = tier.get("LINGUISTIC_TYPE_REF")
+            if kind in ("Lemma", "PoS"):
+                tgt = lem if kind == "Lemma" else pos
+                for ra in tier.iter("REF_ANNOTATION"):
+                    tgt[ra.get("ANNOTATION_REF")] = \
+                        ra.find("ANNOTATION_VALUE").text.strip()
+        turn = 0
+        for tier in root.iter("TIER"):
+            if tier.get("LINGUISTIC_TYPE_REF") != "Words":
+                continue
+            anns = list(tier.iter("ALIGNABLE_ANNOTATION"))
+            if not anns:
+                continue
+            text = " ".join(a.find("ANNOTATION_VALUE").text.strip()
+                            for a in anns)
+            for p, a in enumerate(anns):
+                aid = a.get("ANNOTATION_ID")
+                form = a.find("ANNOTATION_VALUE").text.strip()
+                out.append({"conv_id": conv, "turn_idx": turn, "p": p,
+                            "form": form, "pos": pos.get(aid, "_"),
+                            "lemma": lem.get(aid, form), "text": text})
+            turn += 1
+    return out
+
+
+def gen_tcf_texts(seed: int = 42) -> dict[str, str]:
+    """TCF fixture: tokens/sentences/lemmas/POStags layers with a
+    multi-token lemma reference and partial pos coverage."""
+    return {f"tcf{seed}.tcf": (
+        '<?xml version="1.0"?>\n<D-Spin><TextCorpus lang="en">\n'
+        "<tokens>"
+        '<token ID="t1">The</token><token ID="t2">visa</token>'
+        '<token ID="t3">works</token><token ID="t4">Done</token>'
+        "</tokens>\n"
+        "<sentences>"
+        '<sentence ID="s1" tokenIDs="t1 t2 t3"/>'
+        '<sentence ID="s2" tokenIDs="t4"/>'
+        "</sentences>\n"
+        "<lemmas>"
+        '<lemma ID="l1" tokenIDs="t1">the</lemma>'
+        '<lemma ID="l2" tokenIDs="t2 t4">visa</lemma>'
+        "</lemmas>\n"
+        '<POStags tagset="upos">'
+        '<tag ID="p1" tokenIDs="t2">NOUN</tag>'
+        '<tag ID="p2" tokenIDs="t3">VERB</tag>'
+        "</POStags>\n</TextCorpus></D-Spin>\n")}
+
+
+def parse_tcf_texts(files: dict[str, str]) -> list[dict]:
+    import re as _re
+    import xml.etree.ElementTree as ET
+    out = []
+    for fname, content in sorted(files.items()):
+        conv = _re.sub(r"\.(tcf|xml)$", "", fname)
+        root = ET.fromstring(content)
+        words = {t.get("ID"): t.text.strip() for t in root.iter("token")}
+        lem, pos = {}, {}
+        for el, tgt in (("lemma", lem), ("tag", pos)):
+            for e in root.iter(el):
+                for tid in e.get("tokenIDs", "").split():
+                    tgt.setdefault(tid, e.text.strip())
+        for turn, s in enumerate(root.iter("sentence")):
+            ids = s.get("tokenIDs", "").split()
+            if not ids:
+                continue
+            text = " ".join(words[i] for i in ids)
+            for p, tid in enumerate(ids):
+                out.append({"conv_id": conv, "turn_idx": turn, "p": p,
+                            "form": words[tid],
+                            "pos": pos.get(tid, "_"),
+                            "lemma": lem.get(tid, words[tid]),
+                            "text": text})
+    return out
+
+
+def gen_naf_texts(seed: int = 42) -> dict[str, str]:
+    """NAF fixture: wf word forms with sent grouping, term layer with
+    span targets, one untagged token."""
+    return {f"naf{seed}.naf": (
+        '<?xml version="1.0"?>\n<NAF version="3.0">\n<text>\n'
+        '<wf id="w1" sent="1" offset="0" length="3">The</wf>\n'
+        '<wf id="w2" sent="1" offset="4" length="4">visa</wf>\n'
+        '<wf id="w3" sent="2" offset="9" length="4">Done</wf>\n'
+        "</text>\n<terms>\n"
+        '<term id="term1" lemma="the" pos="DET">'
+        '<span><target id="w1"/></span></term>\n'
+        '<term id="term2" lemma="visa" pos="NOUN">'
+        '<span><target id="w2"/></span></term>\n'
+        "</terms>\n</NAF>\n")}
+
+
+def parse_naf_texts(files: dict[str, str]) -> list[dict]:
+    import re as _re
+    import xml.etree.ElementTree as ET
+    out = []
+    for fname, content in sorted(files.items()):
+        conv = _re.sub(r"\.(naf|xml)$", "", fname)
+        root = ET.fromstring(content)
+        lem, pos = {}, {}
+        for term in root.iter("term"):
+            for tgt in term.iter("target"):
+                lem.setdefault(tgt.get("id"), term.get("lemma"))
+                pos.setdefault(tgt.get("id"), term.get("pos"))
+        wfs = list(root.iter("wf"))
+        sents = []
+        for w in wfs:
+            if w.get("sent") not in sents:
+                sents.append(w.get("sent"))
+        for turn, sent in enumerate(sents):
+            ws = [w for w in wfs if w.get("sent") == sent]
+            text = " ".join(w.text.strip() for w in ws)
+            for p, w in enumerate(ws):
+                wid = w.get("id")
+                form = w.text.strip()
+                out.append({"conv_id": conv, "turn_idx": turn, "p": p,
+                            "form": form,
+                            "pos": pos.get(wid) or "_",
+                            "lemma": lem.get(wid) or form,
+                            "text": text})
+    return out
