@@ -67,7 +67,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--exclude", default=None,
+                    help="comma-separated name substrings to skip "
+                         "(e.g. the quadratic brute-force oracle paths "
+                         "when sweeping above the driver's sf0.01)")
     args = ap.parse_args()
+    excludes = [e for e in (args.exclude or "").split(",") if e]
 
     import duckdb
 
@@ -89,6 +94,9 @@ def main() -> None:
     n_run = 0
     for name, fn in qs.items():
         if args.only and args.only not in name:
+            continue
+        if any(e in name for e in excludes):
+            print(f"{name:42s} skipped (--exclude)")
             continue
         if name not in oracles:
             # rows-only gate: still execute the Spark side for errors
