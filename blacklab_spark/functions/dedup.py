@@ -287,7 +287,10 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.95,
                             F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform("b.v", lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    cos = F.round(dot / (na * nb), 4)
+    # zero-vector guard: no direction => similarity 0.0, not an
+    # ANSI DIVIDE_BY_ZERO (same convention as similarity._cos)
+    cos = F.when((na * nb) == 0, F.lit(0.0)) \
+           .otherwise(F.round(dot / (na * nb), 4))
     return (a.join(b, F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     cos.alias("cosine"))
@@ -363,6 +366,9 @@ def embedding_near_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
                             F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    cos = F.round(dot / (na * nb), 4)
+    # zero-vector guard: no direction => similarity 0.0, not an
+    # ANSI DIVIDE_BY_ZERO (same convention as similarity._cos)
+    cos = F.when((na * nb) == 0, F.lit(0.0)) \
+           .otherwise(F.round(dot / (na * nb), 4))
     return (cand.select("id_a", "id_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))

@@ -34,6 +34,17 @@ def _as_double(col: str) -> F.Column:
     return F.col(col).cast("array<double>")
 
 
+def _cos(a, b, scale: int) -> F.Column:
+    """Cosine rounded to ``scale`` decimals, with the zero-vector
+    guard: an all-zero embedding has no direction, so its similarity
+    to anything is 0.0 rather than an ANSI DIVIDE_BY_ZERO error
+    (Spark 4 defaults to ansi=true; the DuckDB oracle corpus has no
+    zero vectors, so gate hashes are unchanged)."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0, F.lit(0.0)) \
+            .otherwise(F.round(_dot(a, b) / denom, scale))
+
+
 def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k neighbours of the vector with ``query_id``
@@ -43,7 +54,7 @@ def cosine_topk(emb: DataFrame, query_id: int, k: int = 10,
     q = d.filter(F.col("id") == query_id) \
          .select(F.col("v").alias("qv"))
     joined = d.filter(F.col("id") != query_id).crossJoin(F.broadcast(q))
-    cos = F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+    cos = _cos("v", "qv", 4)
     scored = joined.select("id", cos.alias("cosine"))
     from pyspark.sql import Window
     w = Window.orderBy(F.desc("cosine"), F.asc("id"))
@@ -72,13 +83,47 @@ def centroids(emb: DataFrame, k_centroids: int = 64,
             .select("cid", "cv"))
 
 
-def ivf_assign(emb: DataFrame, cents: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid by cosine (ties →
-    smaller cid). Broadcast join + window argmax — map-side at scale."""
+def kmeans_refine(emb: DataFrame, cents: DataFrame, iters: int = 3,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd refinement of an IVF centroid seed set (the optional
+    quality pass the `centroids` docstring reserves space for — plan
+    shape unchanged: each iteration is one broadcast-assign + one
+    elementwise-mean aggregation, O(n·k) per iteration, no shuffle of
+    the vectors themselves beyond the groupBy on cid).
+
+    Deterministic: seeded by the hash-order sample, and Lloyd updates
+    are pure aggregates of the data, so repeated runs give identical
+    centroids. Returns the same (cid, cv) schema as `centroids` —
+    drop-in for `ivf_topk(..., refine_iters=...)`. Empty clusters
+    keep their previous centroid (standard Lloyd fallback)."""
     d = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    for _ in range(iters):
+        assigned = ivf_assign_from(d, cents)
+        # elementwise mean per cluster: posexplode → avg per (cid, pos)
+        # → re-assemble in position order. 64-dim vectors ⇒ the
+        # exploded frame is 64n rows of 3 scalar columns — a narrow
+        # map-side-combinable aggregate, not a vector shuffle.
+        means = (assigned
+                 .select("cid", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cid")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                 .select("cid",
+                         F.transform("pm", lambda s: s["m"]).alias("cv")))
+        # empty clusters: keep the old centroid (left join, coalesce)
+        cents = (cents.select("cid", F.col("cv").alias("cv_old"))
+                 .join(means.withColumnRenamed("cv", "cv_new"),
+                       "cid", "left")
+                 .select("cid", F.coalesce("cv_new", "cv_old").alias("cv")))
+    return cents
+
+
+def ivf_assign_from(d: DataFrame, cents: DataFrame) -> DataFrame:
+    """`ivf_assign` over an already-normalized (id, v) frame."""
     j = d.crossJoin(F.broadcast(cents))
-    cos = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
+    cos = _cos("v", "cv", 6)
     from pyspark.sql import Window
     w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
     return (j.select("id", "v", "cid", cos.alias("sim"))
@@ -87,26 +132,39 @@ def ivf_assign(emb: DataFrame, cents: DataFrame, id_col: str = "vec_id",
             .select("id", "v", "cid"))
 
 
+def ivf_assign(emb: DataFrame, cents: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (ties →
+    smaller cid). Broadcast join + window argmax — map-side at scale."""
+    d = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    return ivf_assign_from(d, cents)
+
+
 def ivf_topk(emb: DataFrame, query_id: int, k: int = 10,
              k_centroids: int = 64, nprobe: int = 2,
              id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             refine_iters: int = 0) -> DataFrame:
     """IVF ANN top-k: probe the nprobe centroids nearest to the query,
-    exact cosine over their member lists only."""
+    exact cosine over their member lists only. ``refine_iters`` > 0
+    runs that many Lloyd iterations over the seed centroids first
+    (better-balanced lists ⇒ higher recall at the same nprobe); 0
+    keeps the oracle-reproducible hash-sample centroids the gate
+    checks."""
     cents = centroids(emb, k_centroids, id_col, vec_col)
+    if refine_iters:
+        cents = kmeans_refine(emb, cents, refine_iters, id_col, vec_col)
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     q = emb.filter(F.col(id_col) == query_id) \
            .select(_as_double(vec_col).alias("qv"))
     probe = (cents.crossJoin(F.broadcast(q))
-             .select("cid", F.round(_dot("cv", "qv")
-                                    / (_norm("cv") * _norm("qv")), 6)
-                     .alias("sim"))
+             .select("cid", _cos("cv", "qv", 6).alias("sim"))
              .orderBy(F.desc("sim"), F.asc("cid")).limit(nprobe)
              .select("cid"))
     cand = (assigned.join(F.broadcast(probe), "cid")
             .filter(F.col("id") != query_id)
             .crossJoin(F.broadcast(q)))
-    cos = F.round(_dot("v", "qv") / (_norm("v") * _norm("qv")), 4)
+    cos = _cos("v", "qv", 4)
     scored = cand.select("id", cos.alias("cosine"))
     from pyspark.sql import Window
     w = Window.orderBy(F.desc("cosine"), F.asc("id"))

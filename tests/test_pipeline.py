@@ -169,6 +169,49 @@ def test_ivf_centroids_fixed_k(spark, emb):
     assert S.centroids(emb.limit(100), 16).count() == 16
 
 
+def test_ivf_kmeans_refine_deterministic_and_no_worse(spark, emb):
+    """Lloyd refinement: deterministic (two runs identical), keeps the
+    fixed centroid count, and recall@10 vs exact is >= the unrefined
+    seed's recall for the same (k_centroids, nprobe)."""
+    seed = S.centroids(emb, 16)
+    r1 = S.kmeans_refine(emb, seed, iters=2).orderBy("cid").collect()
+    r2 = S.kmeans_refine(emb, seed, iters=2).orderBy("cid").collect()
+    assert [(r["cid"], r["cv"]) for r in r1] == \
+           [(r["cid"], r["cv"]) for r in r2]
+    assert len(r1) == 16
+
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, 7, k=10).collect()}
+
+    def recall(refine_iters):
+        got = {r["vec_id"] for r in
+               S.ivf_topk(emb, 7, k=10, k_centroids=16, nprobe=2,
+                          refine_iters=refine_iters).collect()}
+        return len(got & exact)
+
+    assert recall(2) >= recall(0)
+
+
+def test_cosine_zero_vector_guard(spark):
+    """An all-zero embedding scores 0.0 against everything instead of
+    raising ANSI DIVIDE_BY_ZERO (Spark 4 ansi=true default) — on the
+    brute path, the IVF assign path, and both near-pair paths."""
+    import blacklab_spark.functions.dedup as D
+    rows = [(0, [0.0] * 8),
+            (1, [1.0] + [0.0] * 7),
+            (2, [1.0] + [0.0] * 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cosine"]
+           for r in S.cosine_topk(df, 1, k=2).collect()}
+    assert got[2] == 1.0 and got[0] == 0.0
+    assert S.ivf_topk(df, 1, k=2, k_centroids=2, nprobe=2,
+                      refine_iters=1).count() == 2
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.embedding_near_pairs(
+                 df.withColumnRenamed("vec_id", "doc_id"), 0.9,
+                 id_col="doc_id").collect()}
+    assert pairs == {(1, 2)}
+
+
 # ---------------------------------------------------------------- curation
 
 
