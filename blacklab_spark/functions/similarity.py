@@ -96,9 +96,18 @@ def kmeans_refine(emb: DataFrame, cents: DataFrame, iters: int = 3,
     are pure aggregates of the data, so repeated runs give identical
     centroids. Returns the same (cid, cv) schema as `centroids` —
     drop-in for `ivf_topk(..., refine_iters=...)`. Empty clusters
-    keep their previous centroid (standard Lloyd fallback)."""
+    keep their previous centroid (standard Lloyd fallback).
+
+    Each iteration MATERIALIZES the k centroids on the driver
+    (bounded by construction: k rows × dim doubles) and re-creates
+    them as a local relation: an unmaterialized `cents` is referenced
+    twice per iteration (assign + empty-cluster join), so leaving it
+    as a plan would re-execute the entire previous iteration per
+    reference — 2^iters full-data passes instead of `iters`."""
+    spark = emb.sparkSession
     d = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     for _ in range(iters):
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
         assigned = ivf_assign_from(d, cents)
         # elementwise mean per cluster: posexplode → avg per (cid, pos)
         # → re-assemble in position order. 64-dim vectors ⇒ the
@@ -154,6 +163,10 @@ def ivf_topk(emb: DataFrame, query_id: int, k: int = 10,
     cents = centroids(emb, k_centroids, id_col, vec_col)
     if refine_iters:
         cents = kmeans_refine(emb, cents, refine_iters, id_col, vec_col)
+    # cents is referenced twice below (assignment + probe); materialize
+    # the bounded k-row table once so the seed scan / Lloyd passes are
+    # not re-executed per reference
+    cents = emb.sparkSession.createDataFrame(cents.collect(), cents.schema)
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     q = emb.filter(F.col(id_col) == query_id) \
            .select(_as_double(vec_col).alias("qv"))
