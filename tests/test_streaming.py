@@ -224,3 +224,73 @@ def test_streaming_dedup_equals_offline(spark, tmp_path):
     assert sorted(d for d in os.listdir(state)
                   if d.startswith("batch=")) \
         == [f"batch={i:08d}" for i in range(3)]
+
+
+def test_streaming_conversation_sessions_equal_batch_oracle(
+        spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState,
+    EventTimeTimeout): streamed closed sessions equal the batch
+    F.session_window oracle over the same events — two unrelated
+    mechanisms, identical rows. Sessions close only when the
+    watermark passes last_ts + gap (the second trigger's far-future
+    event advances it); a conversation with turns spanning > gap
+    splits into two sessions."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from blacklab_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from blacklab_spark.streaming.sessions import (
+        batch_sessions, stream_sessions)
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0)
+
+    def turn(conv, idx, role, text, minutes):
+        return {"conv_id": conv, "turn_idx": idx, "role": role,
+                "text": text, "tool": None,
+                "ts": t0 + dt.timedelta(minutes=minutes)}
+
+    rows = [
+        # c1: one 3-turn session
+        turn("c1", 0, "user", "visa application please", 0),
+        turn("c1", 1, "assistant", "here is the form", 5),
+        turn("c1", 2, "user", "thanks", 9),
+        # c2: two sessions split by a 90-minute silence
+        turn("c2", 0, "user", "hello there", 0),
+        turn("c2", 1, "assistant", "hi", 2),
+        turn("c2", 2, "user", "back again with more", 92),
+    ]
+    events = spark.createDataFrame(pd.DataFrame(rows), TRANSCRIPT_SCHEMA)
+    events.coalesce(1).write.mode("overwrite") \
+        .parquet(str(src / "f1.parquet"))
+    q = stream_sessions(spark, str(src) + "/*", out, ckpt,
+                        gap="30 minutes")
+    q.awaitTermination()
+    # far-future sentinel conversation advances the watermark past
+    # every session's last_ts + gap, flushing all of them
+    sentinel = [turn("zz", 0, "user", "tick", 24 * 60)]
+    spark.createDataFrame(pd.DataFrame(sentinel), TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(src / "f2.parquet"))
+    q = stream_sessions(spark, str(src) + "/*", out, ckpt,
+                        gap="30 minutes")
+    q.awaitTermination()
+
+    cols = ("conv_id", "n_turns", "n_tokens", "n_user", "n_assistant",
+            "first_ts", "last_ts")
+    got = sorted(tuple(r[c] for c in cols)
+                 for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r[c] for c in cols)
+                  for r in batch_sessions(events, "30 minutes").collect())
+    assert got == want
+    assert len(got) == 3                       # c1×1, c2×2; zz still open
+    by_conv = {}
+    for g in got:
+        by_conv.setdefault(g[0], []).append(g)
+    assert len(by_conv["c2"]) == 2
+    assert by_conv["c1"][0][1:5] == (3, 8, 2, 1)
