@@ -185,6 +185,34 @@ def pipeline_queries() -> dict:
     def repetition_ratio(spark, sf_dir):
         return C.repetition_ratio(_docs(spark, sf_dir), n=3)
 
+    def events_sessionize(spark, sf_dir):
+        """Native Catalyst session windows over the events table —
+        the batch dual of streaming/sessions.py's stateful operator
+        (the stream side is pinned row-identical to this mechanism in
+        test_streaming; this gate pins the mechanism itself against
+        an independent lag/cumsum SQL sessionization). Timestamps
+        exported as epoch micros, value as integer cents — exact
+        cross-engine values."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cents = F.round(F.col("value") * 100).cast("long")
+        return (ev.groupBy("user_id",
+                           F.session_window("ts", "2 hours"))
+                .agg(F.count("*").alias("n_events"),
+                     F.sum(cents).alias("value_cents"),
+                     F.min("ts").alias("first_ts"),
+                     F.max("ts").alias("last_ts"))
+                .select("user_id", "n_events", "value_cents",
+                        # ts is TIMESTAMP_NTZ; session tz is pinned
+                        # UTC (session.py), so the cast is the
+                        # identity DuckDB's epoch_us applies to the
+                        # same naive value
+                        F.unix_micros(F.col("first_ts")
+                                      .cast("timestamp"))
+                        .alias("first_us"),
+                        F.unix_micros(F.col("last_ts")
+                                      .cast("timestamp"))
+                        .alias("last_us")))
+
     return {
         "dedup_exact": dedup_exact,
         "dedup_jaccard_pairs": jaccard_pairs,
@@ -206,6 +234,7 @@ def pipeline_queries() -> dict:
         "curation_decontaminate": decontaminate,
         "curation_redact_pii": redact_pii,
         "curation_stratified_sample": stratified_sample,
+        "events_sessionize": events_sessionize,
     }
 
 
@@ -491,6 +520,27 @@ WITH b AS (SELECT doc_id, lang,
 SELECT doc_id, lang AS stratum, bucket FROM b
 WHERE (lang = 'en' AND bucket < {SAMPLE_RATES['en']})
    OR (lang = 'de' AND bucket < {SAMPLE_RATES['de']})
+""",
+        # lag/cumsum sessionization — an independent mechanism from
+        # Spark's session_window (gap >= 2h starts a new session,
+        # matching session_window's half-open [start, start+gap))
+        "events_sessionize": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= INTERVAL '2 hours' THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents,
+       epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+FROM s GROUP BY user_id, sid
 """,
     }
     return oracles
