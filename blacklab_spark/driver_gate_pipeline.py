@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from blacklab_spark.functions import chunking as K
+from blacklab_spark.functions.hashing import duckdb_md5_long
 from blacklab_spark.functions import curation as C
 from blacklab_spark.functions import dedup as D
 from blacklab_spark.functions import multimodal as M
@@ -44,6 +46,8 @@ NEAR_COS_T = 0.45
 DECON_N = 8       # decontamination n-gram width
 DECON_MOD = 97    # benchmark set = docs with doc_id % DECON_MOD == 0
 SAMPLE_RATES = {"en": 300, "de": 500}   # permille per stratum
+CHUNK_MAX, CHUNK_OVERLAP = 64, 16       # chunk window / overlap
+PACK_CAP, PACK_GROUPS = 256, 8          # packing bin capacity / groups
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +189,15 @@ def pipeline_queries() -> dict:
     def repetition_ratio(spark, sf_dir):
         return C.repetition_ratio(_docs(spark, sf_dir), n=3)
 
+    def chunk_docs(spark, sf_dir):
+        return K.chunk_documents(_docs(spark, sf_dir),
+                                 max_tokens=CHUNK_MAX,
+                                 overlap=CHUNK_OVERLAP)
+
+    def pack_seqs(spark, sf_dir):
+        return K.pack_sequences(_docs(spark, sf_dir), cap=PACK_CAP,
+                                n_groups=PACK_GROUPS)
+
     def events_sessionize(spark, sf_dir):
         """Native Catalyst session windows over the events table —
         the batch dual of streaming/sessions.py's stateful operator
@@ -234,6 +247,8 @@ def pipeline_queries() -> dict:
         "curation_decontaminate": decontaminate,
         "curation_redact_pii": redact_pii,
         "curation_stratified_sample": stratified_sample,
+        "sequence_chunk_documents": chunk_docs,
+        "sequence_pack_greedy": pack_seqs,
         "events_sessionize": events_sessionize,
     }
 
@@ -542,5 +557,11 @@ SELECT user_id, COUNT(*) AS n_events,
        epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
 FROM s GROUP BY user_id, sid
 """,
+        "sequence_chunk_documents": K.chunk_documents_sql(
+            CHUNK_MAX, CHUNK_MAX - CHUNK_OVERLAP,
+            duckdb_tokens_i("text")),
+        "sequence_pack_greedy": K.pack_sequences_sql(
+            PACK_CAP, PACK_GROUPS, duckdb_tokens_i("text"),
+            duckdb_md5_long),
     }
     return oracles
