@@ -48,6 +48,9 @@ DECON_MOD = 97    # benchmark set = docs with doc_id % DECON_MOD == 0
 SAMPLE_RATES = {"en": 300, "de": 500}   # permille per stratum
 CHUNK_MAX, CHUNK_OVERLAP = 64, 16       # chunk window / overlap
 PACK_CAP, PACK_GROUPS = 256, 8          # packing bin capacity / groups
+N_SHARDS = 8                            # dataloader shards
+MIX_WEIGHTS = {"en": 400, "de": 150, "es": 200, "fr": 150, "zh": 100}
+MIX_BUDGET = 15_000                     # token budget (binds at sf0.01)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,6 +201,13 @@ def pipeline_queries() -> dict:
         return K.pack_sequences(_docs(spark, sf_dir), cap=PACK_CAP,
                                 n_groups=PACK_GROUPS)
 
+    def shard_docs(spark, sf_dir):
+        return K.shard_corpus(_docs(spark, sf_dir), n_shards=N_SHARDS)
+
+    def mixture(spark, sf_dir):
+        return C.mixture_sample(_docs(spark, sf_dir), MIX_WEIGHTS,
+                                budget_tokens=MIX_BUDGET)
+
     def events_sessionize(spark, sf_dir):
         """Native Catalyst session windows over the events table —
         the batch dual of streaming/sessions.py's stateful operator
@@ -249,6 +259,8 @@ def pipeline_queries() -> dict:
         "curation_stratified_sample": stratified_sample,
         "sequence_chunk_documents": chunk_docs,
         "sequence_pack_greedy": pack_seqs,
+        "sequence_shard_corpus": shard_docs,
+        "curation_mixture_sample": mixture,
         "events_sessionize": events_sessionize,
     }
 
@@ -562,6 +574,11 @@ FROM s GROUP BY user_id, sid
             duckdb_tokens_i("text")),
         "sequence_pack_greedy": K.pack_sequences_sql(
             PACK_CAP, PACK_GROUPS, duckdb_tokens_i("text"),
+            duckdb_md5_long),
+        "sequence_shard_corpus": K.shard_corpus_sql(
+            N_SHARDS, duckdb_md5_long),
+        "curation_mixture_sample": C.mixture_sample_sql(
+            MIX_WEIGHTS, MIX_BUDGET, duckdb_tokens_i("text"),
             duckdb_md5_long),
     }
     return oracles

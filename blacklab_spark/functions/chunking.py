@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from blacklab_spark.functions.hashing import md5_long
 from blacklab_spark.tokenizer import tokens_insensitive
@@ -189,4 +189,59 @@ walk AS (
 SELECT doc_id, pack_group::INT AS pack_group, bin_idx::INT AS bin_idx,
        off::INT AS "offset", n_tok::INT AS n_tok
 FROM walk
+"""
+
+
+SHARD_SALT = "shard|"
+
+
+def shard_corpus(df: DataFrame, n_shards: int = 8,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle + sharding for training
+    dataloaders: every document gets a shard and a position within
+    the shard, both pure functions of its id —
+
+        key      = md5(salt || doc_id)        (60-bit int)
+        shard    = key mod n_shards
+        position = rank of key within the shard (ties → doc_id)
+
+    so the read order (shard s ascending position) is a reproducible
+    pseudo-random permutation of the corpus at ANY cluster size,
+    partitioning or input order — resumable mid-epoch by (shard,
+    position) watermark.
+
+    Plan: one narrow projection (id + key — the text never moves),
+    one shuffle on shard, one per-shard sort. Each shard's ordering
+    is a single-task window, so at 10^12 docs raise ``n_shards``
+    until one shard's (key, id) pairs fit a task — the same bounding
+    knob as pack_sequences' n_groups.
+
+    Output: (doc_id, shard, position).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = md5_long(F.col(id_col).cast("string"), salt=SHARD_SALT)
+    narrow = df.select(F.col(id_col).alias("doc_id"),
+                       key.alias("_key"),
+                       F.pmod(key, F.lit(n_shards)).cast("int")
+                       .alias("shard"))
+    w = Window.partitionBy("shard").orderBy("_key", "doc_id")
+    return narrow.select(
+        "doc_id", "shard",
+        (F.row_number().over(w) - 1).cast("int").alias("position"))
+
+
+def shard_corpus_sql(n_shards: int, md5_long_sql) -> str:
+    """DuckDB mirror of shard_corpus over the ``documents`` view
+    (same hash key, same mod, same rank-within-shard)."""
+    h = md5_long_sql("doc_id::VARCHAR", SHARD_SALT)
+    return f"""
+WITH keyed AS (SELECT doc_id, {h} AS k,
+                      (((({h}) % {n_shards}) + {n_shards})
+                        % {n_shards})::INT AS shard
+               FROM documents)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+         - 1)::INT AS position
+FROM keyed
 """

@@ -181,3 +181,104 @@ def repetition_ratio(df: DataFrame, n: int = 3, id_col: str = "doc_id",
                      total.cast("int").alias("n_ngrams"),
                      dist.cast("int").alias("n_distinct"),
                      ratio.alias("dup_ratio"))
+
+
+MIX_SALT = "mix|"
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, int],
+                   budget_tokens: int | None = None,
+                   domain_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Deterministic domain-mixture sampling: choose per-domain
+    acceptance rates so the KEPT corpus's token composition matches
+    the target ``weights`` (positive integers, normalized by their
+    sum), scaled as large as the scarcest domain allows — optionally
+    capped by ``budget_tokens``. Domains absent from ``weights`` (or
+    with zero corpus tokens) are dropped.
+
+    All arithmetic is exact integer floor math so the DuckDB oracle
+    re-derives the identical rate table: with W = weights, S = sum(W),
+    tok_d = corpus tokens of domain d,
+
+        cap     = min(min_d tok_d * S // W_d, budget_tokens)
+        rate_d  = min(1000, 1000 * (W_d * cap // S) // tok_d)   # permille
+
+    and a document is kept iff md5(salt || doc_id) mod 1000 < rate_d —
+    the same hash predicate as stratified_sample, so the selection is
+    partition/cluster-size invariant and resumable.
+
+    Two-pass plan (inherent: the rates depend on corpus totals):
+    pass 1 is a map-side partial aggregation to one row per domain
+    (collected — bounded by the domain-vocabulary size, never by
+    corpus size); pass 2 broadcasts the literal rate table and
+    filters in the scan stage. The text column never shuffles.
+
+    Output: (doc_id, domain, n_tok, bucket, rate) for kept docs.
+    """
+    if not weights or any(int(w) <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    weights = {d: int(w) for d, w in weights.items()}
+    w_sum = sum(weights.values())
+    narrow = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(domain_col).alias("domain"),
+                       F.size(tokens_insensitive(text_col))
+                       .cast("long").alias("n_tok"))
+    toks = {r["domain"]: int(r["tok"]) for r in
+            narrow.groupBy("domain").agg(F.sum("n_tok").alias("tok"))
+                  .collect()
+            if r["domain"] in weights and r["tok"] and r["tok"] > 0}
+    if not toks:
+        cap = 0
+    else:
+        cap = min(tok * w_sum // weights[d] for d, tok in toks.items())
+    if budget_tokens is not None:
+        cap = min(cap, int(budget_tokens))
+    rates = {d: min(1000, 1000 * (weights[d] * cap // w_sum) // tok)
+             for d, tok in toks.items()}
+    spark = SparkSession.getActiveSession()
+    rate_df = F.broadcast(spark.createDataFrame(
+        [(d, int(r)) for d, r in sorted(rates.items())],
+        "domain string, rate int"))
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string"),
+                             salt=MIX_SALT), F.lit(SAMPLE_DENOM))
+    return (narrow.join(rate_df, "domain")
+            .withColumn("bucket", bucket.cast("int"))
+            .filter(F.col("bucket") < F.col("rate"))
+            .select("doc_id", "domain",
+                    F.col("n_tok").cast("int").alias("n_tok"),
+                    "bucket", "rate"))
+
+
+def mixture_sample_sql(weights: dict[str, int],
+                       budget_tokens: int | None, tokens_expr: str,
+                       md5_long_sql, domain_col: str = "lang") -> str:
+    """DuckDB mirror of mixture_sample over the ``documents`` view:
+    the same integer floor arithmetic re-derived entirely in SQL
+    (``//`` is exact integer division for positive BIGINTs in both
+    DuckDB and Python). ``md5_long_sql`` is hashing.duckdb_md5_long."""
+    w_sum = sum(int(w) for w in weights.values())
+    vals = ", ".join(f"('{d}', {int(w)})"
+                     for d, w in sorted(weights.items()))
+    cap = "cap0" if budget_tokens is None \
+        else f"LEAST(cap0, {int(budget_tokens)})"
+    h = md5_long_sql("doc_id::VARCHAR", MIX_SALT)
+    return f"""
+WITH narrow AS (SELECT doc_id, {domain_col} AS domain,
+                       len({tokens_expr})::BIGINT AS n_tok
+                FROM documents),
+w(domain, wt) AS (VALUES {vals}),
+tok AS (SELECT domain, SUM(n_tok) AS tok FROM narrow GROUP BY domain),
+j AS (SELECT domain, tok, wt FROM tok JOIN w USING (domain)
+      WHERE tok > 0),
+cap AS (SELECT MIN(tok * {w_sum} // wt) AS cap0 FROM j),
+rates AS (SELECT domain,
+                 LEAST(1000, (1000 * (wt * ({cap}) // {w_sum})) // tok)
+                   AS rate
+          FROM j, cap)
+SELECT n.doc_id, n.domain, n.n_tok::INT AS n_tok,
+       (((({h}) % 1000) + 1000) % 1000)::INT AS bucket,
+       r.rate::INT AS rate
+FROM narrow n JOIN rates r USING (domain)
+WHERE (((({h}) % 1000) + 1000) % 1000) < r.rate
+"""

@@ -128,3 +128,46 @@ def test_pack_bin_invariants_and_determinism(spark):
             assert r.offset == pos
             pos += r.n_tok
         assert pos <= 64 or len(members) == 1
+
+
+def test_shard_matches_python_oracle(spark):
+    from blacklab_spark.functions.chunking import SHARD_SALT, shard_corpus
+
+    rows = _rand_rows(23, 97)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.shard, r.position)
+           for r in shard_corpus(df, n_shards=5).collect()}
+    shards = {}
+    for doc_id, _ in rows:
+        k = py_md5_long(str(doc_id), salt=SHARD_SALT)
+        shards.setdefault(k % 5, []).append((k, doc_id))
+    want = {doc_id: (s, pos)
+            for s, members in shards.items()
+            for pos, (_, doc_id) in enumerate(sorted(members))}
+    assert got == want
+    assert len(got) == len(rows)
+
+
+def test_shard_partition_invariant_and_contiguous(spark):
+    from blacklab_spark.functions.chunking import shard_corpus
+
+    rows = _rand_rows(29, 150)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, shard_corpus(df, n_shards=4).collect()))
+    b = sorted(map(tuple,
+                   shard_corpus(df.repartition(11), n_shards=4).collect()))
+    assert a == b
+    by_shard = {}
+    for doc_id, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    assert sorted(by_shard) == [0, 1, 2, 3]
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_shard_rejects_bad_n(spark):
+    from blacklab_spark.functions.chunking import shard_corpus
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_corpus(df, n_shards=0)

@@ -333,3 +333,93 @@ def test_redact_pii_randomized_vs_python():
             counts["email"], counts["ipv4"], counts["card"]), (doc_id, text)
         assert g["redacted_digest"] == \
             hashlib.md5(red.encode()).hexdigest(), (doc_id, text, red)
+
+
+def _py_mixture(rows, weights, budget):
+    """rows: [(doc_id, lang, text)] → (rates, kept {doc_id: row})."""
+    from blacklab_spark.functions.curation import MIX_SALT
+    from blacklab_spark.tokenizer import py_tokens_insensitive
+
+    w_sum = sum(weights.values())
+    toks = {}
+    n_tok = {}
+    for doc_id, lang, text in rows:
+        n = len(py_tokens_insensitive(text or ""))
+        n_tok[doc_id] = n
+        if lang in weights:
+            toks[lang] = toks.get(lang, 0) + n
+    toks = {d: t for d, t in toks.items() if t > 0}
+    cap = min(t * w_sum // weights[d] for d, t in toks.items())
+    if budget is not None:
+        cap = min(cap, budget)
+    rates = {d: min(1000, 1000 * (weights[d] * cap // w_sum) // t)
+             for d, t in toks.items()}
+    kept = {}
+    for doc_id, lang, _ in rows:
+        if lang not in rates:
+            continue
+        bucket = py_md5_long(str(doc_id), salt=MIX_SALT) % 1000
+        if bucket < rates[lang]:
+            kept[doc_id] = (lang, n_tok[doc_id], bucket, rates[lang])
+    return rates, kept
+
+
+def _mixture_rows(seed, n):
+    import random
+    rng = random.Random(seed)
+    langs = ["en", "en", "en", "de", "es", "fr"]
+    vocab = ["data", "model", "train", "töken", "ñata", "loss"]
+    return [(i, rng.choice(langs),
+             " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+            for i in range(n)]
+
+
+def test_mixture_sample_matches_python_oracle(spark):
+    from blacklab_spark.functions import curation as C
+
+    rows = _mixture_rows(31, 400)
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    weights = {"en": 500, "de": 200, "es": 300}   # fr absent -> dropped
+    for budget in (None, 2000):
+        _, want = _py_mixture(rows, weights, budget)
+        got = {r.doc_id: (r.domain, r.n_tok, r.bucket, r.rate)
+               for r in C.mixture_sample(df, weights,
+                                         budget_tokens=budget).collect()}
+        assert got == want
+        assert all(lang != "fr" for lang, *_ in got.values())
+
+
+def test_mixture_sample_hits_target_composition(spark):
+    """Expected kept-token share per domain ≈ the target weights:
+    rate_d * tok_d / 1000 ∝ W_d by construction (floor slack < 2‰)."""
+    from blacklab_spark.functions import curation as C
+
+    rows = _mixture_rows(37, 600)
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    weights = {"en": 600, "de": 200, "es": 200}
+    rates, _ = _py_mixture(rows, weights, None)
+    toks = {}
+    from blacklab_spark.tokenizer import py_tokens_insensitive
+    for _, lang, text in rows:
+        if lang in weights:
+            toks[lang] = toks.get(lang, 0) + len(py_tokens_insensitive(text))
+    expected = {d: rates[d] * toks[d] / 1000 for d in rates}
+    total = sum(expected.values())
+    for d, w in weights.items():
+        assert abs(expected[d] / total - w / 1000) < 0.01
+    # and the Spark side agrees with the oracle-derived rate table
+    got_rates = {r.domain: r.rate
+                 for r in C.mixture_sample(df, weights)
+                 .select("domain", "rate").distinct().collect()}
+    assert got_rates == rates
+
+
+def test_mixture_sample_rejects_bad_weights(spark):
+    from blacklab_spark.functions import curation as C
+
+    df = spark.createDataFrame([(1, "en", "x")],
+                               "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="weights"):
+        C.mixture_sample(df, {"en": 0})
+    with pytest.raises(ValueError, match="weights"):
+        C.mixture_sample(df, {})
