@@ -213,6 +213,44 @@ def main() -> None:
         lambda: fmt_topk_docs(deng.topk(["spark", "vector"], k=10)).collect(),
         reps=5), 3)
 
+    # -- LLM-pipeline op timings at SF_DIR (documents/embeddings
+    # tables). Reported in their own section — NOT added to
+    # ``queries`` so the core-engine numbers stay comparable across
+    # rounds. Each is the op's end-to-end action (count/collect).
+    from blacklab_spark.functions import chunking as K
+    from blacklab_spark.functions import curation as C
+    from blacklab_spark.functions import dedup as D
+    from blacklab_spark.functions import similarity as Sim
+    from blacklab_spark.functions import textstats as T
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb_df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pdefs = {
+        "p01_exact_dedup": lambda: D.exact_dedup(docs_df).count(),
+        "p02_minhash_lsh": lambda: D.minhash_lsh_pairs(
+            docs_df, threshold=0.5).count(),
+        "p03_simhash_blocked": lambda: D.simhash_near_pairs(
+            docs_df, max_hamming=4).count(),
+        "p04_embedding_lsh": lambda: D.embedding_near_pairs_lsh(
+            emb_df, threshold=0.45).count(),
+        "p05_ivf_topk": lambda: Sim.ivf_topk(
+            emb_df, query_id=7, k=10).collect(),
+        "p06_textstats": lambda: T.token_stats(docs_df).count(),
+        "p07_chunk_documents": lambda: K.chunk_documents(
+            docs_df, max_tokens=64, overlap=16).count(),
+        "p08_pack_sequences": lambda: K.pack_sequences(
+            docs_df, cap=256, n_groups=8).count(),
+        "p09_shard_corpus": lambda: K.shard_corpus(
+            docs_df, n_shards=8).count(),
+        "p10_mixture_sample": lambda: C.mixture_sample(
+            docs_df, {"en": 400, "de": 150, "es": 200, "fr": 150,
+                      "zh": 100}, budget_tokens=15_000).count(),
+    }
+    pipeline = {}
+    for name, fn in pdefs.items():
+        fn()  # warm
+        pipeline[name] = round(median_of(fn, reps=3), 3)
+        log(f"{name}: {pipeline[name]}s")
+
     # -- scaling evidence: same job + input at several parallelism
     # levels (N→4N criterion; BASELINE.md). Each level runs in a FRESH
     # subprocess pinned (taskset) to a proportional CPU budget of
@@ -284,6 +322,7 @@ def main() -> None:
         "value": round(time.time() - t_all, 2),
         "unit": "sec",
         "queries": queries,
+        "pipeline": pipeline,
         "topk_latency_p50_p95": latency,
         "sf": sf,
         "build": build,
