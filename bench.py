@@ -222,8 +222,17 @@ def main() -> None:
     from blacklab_spark.functions import dedup as D
     from blacklab_spark.functions import similarity as Sim
     from blacklab_spark.functions import textstats as T
-    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb_df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # The sf parquet files are single row groups → they scan as ONE
+    # task no matter the session's split settings, serializing every
+    # map-side kernel. A production input at this op's design scale
+    # has thousands of splits, so repartition once here to model the
+    # real input parallelism (the ops themselves never repartition —
+    # their plans are shuffle-free on the corpus side by design).
+    docs_df = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+               .repartition(CPUS).cache())
+    emb_df = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+              .repartition(CPUS).cache())
+    docs_df.count(), emb_df.count()
     pdefs = {
         "p01_exact_dedup": lambda: D.exact_dedup(docs_df).count(),
         "p02_minhash_lsh": lambda: D.minhash_lsh_pairs(

@@ -83,27 +83,69 @@ def minhash_signature(text_col: str = "text",
                                   num_hashes)
 
 
-def minhash_signature_over(shingles_col, num_hashes: int = 16) -> F.Column:
-    """Signature over a shingle array column.
+#: Universal-hash family for MinHash: ONE md5 per shingle (the base
+#: hash), then hash i = (a_i·h + b_i) mod p with p = 2^31 − 1
+#: (Mersenne). All arithmetic fits int64 (a_i, h < 2^31 ⇒ a_i·h + b_i
+#: < 2^62 + 2^31), so Spark, DuckDB and Python agree bit-for-bit. The
+#: original family (16 salted md5s per shingle) hashed every shingle
+#: num_hashes times — 16× the md5 work for no extra independence than
+#: a pairwise-independent affine family provides; at corpus scale the
+#: signature pass dominates the whole near-dup pipeline, so this
+#: constant matters.
+MH_PRIME = (1 << 31) - 1
+MH_SALT = "mh|"
 
-    The per-hash salt MUST be closed over via a helper function, never
+
+def _mh_coeff(i: int) -> tuple[int, int]:
+    from blacklab_spark.functions.hashing import py_md5_long
+    a = py_md5_long(f"mhA{i}") % (MH_PRIME - 1) + 1   # a ∈ [1, p−1]
+    b = py_md5_long(f"mhB{i}") % MH_PRIME
+    return a, b
+
+
+MH_COEFFS: tuple[tuple[int, int], ...] = tuple(
+    _mh_coeff(i) for i in range(64))
+
+
+def minhash_base_hashes(shingles_col) -> F.Column:
+    """Base-hash array: md5_long(salt‖shingle) mod p per shingle —
+    the ONE expensive (md5) pass of the signature."""
+    return F.transform(
+        shingles_col,
+        lambda x: F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(MH_SALT), x)),
+                               1, 15), 16, 10).cast("long"),
+            F.lit(MH_PRIME)))
+
+
+def minhash_affine_sig(base_col, num_hashes: int = 16) -> F.Column:
+    """Signature from a pre-projected base-hash array column: per
+    hash i, min over the array of (a_i·h + b_i) mod p. Pure integer
+    arithmetic — no further hashing.
+
+    The coefficients MUST be closed over via a helper function, never
     the ``lambda x, i=i`` default-argument idiom: PySpark derives the
-    lambda's arity from its *signature*, so the defaulted ``i`` becomes
-    transform's second (index) parameter and is passed a fresh
-    named-lambda-variable Column — which the f-string then embeds as
-    ``mh<Column<...x_42>>|``, a salt that changes with the global
-    variable counter. The signature was silently different on every
-    plan construction (caught by the streaming-dedup batch ≡ stream
-    identity test; within one plan both self-join sides shared the
-    same corrupted-but-consistent salt, so batch LSH still matched its
-    brute-force oracle)."""
+    lambda's arity from its *signature*, so a defaulted extra arg
+    becomes transform's second (index) parameter (a historical
+    silent-salt-corruption bug caught by the streaming batch ≡ stream
+    identity test)."""
     def one(i: int) -> F.Column:
-        salt = F.lit(f"mh{i}|")
+        a, b = MH_COEFFS[i]
         return F.array_min(F.transform(
-            shingles_col, lambda x: F.conv(
-                F.substring(F.md5(F.concat(salt, x)), 1, 15),
-                16, 10).cast("long")))
+            base_col,
+            lambda h: F.pmod(h * F.lit(a) + F.lit(b),
+                             F.lit(MH_PRIME))))
     return F.array(*[one(i) for i in range(num_hashes)])
+
+
+def minhash_signature_over(shingles_col, num_hashes: int = 16) -> F.Column:
+    """Signature over a shingle array column (single-expression form;
+    prefer projecting `minhash_base_hashes` to its own column first —
+    `minhash_banded` does — so codegen evaluates the md5 pass once
+    rather than relying on subexpression elimination inside
+    higher-order functions)."""
+    return minhash_affine_sig(minhash_base_hashes(shingles_col),
+                              num_hashes)
 
 
 def minhash_banded(df: DataFrame, num_hashes: int = 16, bands: int = 8,
@@ -117,9 +159,10 @@ def minhash_banded(df: DataFrame, num_hashes: int = 16, bands: int = 8,
     rows = num_hashes // bands
     sig = (df.select(F.col(id_col).alias("id"),
                      _shingle_set(text_col, shingle_n).alias("s"))
+           .withColumn("_h", minhash_base_hashes(F.col("s")))
            .select("id", "s",
-                   minhash_signature_over(F.col("s"),
-                                          num_hashes).alias("sig")))
+                   minhash_affine_sig(F.col("_h"),
+                                      num_hashes).alias("sig")))
     banded = sig.select(
         "id", "s",
         F.explode(F.array(*[
@@ -312,6 +355,46 @@ def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _hyperplane_bits_udf(planes: list[list[float]]):
+    """Arrow-batched kernel computing the sign-bit signature —
+    bit-identical to the previous JVM higher-order-function form
+    (whose 32 interpreted aggregate(zip_with(...)) lambdas dominated
+    the op's runtime). Exactness argument: plane entries are ±1.0, so
+    the elementwise products are exact sign flips (no rounding), and
+    ``np.add.accumulate`` is a left-to-right sequential float64 fold —
+    the same addition order and rounding as ``F.aggregate``'s fold.
+    A null/short vector yields bit 0 per plane, matching
+    ``when(NULL >= 0)``'s otherwise-branch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)          # (n_planes, dim)
+    n_planes, dim = P.shape
+
+    @pandas_udf("array<int>")
+    def bits(vs: pd.Series) -> pd.Series:
+        out = []
+        ok_rows, ok_idx = [], []
+        for i, v in enumerate(vs):
+            out.append([0] * n_planes)
+            if v is not None and len(v) == dim:
+                ok_rows.append(np.asarray(v, dtype=np.float64))
+                ok_idx.append(i)
+        if ok_rows:
+            V = np.vstack(ok_rows)                    # (m, dim)
+            B = np.empty((V.shape[0], n_planes), dtype=np.int64)
+            for p in range(n_planes):
+                prod = V * P[p]                       # exact (±1 planes)
+                s = np.add.accumulate(prod, axis=1)[:, -1]
+                B[:, p] = (s >= 0).astype(np.int64)
+            for j, i in enumerate(ok_idx):
+                out[i] = B[j].tolist()
+        return pd.Series(out)
+
+    return bits
+
+
 def embedding_near_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
                              dim: int = 64, n_planes: int = 32,
                              bands: int = 8, id_col: str = "vec_id",
@@ -335,15 +418,8 @@ def embedding_near_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
     d = emb.select(F.col(id_col).alias("id"),
                    F.col(vec_col).cast("array<double>").alias("v"))
     planes = rademacher_planes(n_planes, dim)
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row])
-                           for row in planes])
-    bits = F.transform(
-        planes_lit,
-        lambda r: F.when(
-            F.aggregate(F.zip_with("v", r, lambda x, y: x * y),
-                        F.lit(0.0), lambda acc, x: acc + x) >= 0,
-            F.lit(1)).otherwise(F.lit(0)))
-    sig = d.select("id", "v", bits.alias("bits"))
+    sig = d.select("id", "v",
+                   _hyperplane_bits_udf(planes)(F.col("v")).alias("bits"))
     banded = sig.select(
         "id", "v",
         F.explode(F.array(*[
