@@ -423,3 +423,31 @@ def test_mixture_sample_rejects_bad_weights(spark):
         C.mixture_sample(df, {"en": 0})
     with pytest.raises(ValueError, match="weights"):
         C.mixture_sample(df, {})
+
+
+def test_minhash_signature_matches_python_oracle(spark):
+    """Pin the affine MinHash family exactly: one md5 base hash per
+    shingle (mod 2^31-1), then min over (a_i*h + b_i) mod p — the
+    same integers a pure-Python replay produces."""
+    from blacklab_spark.functions.dedup import (
+        MH_COEFFS, MH_PRIME, MH_SALT, minhash_banded)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "völlig anderes dokument mit eigenen wörtern"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {}
+    for r in minhash_banded(df, num_hashes=16, bands=8).collect():
+        got.setdefault(r.id, {})[r.band] = r.key
+
+    from blacklab_spark.tokenizer import py_tokens_insensitive
+    for doc_id, text in enumerate(texts):
+        toks = py_tokens_insensitive(text)
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        hs = [py_md5_long(MH_SALT + s) % MH_PRIME for s in sh]
+        sig = [min((a * h + b) % MH_PRIME for h in hs)
+               for a, b in MH_COEFFS[:16]]
+        want = {b: ",".join(str(sig[b * 2 + r]) for r in range(2))
+                for b in range(8)}
+        assert got[doc_id] == want, f"doc {doc_id}"
