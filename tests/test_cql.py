@@ -770,10 +770,15 @@ def test_expand_regex_limit_raises_not_truncates(idx):
 def test_unbounded_repetition_leaves_no_persisted_rdds(idx):
     """The closure-kernel path must not leave persisted RDDs behind
     (round-2 fixpoint retained its level caches for the engine's
-    lifetime — VERDICT r02 #5/#8)."""
-    find(idx, '"the"{2,}').collect()
+    lifetime — VERDICT r02 #5/#8). Asserted as no-NEW-persists rather
+    than zero session-wide: other operators (duplicate_clusters)
+    legitimately return checkpoint-backed frames whose blocks the
+    ContextCleaner frees only after driver-side GC, so an absolute
+    zero is flaky under session-scoped fixtures."""
     jsc = idx.spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    before = jsc.getPersistentRDDs().size()
+    find(idx, '"the"{2,}').collect()
+    assert jsc.getPersistentRDDs().size() <= before
 
 
 def test_repetition_min_rep_longer_path(spark):
