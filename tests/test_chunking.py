@@ -171,3 +171,34 @@ def test_shard_rejects_bad_n(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_shards"):
         shard_corpus(df, n_shards=0)
+
+
+def test_sequence_prep_plan_shapes(spark):
+    """Scale assertions: chunking is one codegen stage (zero
+    exchanges — no shuffle at any corpus size); packing and sharding
+    shuffle exactly once, on narrow (id, count/key) projections; the
+    mixture rate table joins as a broadcast, never a corpus-side
+    sort-merge join."""
+    from blacklab_spark.functions.chunking import (
+        chunk_documents, pack_sequences, shard_corpus)
+    from blacklab_spark.functions.curation import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma " * 5) for i in range(50)],
+        "doc_id long, lang string, text string")
+
+    p = chunk_documents(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in p, p
+
+    for op in (pack_sequences(docs), shard_corpus(docs)):
+        p = op._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") == 1, p
+        # plans print top-down: everything before the Exchange marker
+        # executes AFTER the shuffle — the text column must not be
+        # there (only the narrow (id, count/key) projection shuffles)
+        assert "text" not in p.split("Exchange", 1)[0], p
+
+    p = mixture_sample(docs, {"en": 500})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
