@@ -50,9 +50,10 @@ def chunk_documents(df: DataFrame, max_tokens: int = 64,
 
     Pure JVM expressions + one explode: no shuffle, no Python.
     """
-    if overlap >= max_tokens:
+    if max_tokens < 1 or not 0 <= overlap < max_tokens:
         raise ValueError(
-            f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+            f"need max_tokens >= 1 and 0 <= overlap < max_tokens, got "
+            f"max_tokens={max_tokens}, overlap={overlap}")
     stride = max_tokens - overlap
     toks = tokens_insensitive(text_col)
     return (df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"))
@@ -140,7 +141,9 @@ def pack_sequences(df: DataFrame, cap: int = 256, n_groups: int = 8,
     text never leaves the scan stage), one shuffle on pack_group,
     one Arrow-batched greedy fold per group.
     """
-    n_tok = F.size(tokens_insensitive(text_col))
+    # null text → 0 tokens (size() of a null array is null; without
+    # the coalesce one null row NaN-poisons the pandas kernel)
+    n_tok = F.coalesce(F.size(tokens_insensitive(text_col)), F.lit(0))
     grp = F.pmod(md5_long(F.col(id_col).cast("string"),
                           salt=PACK_SALT), F.lit(n_groups))
     narrow = df.select(F.col(id_col).alias("doc_id"),
@@ -166,7 +169,7 @@ def pack_sequences_sql(cap: int, n_groups: int, tokens_expr: str,
 WITH RECURSIVE toks AS (
   SELECT doc_id, ((({h}) % {n_groups}) + {n_groups}) % {n_groups}
            AS pack_group,
-         len({tokens_expr}) AS n_tok
+         COALESCE(len({tokens_expr}), 0) AS n_tok
   FROM documents),
 ordered AS (
   SELECT doc_id, pack_group, n_tok,

@@ -222,7 +222,8 @@ def mixture_sample(df: DataFrame, weights: dict[str, int],
     w_sum = sum(weights.values())
     narrow = df.select(F.col(id_col).alias("doc_id"),
                        F.col(domain_col).alias("domain"),
-                       F.size(tokens_insensitive(text_col))
+                       F.coalesce(F.size(tokens_insensitive(text_col)),
+                                  F.lit(0))
                        .cast("long").alias("n_tok"))
     toks = {r["domain"]: int(r["tok"]) for r in
             narrow.groupBy("domain").agg(F.sum("n_tok").alias("tok"))
@@ -265,7 +266,7 @@ def mixture_sample_sql(weights: dict[str, int],
     h = md5_long_sql("doc_id::VARCHAR", MIX_SALT)
     return f"""
 WITH narrow AS (SELECT doc_id, {domain_col} AS domain,
-                       len({tokens_expr})::BIGINT AS n_tok
+                       COALESCE(len({tokens_expr}), 0)::BIGINT AS n_tok
                 FROM documents),
 w(domain, wt) AS (VALUES {vals}),
 tok AS (SELECT domain, SUM(n_tok) AS tok FROM narrow GROUP BY domain),

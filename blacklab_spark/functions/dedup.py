@@ -76,9 +76,11 @@ def jaccard_pairs_bruteforce(df: DataFrame, threshold: float,
 
 def minhash_signature(text_col: str = "text",
                       num_hashes: int = 16, shingle_n: int = 3) -> F.Column:
-    """MinHash signature: per hash i, min over the shingle set of
-    md5_long(shingle, salt=i). Pure JVM column expression — arrays of
-    longs, no UDF. DuckDB can re-derive it exactly (same md5 prefix)."""
+    """MinHash signature of a text column: one md5 base hash per
+    shingle, then per hash i the min of (a_i·h + b_i) mod 2^31−1 over
+    the shingle set (see the family note above MH_PRIME). Pure JVM
+    column expression — arrays of longs, no UDF; exactly re-derivable
+    in DuckDB/Python from MH_SALT + the _mh_coeff series."""
     return minhash_signature_over(_shingle_set(text_col, shingle_n),
                                   num_hashes)
 
@@ -112,10 +114,7 @@ def minhash_base_hashes(shingles_col) -> F.Column:
     the ONE expensive (md5) pass of the signature."""
     return F.transform(
         shingles_col,
-        lambda x: F.pmod(
-            F.conv(F.substring(F.md5(F.concat(F.lit(MH_SALT), x)),
-                               1, 15), 16, 10).cast("long"),
-            F.lit(MH_PRIME)))
+        lambda x: F.pmod(md5_long(x, salt=MH_SALT), F.lit(MH_PRIME)))
 
 
 def minhash_affine_sig(base_col, num_hashes: int = 16) -> F.Column:
@@ -130,7 +129,10 @@ def minhash_affine_sig(base_col, num_hashes: int = 16) -> F.Column:
     silent-salt-corruption bug caught by the streaming batch ≡ stream
     identity test)."""
     def one(i: int) -> F.Column:
-        a, b = MH_COEFFS[i]
+        # beyond the precomputed table, derive coefficients on demand
+        # (any num_hashes works; the table just avoids re-hashing the
+        # common range on every plan construction)
+        a, b = MH_COEFFS[i] if i < len(MH_COEFFS) else _mh_coeff(i)
         return F.array_min(F.transform(
             base_col,
             lambda h: F.pmod(h * F.lit(a) + F.lit(b),

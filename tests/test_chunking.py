@@ -102,7 +102,8 @@ def test_chunk_rejects_bad_overlap(spark):
 
 
 def test_pack_matches_python_oracle(spark):
-    rows = _rand_rows(13, 120) + [(1000, "tok " * 500)]  # oversize doc
+    rows = _rand_rows(13, 120) + [(1000, "tok " * 500),  # oversize doc
+                              (1001, None)]          # null text
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (r.pack_group, r.bin_idx, r.offset, r.n_tok)
            for r in pack_sequences(df, cap=50, n_groups=4).collect()}

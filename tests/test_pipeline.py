@@ -377,7 +377,7 @@ def _mixture_rows(seed, n):
 def test_mixture_sample_matches_python_oracle(spark):
     from blacklab_spark.functions import curation as C
 
-    rows = _mixture_rows(31, 400)
+    rows = _mixture_rows(31, 400) + [(999, "en", None)]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     weights = {"en": 500, "de": 200, "es": 300}   # fr absent -> dropped
     for budget in (None, 2000):
