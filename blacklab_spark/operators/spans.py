@@ -162,12 +162,24 @@ def or_(*clauses: DataFrame) -> DataFrame:
     return out
 
 
-def and_(*clauses: DataFrame) -> DataFrame:
+def and_(*clauses: DataFrame,
+         inputs_unique: tuple[bool, ...] | None = None) -> DataFrame:
     """Same-span intersection (SpanQueryAnd.java:11, SpansAndSimple):
-    keep spans identical in all clauses."""
-    out = _h(clauses[0]).dropDuplicates(HIT_COLS)
-    for c in clauses[1:]:
-        out = out.join(_h(c).dropDuplicates(HIT_COLS), HIT_COLS)
+    keep spans identical in all clauses.
+
+    ``inputs_unique[i]`` = the i-th clause is provably duplicate-free
+    (plans/guarantees.py, the reference's hitsHaveUniqueStartEnd) —
+    its input dedup exchange is elided; the join on the full hit key
+    then cannot multiply rows, exactly why SpansAndSimple needs no
+    SpansUnique."""
+    uq = inputs_unique or (False,) * len(clauses)
+
+    def _u(df: DataFrame, unique: bool) -> DataFrame:
+        d = _h(df)
+        return d if unique else d.dropDuplicates(HIT_COLS)
+    out = _u(clauses[0], uq[0])
+    for c, u in zip(clauses[1:], uq[1:]):
+        out = out.join(_u(c, u), HIT_COLS)
     return out
 
 
@@ -186,13 +198,20 @@ def not_(index: InvertedIndex, clause: DataFrame) -> DataFrame:
 
 # -- positional combinators ------------------------------------------
 def sequence(a: DataFrame, b: DataFrame, min_gap: int = 0,
-             max_gap: int = 0) -> DataFrame:
+             max_gap: int = 0, dedup: bool = True) -> DataFrame:
     """A followed by B with gap∈[min_gap, max_gap]
     (SpanQuerySequence.java:50; gapped variant
     SpansSequenceWithGap.java:57). Equi-join on doc + position range;
     with gap 0 it is a pure equi-join on (doc_id, boundary) — the
     merge-join fast path (SpansSequenceSimple.java:18) falls out of
-    Catalyst choosing SMJ on those keys."""
+    Catalyst choosing SMJ on those keys.
+
+    ``dedup=False`` elides the output dedup exchange when the caller
+    PROVED the join cannot produce duplicate spans — both inputs
+    duplicate-free and (adjacent case) either side fixed-width, so an
+    output (start, end) pins both operand rows (plans/guarantees.py ≙
+    the reference inserting SpansUnique only when SpanGuarantees
+    cannot rule duplicates out, SpanQuerySequence.java:641-730)."""
     aa, bb = _h(a).alias("a"), _h(b).alias("b")
     if min_gap == 0 and max_gap == 0:
         cond = (F.col("a.doc_id") == F.col("b.doc_id")) & \
@@ -201,11 +220,11 @@ def sequence(a: DataFrame, b: DataFrame, min_gap: int = 0,
         cond = (F.col("a.doc_id") == F.col("b.doc_id")) & \
                (F.col("b.start") >= F.col("a.end") + min_gap) & \
                (F.col("b.start") <= F.col("a.end") + max_gap)
-    return (aa.join(bb, cond)
-            .select(F.col("a.doc_id").alias("doc_id"),
-                    F.col("a.start").alias("start"),
-                    F.col("b.end").alias("end"))
-            .dropDuplicates(HIT_COLS))
+    out = (aa.join(bb, cond)
+           .select(F.col("a.doc_id").alias("doc_id"),
+                   F.col("a.start").alias("start"),
+                   F.col("b.end").alias("end")))
+    return out.dropDuplicates(HIT_COLS) if dedup else out
 
 
 def expand(index: InvertedIndex, clause: DataFrame, direction: str,
@@ -246,7 +265,8 @@ def expand(index: InvertedIndex, clause: DataFrame, direction: str,
 
 
 def repetition(clause: DataFrame, min_rep: int,
-               max_rep: int | None, width: int | None = None) -> DataFrame:
+               max_rep: int | None, width: int | None = None,
+               clause_unique: bool = False) -> DataFrame:
     """A{m,n}: consecutive self-concatenation
     (SpanQueryRepetition.java:25; unbounded = cql.jj:415
     MAX_UNLIMITED).
@@ -259,9 +279,15 @@ def repetition(clause: DataFrame, min_rep: int,
     gaps-and-islands window + one explode — no Python kernel, no
     output dedup (each chain sub-interval is generated exactly once).
     Variable-width fallback: bounded = iterated self-join on
-    end == next.start; unbounded = per-doc BFS closure kernel."""
+    end == next.start; unbounded = per-doc BFS closure kernel.
+
+    ``clause_unique`` (plans/guarantees.py) elides the base dedup
+    exchange — both the chain window (row_number per residue class)
+    and the closure kernel need duplicate-free input, so the dedup is
+    kept unless the clause PROVES it produces none."""
     assert min_rep >= 1
-    base = _h(clause).dropDuplicates(HIT_COLS)
+    base = _h(clause) if clause_unique \
+        else _h(clause).dropDuplicates(HIT_COLS)
     if width is not None and width > 0 and "match_info" not in base.columns:
         return _repetition_chains(base.select(*HIT_COLS), width,
                                   min_rep, max_rep)

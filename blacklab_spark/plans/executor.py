@@ -37,6 +37,7 @@ from blacklab_spark.operators import spans as S
 from blacklab_spark.plans import query as Q
 import contextlib
 
+from blacklab_spark.plans.guarantees import SpanGuarantees, guarantees
 from blacklab_spark.plans.parser import parse
 from blacklab_spark.plans.rewrite import rewrite
 
@@ -141,9 +142,11 @@ def _fiseq(index: InvertedIndex, clauses, stats, a: int) -> DataFrame:
             j = j.filter(tok == c.text)
         else:
             j = j.filter(tok.rlike(f"(?iu)^(?:{c.pattern})$"))
-    return (j.select("doc_id", start0.cast("int").alias("start"),
-                     (start0 + n).cast("int").alias("end"))
-            .dropDuplicates(["doc_id", "start", "end"]))
+    # no output dedup: the anchor's postings hits are duplicate-free
+    # (one row per corpus position), doc_meta joins 1:1 on its key,
+    # and everything after is a row filter (plans/guarantees.py)
+    return j.select("doc_id", start0.cast("int").alias("start"),
+                    (start0 + n).cast("int").alias("end"))
 
 
 def _seq_choice(index: InvertedIndex, clauses):
@@ -181,6 +184,50 @@ def _seq_strategy(index: InvertedIndex, clauses) -> DataFrame | None:
     if choice[0] == "phrase":
         return P.phrase_via_postings(index, [c.text for c in clauses])
     return None
+
+
+def _or_merge_term_ids(index: InvertedIndex, clauses) -> list[int] | None:
+    """OR of word-layer term-set leaves → ONE postings decode.
+
+    When every clause is a word-layer Term/Regex/Fuzzy and their
+    dictionary expansions are pairwise DISJOINT, the union of hits is
+    exactly ``hits_for_term_ids`` over the combined id set — one block
+    scan with ``term_id IN (...)`` instead of N decodes + union, and
+    intrinsically duplicate-free (a position holds one @i term).
+    Overlapping expansions fall back to the generic union, which keeps
+    the reference's duplicate-per-matching-clause semantics
+    (BLSpanOrQuery merges sub-spans without dedup). Reference analog:
+    SpanQueryOr over term queries rewriting to one multi-term query
+    (the SimplestMatcher family, query rewriting.md:30-64)."""
+    if not index.cfg.store_positions:
+        return None
+    ids: list[int] = []
+    for c in clauses:
+        if getattr(c, "layer", None) != "word":
+            return None
+        if isinstance(c, Q.Term):
+            info = index.lookup_terms([c.text])
+        elif isinstance(c, Q.Regex):
+            info = index.expand_regex(f"(?iu)^(?:{c.pattern})$")
+        elif isinstance(c, Q.Fuzzy):
+            info = index.expand_fuzzy(c.text, c.max_edits)
+        else:
+            return None
+        ids.extend(int(t) for t in info["term_id"])
+    if len(ids) != len(set(ids)):
+        return None          # overlap → union semantics must keep dups
+    return ids
+
+
+def _guar(index: InvertedIndex, p: Q.Pattern) -> SpanGuarantees:
+    """Static guarantees, upgraded with what the physical planner
+    knows: an Or that will execute as ONE merged postings decode is
+    duplicate-free even though the AST-level rule cannot prove it."""
+    g = guarantees(p)
+    if isinstance(p, Q.Or) and not g.unique \
+            and _or_merge_term_ids(index, p.clauses) is not None:
+        return SpanGuarantees(g.len_min, g.len_max, True)
+    return g
 
 
 def _fixed_width(p: Q.Pattern) -> int | None:
@@ -477,11 +524,28 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         chosen = _seq_strategy(index, p.clauses)
         if chosen is not None:
             return chosen
+        # generic fold of adjacency joins — dedup elided per pair when
+        # the guarantee lattice proves the join cannot duplicate
+        # (both sides unique, either side fixed-width; SURVEY §4.2)
+        acc = _guar(index, p.clauses[0])
         out = _exec(index, p.clauses[0])
         for c in p.clauses[1:]:
-            out = S.sequence(out, _exec(index, c))
+            gc = _guar(index, c)
+            provably_unique = acc.unique and gc.unique and \
+                (acc.fixed_width or gc.fixed_width)
+            out = S.sequence(out, _exec(index, c),
+                             dedup=not provably_unique)
+            acc = SpanGuarantees(acc.len_min + gc.len_min,
+                                 None if acc.len_max is None
+                                 or gc.len_max is None
+                                 else acc.len_max + gc.len_max,
+                                 True)  # deduped or proven either way
         return out
     if isinstance(p, Q.Or):
+        merged = _or_merge_term_ids(index, p.clauses)
+        if merged is not None:
+            from blacklab_spark.operators.hits import hits_for_term_ids
+            return hits_for_term_ids(index, merged)
         return S.or_(*[_exec(index, c) for c in p.clauses])
     if isinstance(p, Q.And):
         # AND(A,..,!C,..) → ANDNOT(AND(positives), C..): anti-join the
@@ -490,11 +554,15 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         pos = [c for c in p.clauses if not isinstance(c, Q.Not)]
         neg = [c.clause for c in p.clauses if isinstance(c, Q.Not)]
         if pos and neg:
-            out = S.and_(*[_exec(index, c) for c in pos])
+            out = S.and_(*[_exec(index, c) for c in pos],
+                         inputs_unique=tuple(_guar(index, c).unique
+                                             for c in pos))
             for nc in neg:
                 out = S.and_not(out, _exec(index, nc))
             return out
-        return S.and_(*[_exec(index, c) for c in p.clauses])
+        return S.and_(*[_exec(index, c) for c in p.clauses],
+                      inputs_unique=tuple(_guar(index, c).unique
+                                          for c in p.clauses))
     if isinstance(p, Q.Not):
         return S.not_(index, _exec(index, p.clause))
     if isinstance(p, Q.Rep):
@@ -503,7 +571,8 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                 "possibly-empty pattern at top level is not supported "
                 "(inside a sequence it is rewritten to alternatives)")
         return S.repetition(_exec(index, p.clause), p.min_rep, p.max_rep,
-                            width=Q.static_width(p.clause))
+                            width=Q.static_width(p.clause),
+                            clause_unique=_guar(index, p.clause).unique)
     if isinstance(p, Q.Expand):
         return S.expand(index, _exec(index, p.clause), p.direction,
                         p.min_exp, p.max_exp)
@@ -795,10 +864,21 @@ def explain(cql: str, index: InvertedIndex | None = None) -> str:
     trace)."""
     original = parse(cql)
     rewritten = rewrite(original)
+    g = guarantees(rewritten)
     lines = [f"original : {Q.pattern_str(original)}",
-             f"rewritten: {Q.pattern_str(rewritten)}"]
+             f"rewritten: {Q.pattern_str(rewritten)}",
+             f"guarantees: width=[{g.len_min},"
+             f"{'inf' if g.len_max is None else g.len_max}] "
+             f"unique={g.unique}"]
     if index is not None:
         for node in _walk(rewritten):
+            if isinstance(node, Q.Or):
+                merged = _or_merge_term_ids(index, node.clauses)
+                if merged is not None:
+                    lines.append(
+                        f"or {Q.pattern_str(node)} -> merged postings "
+                        f"decode ({len(merged)} terms, one block scan)")
+                continue
             if isinstance(node, Q.Seq) and not any(
                     _has_capture(c) for c in node.clauses):
                 choice = _seq_choice(index, node.clauses)

@@ -92,8 +92,22 @@ class Expand(Pattern):        # TextPatternExpansion (rewrite product)
 class PosFilter(Pattern):     # TextPatternPositionFilter (within/containing)
     producer: Pattern
     filter: Pattern
-    operation: str            # 'within' | 'containing'
+    operation: str            # 'within' | 'containing' |
+    # 'containing_at_start' | 'containing_at_end' (the reference's
+    # SpanQueryPositionFilter.Operation enum :160-181; the *_at_*
+    # forms are rewrite products of CCNot — no surface syntax)
     invert: bool = False
+
+
+@dataclass(frozen=True)
+class LenFilter(Pattern):     # SpanQueryFilterByHitLength.java:21
+    """Keep hits whose width ∈ [min_len, max_len] — the rewrite
+    product of NGramsToLengthFilter (query rewriting.md:
+    ``AND(A, []{m,n}) → LENFILTER(AND(A))``). ``max_len=None`` =
+    unbounded. Executes as a pure row filter, never a join."""
+    clause: Pattern
+    min_len: int
+    max_len: int | None
 
 
 @dataclass(frozen=True)

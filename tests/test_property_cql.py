@@ -554,11 +554,28 @@ def test_random_constraint(seed, tiny_engine, tiny_oracle):
 def test_random_pattern(seed, tiny_engine, tiny_oracle):
     node = gen_pattern(seed)
     cql = render(node)
-    got = {(r["doc_id"], r["start"], r["end"]) for r in
-           find(tiny_engine.index, cql)
-           .select("doc_id", "start", "end").collect()}
+    rows = [(r["doc_id"], r["start"], r["end"]) for r in
+            find(tiny_engine.index, cql)
+            .select("doc_id", "start", "end").collect()]
+    got = set(rows)
     want = oracle_spans(node, tiny_oracle.tokens)
     assert got == want, (
         f"seed {seed}: pattern {cql!r}\n"
         f"  engine-only: {sorted(got - want)[:10]}\n"
         f"  oracle-only: {sorted(want - got)[:10]}")
+    # SpanGuarantees soundness (plans/guarantees.py, SURVEY §4.2):
+    # claimed uniqueness and width bounds must hold on the observed
+    # result of every generated pattern — this is what licenses the
+    # executor's dropDuplicates elisions.
+    from blacklab_spark.plans.guarantees import guarantees
+    from blacklab_spark.plans.parser import parse
+    from blacklab_spark.plans.rewrite import rewrite
+    g = guarantees(rewrite(parse(cql)))
+    if g.unique:
+        assert len(rows) == len(got), (
+            f"seed {seed}: {cql!r} claims unique but produced "
+            f"{len(rows) - len(got)} duplicate rows")
+    for d, s, e in rows:
+        assert e - s >= g.len_min, (seed, cql, (d, s, e), g)
+        if g.len_max is not None:
+            assert e - s <= g.len_max, (seed, cql, (d, s, e), g)
