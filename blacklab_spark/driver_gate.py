@@ -1573,6 +1573,28 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select(
             _orig_doc_id(), F.col("start"), F.col("end"))
 
+    def cql_ccnot_sequence(spark, sf_dir):
+        """[word!="the"] "table" — the CCNot rewrite product
+        (NOTCONTAINING_AT_START over a by-1 expansion; query
+        rewriting.md ``!A B``): the token complement never
+        materializes — the neighbour's postings expand left one token
+        and anti-join 'the''s positions."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '[word!="the"] "table"')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
+    def cql_and_lenfilter(spark, sf_dir):
+        """"the"{1,3} & []{2,3} — NGramsToLengthFilter: the all-token
+        AND clause becomes a pure width row-filter, never an n-gram
+        materialization (query rewriting.md AND(A,[]{m,n}))."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '"the"{1,3} & []{2,3}')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def hits_filter_by_length(spark, sf_dir):
         """Variable-width hits filtered to length 3
         (SpanQueryFilterByHitLength)."""
@@ -1863,6 +1885,8 @@ def gate_queries() -> dict:
         "cql_fuzzy_term": cql_fuzzy_term,
         "cql_and_same_span": cql_and_same_span,
         "cql_and_not_span": cql_and_not_span,
+        "cql_ccnot_sequence": cql_ccnot_sequence,
+        "cql_and_lenfilter": cql_and_lenfilter,
         "hits_filter_by_length": hits_filter_by_length,
         "docs_group_of_groups": docs_group_of_groups,
         "unicode_ci_sensitivity": unicode_ci_sensitivity,
@@ -2127,6 +2151,26 @@ FROM pos WHERE regexp_full_match(tok, 't.*')
 WITH {_DOC_POS}
 SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
 FROM pos WHERE regexp_full_match(tok, 't.*') AND tok != 'the'
+""",
+        "cql_ccnot_sequence": f"""
+WITH {_DOC_POS}
+SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.tok != 'the' AND b.tok = 'table'
+""",
+        "cql_and_lenfilter": f"""
+WITH {_DOC_POS},
+the2 AS (
+  SELECT a.doc_id, a.p AS s, a.p + 2 AS e
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.tok = 'the' AND b.tok = 'the'),
+the3 AS (
+  SELECT t.doc_id, t.s, t.e + 1 AS e
+  FROM the2 t JOIN pos c ON c.doc_id = t.doc_id AND c.p = t.e
+  WHERE c.tok = 'the')
+SELECT doc_id, CAST(s AS INT) AS start, CAST(e AS INT) AS "end" FROM the2
+UNION
+SELECT doc_id, CAST(s AS INT) AS start, CAST(e AS INT) AS "end" FROM the3
 """,
         "hits_filter_by_length": f"""
 WITH {_DOC_POS}

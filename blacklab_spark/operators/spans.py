@@ -237,29 +237,41 @@ def expand(index: InvertedIndex, clause: DataFrame, direction: str,
     info — captures must survive the any-token-elimination rewrite
     that turns trailing ``[]`` into an expansion)."""
     mi = ["match_info"] if "match_info" in clause.columns else []
+    # left expansion never needs doc lengths (start >= 0 is the only
+    # bound) — skip the doc_meta join entirely; right expansion joins
+    # (doc_id, n_tokens) for the doc-edge clamp
+    if direction == "left":
+        j = _h(clause)
+        if max_exp is None:
+            room = F.col("start")
+            j = j.filter(room >= min_exp)
+            amt = F.explode(
+                F.sequence(F.lit(min_exp), room)).alias("amt")
+        else:
+            amt = F.explode(
+                F.sequence(F.lit(min_exp), F.lit(max_exp))).alias("amt")
+        out = (j.select("doc_id", "start", "end", *mi, amt)
+               .select("doc_id",
+                       (F.col("start") - F.col("amt")).alias("start"),
+                       "end", *mi)
+               .filter(F.col("start") >= 0))
+        return out.select("doc_id", F.col("start").cast("int"),
+                          F.col("end").cast("int"), *mi)
     dm = index.doc_meta.select("doc_id", "n_tokens")
     j = _h(clause).join(dm, "doc_id")
     if max_exp is None:
-        # room to the doc edge in the expansion direction
-        room = F.col("start") if direction == "left" \
-            else F.col("n_tokens") - F.col("end")
+        room = F.col("n_tokens") - F.col("end")
         j = j.filter(room >= min_exp)
         amt = F.explode(F.sequence(F.lit(min_exp), room)).alias("amt")
     else:
         amt = F.explode(
             F.sequence(F.lit(min_exp), F.lit(max_exp))).alias("amt")
-    j = j.select("doc_id", "start", "end", "n_tokens", *mi, amt)
-    if direction == "left":
-        out = j.select("doc_id",
-                       (F.col("start") - F.col("amt")).alias("start"),
-                       "end", *mi)
-        out = out.filter(F.col("start") >= 0)
-    else:
-        out = j.select("doc_id", "start",
-                       (F.col("end") + F.col("amt")).alias("end"),
-                       "n_tokens", *mi) \
-               .filter(F.col("end") <= F.col("n_tokens")) \
-               .drop("n_tokens")
+    out = (j.select("doc_id", "start", "end", "n_tokens", *mi, amt)
+           .select("doc_id", "start",
+                   (F.col("end") + F.col("amt")).alias("end"),
+                   "n_tokens", *mi)
+           .filter(F.col("end") <= F.col("n_tokens"))
+           .drop("n_tokens"))
     return out.select("doc_id", F.col("start").cast("int"),
                       F.col("end").cast("int"), *mi)
 
@@ -412,10 +424,14 @@ def _pos_join(a: DataFrame, b: DataFrame, cond, invert: bool) -> DataFrame:
     aa, bb = _h(a).alias("a"), _h(b).alias("b")
     full = (F.col("a.doc_id") == F.col("b.doc_id")) & cond
     how = "left_anti" if invert else "left_semi"
-    return (aa.join(bb, full, how)
-            .select(F.col("a.doc_id").alias("doc_id"),
-                    F.col("a.start").alias("start"),
-                    F.col("a.end").alias("end")))
+    cols = [F.col("a.doc_id").alias("doc_id"),
+            F.col("a.start").alias("start"),
+            F.col("a.end").alias("end")]
+    if "match_info" in a.columns:
+        # captures flow through position filters (the reference's
+        # match info survives SpanQueryPositionFilter)
+        cols.append(F.col("a.match_info").alias("match_info"))
+    return aa.join(bb, full, how).select(*cols)
 
 
 def within(a: DataFrame, b: DataFrame, invert: bool = False) -> DataFrame:
@@ -433,6 +449,24 @@ def containing(a: DataFrame, b: DataFrame, invert: bool = False) -> DataFrame:
 def matches(a: DataFrame, b: DataFrame, invert: bool = False) -> DataFrame:
     return _pos_join(a, b, (F.col("a.start") == F.col("b.start"))
                      & (F.col("a.end") == F.col("b.end")), invert)
+
+
+def containing_at_start(a: DataFrame, b: DataFrame,
+                        invert: bool = False) -> DataFrame:
+    """Keep hits of A containing a hit of B that STARTS where A starts
+    (Operation.CONTAINING_AT_START, SpanQueryPositionFilter.java:160-181).
+    Inverted, this is the physical form of the CCNot rewrite product
+    ``!B A → NOTCONTAINING_AT_START(EXPAND(A,left,1), B)``."""
+    return _pos_join(a, b, (F.col("b.start") == F.col("a.start"))
+                     & (F.col("b.end") <= F.col("a.end")), invert)
+
+
+def containing_at_end(a: DataFrame, b: DataFrame,
+                      invert: bool = False) -> DataFrame:
+    """Keep hits of A containing a hit of B that ENDS where A ends
+    (Operation.CONTAINING_AT_END)."""
+    return _pos_join(a, b, (F.col("b.end") == F.col("a.end"))
+                     & (F.col("b.start") >= F.col("a.start")), invert)
 
 
 def starts_at(a: DataFrame, b: DataFrame, invert: bool = False) -> DataFrame:

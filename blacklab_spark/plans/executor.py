@@ -592,9 +592,20 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                             attr_range=p.filter.attr_range)
         else:
             filt = _exec(index, p.filter)
-        if p.operation == "within":
-            return S.within(prod, filt, p.invert)
-        return S.containing(prod, filt, p.invert)
+        op = {"within": S.within, "containing": S.containing,
+              "containing_at_start": S.containing_at_start,
+              "containing_at_end": S.containing_at_end}.get(p.operation)
+        if op is None:
+            raise ValueError(
+                f"unknown position-filter operation {p.operation!r}")
+        return op(prod, filt, p.invert)
+    if isinstance(p, Q.LenFilter):
+        # pure row filter — never a join (SpanQueryFilterByHitLength)
+        hits = _exec(index, p.clause)
+        w = F.col("end") - F.col("start")
+        cond = w >= p.min_len if p.max_len is None \
+            else (w >= p.min_len) & (w <= p.max_len)
+        return hits.filter(cond)
     if isinstance(p, Q.Overlap):
         return S.overlapping(_exec(index, p.a), _exec(index, p.b))
     if isinstance(p, Q.Capture):

@@ -144,6 +144,12 @@ def guarantees(p: Q.Pattern) -> SpanGuarantees:
         # semi/anti join: keeps a subset of producer rows, multiplicity
         # untouched
         return guarantees(p.producer)
+    if isinstance(p, Q.LenFilter):
+        # row filter: bounds tighten, uniqueness preserved
+        g = guarantees(p.clause)
+        return SpanGuarantees(max(g.len_min, p.min_len),
+                              _min_none_inf(g.len_max, p.max_len),
+                              g.unique)
     if isinstance(p, Q.Overlap):
         ga, gb = guarantees(p.a), guarantees(p.b)
         # overlap regions are ≥1 token (strict inequalities) and no

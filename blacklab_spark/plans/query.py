@@ -409,6 +409,10 @@ def static_width(p: Pattern) -> int | None:
         return None
     if isinstance(p, PosFilter):
         return static_width(p.producer)
+    if isinstance(p, LenFilter):
+        # a fixed-width clause stays fixed (an out-of-bounds filter
+        # just yields the empty set, which satisfies any width claim)
+        return static_width(p.clause)
     if isinstance(p, Constrained):
         return static_width(p.clause)
     if isinstance(p, Tag):
@@ -449,6 +453,9 @@ def pattern_str(p: Pattern) -> str:
         inv = "NOT" if p.invert else ""
         return (f"{inv}{p.operation.upper()}({pattern_str(p.producer)}, "
                 f"{pattern_str(p.filter)})")
+    if isinstance(p, LenFilter):
+        return (f"LENFILTER({pattern_str(p.clause)},"
+                f"{p.min_len},{_b(p.max_len)})")
     if isinstance(p, Overlap):
         return f"OVERLAP({pattern_str(p.a)}, {pattern_str(p.b)})"
     if isinstance(p, Capture):

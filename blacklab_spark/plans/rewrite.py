@@ -15,10 +15,11 @@ from __future__ import annotations
 
 import re
 
+from blacklab_spark.plans.guarantees import guarantees
 from blacklab_spark.plans.query import (And, AnyToken, CAnnot, Capture,
                                         CBool, CCmp, Constrained, CrossField,
-                                        CStr, Expand, Force, Not, Or,
-                                        Overlap,
+                                        CStr, Expand, Force, LenFilter, Not,
+                                        Or, Overlap,
                                         Pattern, PosFilter, RCapture, Regex,
                                         RelBranch, RelFunc, RelMatch,
                                         RelMulti, RMatch, Rep, RField,
@@ -51,6 +52,8 @@ def _map_children(p: Pattern, fn) -> Pattern:
         return Expand(fn(p.clause), p.direction, p.min_exp, p.max_exp)
     if isinstance(p, PosFilter):
         return PosFilter(fn(p.producer), fn(p.filter), p.operation, p.invert)
+    if isinstance(p, LenFilter):
+        return LenFilter(fn(p.clause), p.min_len, p.max_len)
     if isinstance(p, Capture):
         return Capture(fn(p.clause), p.name)
     if isinstance(p, Constrained):
@@ -213,6 +216,8 @@ def _matches_empty(p: Pattern) -> bool:
         return p.min_rep == 0 or _matches_empty(p.clause)
     if isinstance(p, AnyToken):
         return p.min_len == 0
+    if isinstance(p, LenFilter):
+        return p.min_len == 0 and _matches_empty(p.clause)
     if isinstance(p, Or):
         return any(_matches_empty(c) for c in p.clauses)
     if isinstance(p, Seq):
@@ -236,6 +241,8 @@ def _nonempty(p: Pattern) -> Pattern:
         return Rep(_nonempty(p.clause), 1, p.max_rep)
     if isinstance(p, AnyToken):
         return AnyToken(1, p.max_len)
+    if isinstance(p, LenFilter):
+        return LenFilter(p.clause, max(1, p.min_len), p.max_len)
     if isinstance(p, Or):
         return Or(*[_nonempty(c) for c in p.clauses])
     if isinstance(p, Capture):
@@ -249,6 +256,17 @@ def _nonempty(p: Pattern) -> Pattern:
         r = Seq(*rest)
         return Or(Seq(_nonempty(a), r), _nonempty(r))
     return p
+
+
+def _ccnot_neighbour_ok(b: Pattern) -> bool:
+    """CCNot eligibility of the Not's neighbour: the rewrite reports
+    the neighbour through an expansion + position semi-join, which
+    preserves multiplicity instead of the sequence join's dedup — so
+    it must be PROVABLY duplicate-free (SpanGuarantees; a by-exactly-1
+    expansion is injective, so the neighbour's uniqueness is the
+    output's). Captures are fine: both the expansion and the position
+    join carry match_info through."""
+    return guarantees(b).unique
 
 
 def _rewrite_once(p: Pattern) -> Pattern:
@@ -322,9 +340,33 @@ def _rewrite_once(p: Pattern) -> Pattern:
                 return Or(left, Seq(*with_))
         # CCAnyExpansion: A []{m,n} → EXPAND(A, right, m, n);
         # []{m,n} A → EXPAND(A, left, m, n)
+        # CCNot (query rewriting.md): a token-complement clause next
+        # to a real neighbour never materializes — ``!A B`` becomes
+        # NOTCONTAINING_AT_START(EXPAND(B, left, 1), A) and ``B !A``
+        # becomes NOTCONTAINING_AT_END(EXPAND(B, right, 1), A): the
+        # neighbour's hits stretch one token toward the complement and
+        # an anti position-join against A's (small) hit set replaces
+        # the corpus-wide token-complement explode.
+        def _not1(c: Pattern) -> bool:
+            return isinstance(c, Not) and \
+                guarantees(c.clause).fixed_width and \
+                guarantees(c.clause).len_min == 1
         out: list[Pattern] = []
         for c in merged:
-            if (out and isinstance(c, AnyToken)
+            if (out and _not1(c)
+                    and not isinstance(out[-1], (AnyToken, Not))
+                    and _ccnot_neighbour_ok(out[-1])):
+                out.append(PosFilter(Expand(out.pop(), "right", 1, 1),
+                                     c.clause, "containing_at_end",
+                                     invert=True))
+            elif (out and _not1(out[-1])
+                    and not isinstance(c, (AnyToken, Not))
+                    and _ccnot_neighbour_ok(c)):
+                na = out.pop()
+                out.append(PosFilter(Expand(c, "left", 1, 1),
+                                     na.clause, "containing_at_start",
+                                     invert=True))
+            elif (out and isinstance(c, AnyToken)
                     and not isinstance(out[-1], AnyToken)):
                 out.append(Expand(out.pop(), "right", c.min_len, c.max_len))
             elif (out and isinstance(out[-1], AnyToken)
@@ -350,13 +392,28 @@ def _rewrite_once(p: Pattern) -> Pattern:
         flat = []
         for c in p.clauses:
             flat.extend(c.clauses if isinstance(c, And) else [c])
-        # OnlyNGrams drop: AND(A, []{m,n}) → length filter — here we
-        # drop all-token clauses that match any length ≥ the others
+        # NGramsToLengthFilter (query rewriting.md):
+        # AND(A, []{m,n}) → LENFILTER(AND(A), m, n). An all-token
+        # clause in a same-span AND constrains ONLY the hit width, so
+        # it must never materialize the n-gram relation; when the
+        # remaining clauses' width bounds (SpanGuarantees) already
+        # fall inside [m, n] the filter disappears entirely
+        # (RedundantNGrams).
         non_any = [c for c in flat if not isinstance(c, AnyToken)]
-        if non_any and len(non_any) < len(flat):
-            # keep as PosFilter 'matches' on lengths via Rep of any —
-            # subset case: single-token anys just disappear
-            flat = non_any
+        anys = [c for c in flat if isinstance(c, AnyToken)]
+        if non_any and anys:
+            m = max(a.min_len for a in anys)
+            n: int | None = None
+            for a in anys:
+                if a.max_len is not None:
+                    n = a.max_len if n is None else min(n, a.max_len)
+            rest = non_any[0] if len(non_any) == 1 else And(*non_any)
+            g = guarantees(rest)
+            if m <= g.len_min and (
+                    n is None
+                    or (g.len_max is not None and g.len_max <= n)):
+                return rest          # bounds subsume: filter is free
+            return LenFilter(rest, m, n)
         if len(flat) == 1:
             return flat[0]
         if flat != list(p.clauses):

@@ -1,0 +1,151 @@
+"""§4.1 rewrite rules added with the guarantee lattice:
+NGramsToLengthFilter / RedundantNGrams (the ``AND(A, []{m,n})``
+family) and CCNot (token-complement neighbours in sequences).
+
+Reference: doc/technical/query rewriting.md:30-64 —
+``AND(A,B,[]{m,n}) → LENFILTER(AND(A,B))`` and
+``!A B → NOTCONTAINING(EXPAND(B,left,1), A)``."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from blacklab_spark.plans import query as Q
+from blacklab_spark.plans.executor import find
+from blacklab_spark.plans.parser import parse
+from blacklab_spark.plans.rewrite import rewrite
+
+
+@pytest.fixture(scope="module")
+def idx(tiny_engine):
+    return tiny_engine.index
+
+
+def rows_of(df):
+    return sorted((r["doc_id"], r["start"], r["end"]) for r in
+                  df.select("doc_id", "start", "end").collect())
+
+
+def toks_of(o):
+    return o.tokens
+
+
+# ---------------- NGramsToLengthFilter ----------------
+
+def test_and_anytoken_becomes_lenfilter_shape():
+    assert rewrite(parse('("a" "b" "c") & []{2,2}')) == Q.LenFilter(
+        Q.Seq(Q.Term("a"), Q.Term("b"), Q.Term("c")), 2, 2)
+    # unbounded any-token: min-only filter
+    got = rewrite(parse('("a" "b"+) & []{3,}'))
+    assert got == Q.LenFilter(
+        Q.Seq(Q.Term("a"), Q.Rep(Q.Term("b"), 1, None)), 3, None)
+
+
+def test_and_anytoken_redundant_drops():
+    """Width bounds that already subsume the clause's: filter is free
+    (RedundantNGrams)."""
+    assert rewrite(parse('"a" "b" & []{2,3}')) == \
+        Q.Seq(Q.Term("a"), Q.Term("b"))
+    assert rewrite(parse('"a" & []{1,2}')) == Q.Term("a")
+    assert rewrite(parse('("a" | "b") & []{1,1}')) == \
+        Q.Or(Q.Term("a"), Q.Term("b"))
+
+
+def test_and_anytoken_must_not_drop_binding_bounds(idx):
+    """The round-2 behavior dropped ``[]{2,2}`` from a width-3 AND —
+    wrong answers. The length filter must now bind: a fixed width-3
+    phrase AND []{2,2} is empty, and a variable-width clause keeps
+    only in-bounds hits."""
+    assert find(idx, '("the" "a" "the") & []{2,2}').count() == 0
+    got = rows_of(find(idx, '"the"{1,3} & []{2,3}'))
+    all_reps = rows_of(find(idx, '"the"{1,3}'))
+    assert got == [h for h in all_reps if 2 <= h[2] - h[1] <= 3]
+    assert got != all_reps  # the filter really removed something
+
+
+def test_lenfilter_executes_as_row_filter_not_join(idx):
+    df = find(idx, '("the" "a" "the") & []{2,2}')
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one phrase plan + a filter; no n-gram generation, no extra join
+    assert "posexplode" not in plan
+
+
+# ---------------- CCNot ----------------
+
+def test_ccnot_shapes():
+    assert rewrite(parse('[word!="the"] "cat"')) == Q.PosFilter(
+        Q.Expand(Q.Term("cat"), "left", 1, 1), Q.Term("the"),
+        "containing_at_start", invert=True)
+    assert rewrite(parse('"cat" [word!="the"]')) == Q.PosFilter(
+        Q.Expand(Q.Term("cat"), "right", 1, 1), Q.Term("the"),
+        "containing_at_end", invert=True)
+    # chains: both complements collapse into nested position filters
+    got = rewrite(parse('[word!="a"] [word!="b"] "c"'))
+    assert isinstance(got, Q.PosFilter) and got.invert
+    assert isinstance(got.producer, Q.Expand)
+    # a variable-width but provably-unique neighbour fires too (the
+    # by-1 expansion is injective); the group flattens, so the product
+    # lands inside the surrounding sequence
+    fired = rewrite(parse('[word!="a"] ("b" []{1,2} "c")'))
+    assert isinstance(fired, Q.Seq)
+    assert isinstance(fired.clauses[0], Q.PosFilter) \
+        and fired.clauses[0].invert
+    # a possibly-duplicating neighbour (statically-unprovable Or)
+    # must NOT fire the rewrite
+    kept = rewrite(parse('[word!="a"] ("b" | "c")'))
+    assert isinstance(kept, Q.Seq) and isinstance(kept.clauses[0], Q.Not)
+
+
+def test_ccnot_result_identity(idx, tiny_oracle):
+    """CCNot path ≡ brute complement-join semantics, checked against
+    the raw token lists."""
+    for cql, check in [
+        ('[word!="the"] "good"',
+         lambda toks, p: p + 1 < len(toks) and toks[p] != "the"
+         and toks[p + 1] == "good"),
+        ('"good" [word!="the"]',
+         lambda toks, p: p + 1 < len(toks) and toks[p] == "good"
+         and toks[p + 1] != "the"),
+    ]:
+        got = rows_of(find(idx, cql))
+        want = sorted(
+            (d, p, p + 2)
+            for d, toks in toks_of(tiny_oracle).items()
+            for p in range(len(toks))
+            if check(toks, p))
+        assert got == want, cql
+
+
+def test_ccnot_plan_avoids_token_complement(idx):
+    """The rewritten plan must not read doc_meta at all: the
+    neighbour's postings expand by one token and anti-join the
+    complemented term's postings — no corpus-wide any-token
+    generation (the win CCNot exists for)."""
+    df = find(idx, '[word!="the"] "visa"')
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "doc_meta" not in plan
+    assert "postings" in plan
+
+
+def test_ccnot_preserves_captures(idx, tiny_oracle):
+    """A captured neighbour keeps its match_info through the
+    expansion + position join."""
+    df = find(idx, 'x:("good") [word!="the"]')
+    assert "match_info" in df.columns
+    rows = df.collect()
+    assert rows, "expected hits on the tiny corpus"
+    for r in rows:
+        mi = r["match_info"]
+        assert mi["x"]["s"] == r["start"] and mi["x"]["e"] == r["end"] - 1
+
+
+def test_posfilter_carries_match_info(idx):
+    """Captures survive within/containing (reference: match info flows
+    through SpanQueryPositionFilter)."""
+    df = find(idx, '(x:("the" "a")) containing "the"')
+    assert "match_info" in df.columns
+    r = df.collect()
+    assert r and all(row["match_info"]["x"]["s"] == row["start"]
+                     for row in r)
