@@ -179,6 +179,13 @@ def main() -> None:
         # genuinely measures the forward-index constraint join
         "q17_constraint_fi_join": lambda: eng.find(
             "A:[] B:[] :: A.word = B.word").count(),
+        # round-3 plans: merged-OR postings decode (disjoint term
+        # sets, one block scan) and the CCNot rewrite (token
+        # complement as expansion + anti position-join)
+        "q18_or_merged_postings": lambda: eng.find(
+            '"visa" | "application" | "good"').count(),
+        "q19_ccnot_sequence": lambda: eng.find(
+            '[word!="the"] "visa"').count(),
     }
     for name, fn in qdefs.items():
         fn()  # warm (JIT, file listing)

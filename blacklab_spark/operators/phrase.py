@@ -86,20 +86,23 @@ def _decode_doc_positions(blob_doc: bytes, blob_tf: bytes,
     return np.repeat(docs, tf), pos
 
 
-def _phrase_kernel(term_order: dict[int, int], n_terms: int):
+def _phrase_kernel(slots_of: dict[int, list[int]], n_terms: int):
     """Per-bucket kernel: vectorized position intersection.
 
     Keys (doc_id << 21 | position) make slot membership an int64
     ``isin`` (sort + searchsorted in numpy) — no per-doc Python.
     Positions are < 2^21 tokens/turn by construction; doc ids fit the
-    remaining 42 bits per bucket."""
+    remaining 42 bits per bucket. ``slots_of`` maps a term_id to EVERY
+    phrase slot it occupies — a repeated word ("the" "the") decodes
+    once and feeds each of its slots."""
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         slot_keys: list[list[np.ndarray]] = [[] for _ in range(n_terms)]
         for term_id, blob_doc, blob_tf, blob_pos in zip(
                 pdf["term_id"], pdf["doc_ids"], pdf["tfs"], pdf["positions"]):
-            slot = term_order[int(term_id)]
             d, p = _decode_doc_positions(blob_doc, blob_tf, blob_pos)
-            slot_keys[slot].append((d << np.int64(21)) | p)
+            ks = (d << np.int64(21)) | p
+            for slot in slots_of[int(term_id)]:
+                slot_keys[slot].append(ks)
         empty = pd.DataFrame({"doc_id": [], "start": [], "end": []}).astype(
             {"doc_id": "int64", "start": "int32", "end": "int32"})
         if any(not ks for ks in slot_keys):
@@ -127,20 +130,16 @@ def phrase_via_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
     if any(t not in have for t in terms):
         return index.spark.createDataFrame([], HITS_SCHEMA)
     tid_of = {t: int(i) for t, i in zip(info["term"], info["term_id"])}
-    # slot = position of the term in the phrase; a repeated term maps
-    # to its first slot and the kernel re-checks adjacency per slot via
-    # the same positions array, so dedupe ids but keep slot order.
-    term_order: dict[int, int] = {}
+    # slots_of: term_id → every slot it fills; a repeated word's
+    # positions decode once and serve all its slots (no forward-index
+    # fallback — 'the the' used to force a corpus scan)
+    slots_of: dict[int, list[int]] = {}
     for i, t in enumerate(terms):
-        term_order.setdefault(tid_of[t], i)
+        slots_of.setdefault(tid_of[t], []).append(i)
     n = len(terms)
-    if len(term_order) < n:
-        # repeated words in the phrase: fall back to slot-agnostic
-        # kernel is incorrect → use the forward-index path instead.
-        return phrase_via_tokens(index, terms)
     blocks = index.postings.filter(
-        F.col("term_id").isin(list(term_order.keys())))
+        F.col("term_id").isin(list(slots_of.keys())))
     out = (blocks.select("bucket", "term_id", "doc_ids", "tfs", "positions")
            .groupBy("bucket")
-           .applyInPandas(_phrase_kernel(term_order, n), HITS_SCHEMA))
+           .applyInPandas(_phrase_kernel(slots_of, n), HITS_SCHEMA))
     return index.without_deleted(out).orderBy("doc_id", "start")

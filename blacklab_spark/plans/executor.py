@@ -893,12 +893,19 @@ def explain(cql: str, index: InvertedIndex | None = None) -> str:
             if isinstance(node, Q.Seq) and not any(
                     _has_capture(c) for c in node.clauses):
                 choice = _seq_choice(index, node.clauses)
+                generic_desc = "pairwise positional joins over " \
+                               "postings leaves"
+                if choice[0] == "generic":
+                    gs = [_guar(index, c) for c in node.clauses]
+                    if all(g.unique for g in gs) and \
+                            sum(1 for g in gs if not g.fixed_width) <= 1:
+                        generic_desc += " (output dedup elided — " \
+                                        "SpanGuarantees)"
                 desc = {"fiseq": "FiSeq (anchor postings + forward-"
                                  "index verify)",
                         "phrase": "postings position-intersection",
                         "empty": "no-hits (term absent)",
-                        "generic": "pairwise positional joins over "
-                                   "postings leaves"}[choice[0]]
+                        "generic": generic_desc}[choice[0]]
                 extra = ""
                 if choice[0] == "fiseq":
                     a = choice[1]

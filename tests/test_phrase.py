@@ -28,10 +28,25 @@ def test_phrase_dualpath_small(small_engine, small_oracle, phrase):
 
 
 def test_phrase_repeated_term(tiny_engine, tiny_oracle):
-    # "the the" has a repeated term → engine falls back to token path
+    # "the the": the repeated word's positions decode once and feed
+    # both slots of the postings kernel (no forward-index fallback)
     expected = oracle_phrase(tiny_oracle, ["the", "the"])
     got = _collect_hits(tiny_engine.phrase_hits(["the", "the"]))
     assert got == expected
+
+
+@pytest.mark.parametrize("phrase", [
+    ["the", "the"], ["the", "a", "the"], ["a", "a"],
+])
+def test_phrase_repeated_term_dualpath(tiny_engine, tiny_oracle, phrase):
+    """Repeated-word phrases: postings intersection ≡ forward-index
+    probe ≡ oracle (the multi-slot kernel must re-use one decode per
+    term without slot aliasing)."""
+    expected = oracle_phrase(tiny_oracle, phrase)
+    a = _collect_hits(tiny_engine.phrase_hits(phrase, path="postings"))
+    b = _collect_hits(tiny_engine.phrase_hits(phrase, path="tokens"))
+    assert a == expected
+    assert b == expected
 
 
 def test_phrase_three_terms(small_engine, small_oracle):
