@@ -41,16 +41,21 @@ def _sens(sensitivity: str, term: str) -> tuple[str, str]:
 
 def term_hits(index: InvertedIndex, term: str,
               doc_filter: Column | None = None,
-              sensitivity: str = "i") -> DataFrame:
+              sensitivity: str = "i",
+              dm: DataFrame | None = None) -> DataFrame:
     """All positions of a single term → hits (BLSpanTermQuery analog,
     reference: search/lucene/BLSpanTermQuery.java:52). Forward-index
     probe: posexplode of token arrays, JVM-side.
 
     sensitivity picks the probed layer and desensitizes the query term
     the same way (≙ BlackLab's @i/@s/@ci/@di annotation sensitivities,
-    indexmetadata/MatchSensitivity.java:12-17)."""
+    indexmetadata/MatchSensitivity.java:12-17). ``dm`` substitutes a
+    pre-pruned doc_meta frame (the push_hit_docs anchor pattern: a
+    position-filter over a rare producer probes only the producer's
+    docs' token arrays)."""
     col, term = _sens(sensitivity, term)
-    dm = index.doc_meta
+    if dm is None:
+        dm = index.doc_meta
     if doc_filter is not None:
         dm = dm.filter(doc_filter)
     return (dm.filter(F.array_contains(col, term))

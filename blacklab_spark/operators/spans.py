@@ -63,6 +63,38 @@ def annot_term(index: InvertedIndex, layer: str, text: str) -> DataFrame:
                     (F.col("start") + 1).cast("int").alias("end")))
 
 
+def annot_terms(index: InvertedIndex, layer: str,
+                texts: tuple[str, ...]) -> DataFrame:
+    """All positions where a SINGLE-VALUE annotation layer equals any
+    of ``texts`` — one forward-index probe for an OR of same-layer
+    term leaves (``[pos="noun"] | [pos="verb"]``), instead of one
+    posexplode pass per alternative + union. A position holds exactly
+    one value, so the output is intrinsically duplicate-free and
+    equals the union of the per-term probes (multi-value layers are
+    excluded by the caller: a stacked position matching two
+    alternatives must yield two union rows)."""
+    from blacklab_spark.annotations import (ANNOTATION_COLUMNS,
+                                            MULTI_VALUE_LAYERS)
+    if layer in MULTI_VALUE_LAYERS:
+        raise ValueError(f"annot_terms requires a single-value layer, "
+                         f"got {layer!r}")
+    if layer not in ANNOTATION_COLUMNS:
+        raise ValueError(f"unknown annotation layer {layer!r} "
+                         f"(have: {sorted(ANNOTATION_COLUMNS)})")
+    col = ANNOTATION_COLUMNS[layer]
+    dm = index.doc_meta
+    if col not in dm.columns:
+        raise ValueError(
+            f"annotation layer {layer!r} was not materialized in this "
+            f"index (built with annotations={index.cfg.annotations!r})")
+    tset = F.array(*[F.lit(t) for t in texts])
+    return (dm.filter(F.arrays_overlap(col, tset))
+            .select("doc_id", F.posexplode(col).alias("start", "tok"))
+            .filter(F.array_contains(tset, F.col("tok")))
+            .select("doc_id", F.col("start").cast("int"),
+                    (F.col("start") + 1).cast("int").alias("end")))
+
+
 def annot_regex(index: InvertedIndex, layer: str, pattern: str) -> DataFrame:
     from blacklab_spark.annotations import ANNOTATION_COLUMNS
     if layer not in ANNOTATION_COLUMNS:

@@ -219,13 +219,34 @@ def _or_merge_term_ids(index: InvertedIndex, clauses) -> list[int] | None:
     return ids
 
 
+def _or_annot_merge(clauses) -> tuple[str, tuple[str, ...]] | None:
+    """(layer, texts) when every clause is a Term on the SAME
+    single-value annotation layer with pairwise-distinct values — the
+    shape that executes as ONE forward-index probe (annot_terms)
+    instead of per-alternative posexplode passes + union."""
+    from blacklab_spark.annotations import MULTI_VALUE_LAYERS
+    if not clauses or not all(isinstance(c, Q.Term) for c in clauses):
+        return None
+    layer = clauses[0].layer
+    if layer == "word" or layer in MULTI_VALUE_LAYERS:
+        return None
+    if any(c.layer != layer for c in clauses):
+        return None
+    texts = tuple(c.text for c in clauses)
+    if len(set(texts)) != len(texts):
+        return None          # duplicate alternative → union keeps dups
+    return layer, texts
+
+
 def _guar(index: InvertedIndex, p: Q.Pattern) -> SpanGuarantees:
     """Static guarantees, upgraded with what the physical planner
-    knows: an Or that will execute as ONE merged postings decode is
-    duplicate-free even though the AST-level rule cannot prove it."""
+    knows: an Or that will execute as ONE merged postings decode (or
+    one single-value-layer probe) is duplicate-free even though the
+    AST-level rule cannot prove it."""
     g = guarantees(p)
-    if isinstance(p, Q.Or) and not g.unique \
-            and _or_merge_term_ids(index, p.clauses) is not None:
+    if isinstance(p, Q.Or) and not g.unique and (
+            _or_merge_term_ids(index, p.clauses) is not None
+            or _or_annot_merge(p.clauses) is not None):
         return SpanGuarantees(g.len_min, g.len_max, True)
     return g
 
@@ -546,6 +567,9 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         if merged is not None:
             from blacklab_spark.operators.hits import hits_for_term_ids
             return hits_for_term_ids(index, merged)
+        am = _or_annot_merge(p.clauses)
+        if am is not None:
+            return S.annot_terms(index, *am)
         return S.or_(*[_exec(index, c) for c in p.clauses])
     if isinstance(p, Q.And):
         # AND(A,..,!C,..) → ANDNOT(AND(positives), C..): anti-join the
@@ -590,6 +614,24 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                             p.filter.attr_val, spans=pruned,
                             adjust=p.filter.adjust,
                             attr_range=p.filter.attr_range)
+        elif (isinstance(p.filter, Q.Term) and p.filter.layer == "word"
+              and index.cfg.store_positions
+              and not index.lookup_terms([p.filter.text]).empty
+              and int(index.lookup_terms([p.filter.text])["df"].sum())
+              * 4 >= index.n_docs):
+            # HOT filter term (the collocations df-rule): probe the
+            # token arrays of ONLY the producer's docs instead of
+            # decoding the hot term's full postings — a CCNot product
+            # like ``[word!="the"] "visa"`` then reads a few thousand
+            # row groups, not the corpus's hottest posting list. The
+            # position join only compares within the producer's docs,
+            # so the pruned filter set is sufficient.
+            from blacklab_spark.operators.hits import (push_hit_docs,
+                                                       term_hits)
+            dm = push_hit_docs(prod,
+                               index.doc_meta.select("doc_id", "tokens"),
+                               n_docs=index.n_docs)
+            filt = term_hits(index, p.filter.text, dm=dm)
         else:
             filt = _exec(index, p.filter)
         op = {"within": S.within, "containing": S.containing,
@@ -889,6 +931,11 @@ def explain(cql: str, index: InvertedIndex | None = None) -> str:
                     lines.append(
                         f"or {Q.pattern_str(node)} -> merged postings "
                         f"decode ({len(merged)} terms, one block scan)")
+                elif _or_annot_merge(node.clauses) is not None:
+                    layer = node.clauses[0].layer
+                    lines.append(
+                        f"or {Q.pattern_str(node)} -> single "
+                        f"{layer}-layer probe (one forward-index pass)")
                 continue
             if isinstance(node, Q.Seq) and not any(
                     _has_capture(c) for c in node.clauses):

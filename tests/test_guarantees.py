@@ -210,3 +210,32 @@ def test_seq_over_merged_or_elides_dedup(idx):
 def test_explain_reports_guarantees():
     s = explain('"a" []{1,2} "b"')
     assert "guarantees: width=[3,4] unique=True" in s
+
+
+def test_or_annot_terms_single_probe(idx):
+    """[pos="noun"] | [pos="verb"] → one forward-index pass; identical
+    to the generic union, duplicate-free, and treated as unique by the
+    planner."""
+    from blacklab_spark.operators import spans as S
+    from blacklab_spark.plans.executor import _or_annot_merge
+    assert _or_annot_merge(
+        (Q.Term("noun", "pos"), Q.Term("verb", "pos"))) == \
+        ("pos", ("noun", "verb"))
+    # mixed layers / word layer / duplicate values do not merge
+    assert _or_annot_merge(
+        (Q.Term("noun", "pos"), Q.Term("x", "word"))) is None
+    assert _or_annot_merge(
+        (Q.Term("noun", "pos"), Q.Term("noun", "pos"))) is None
+    merged = find(idx, '[pos="noun"] | [pos="verb"]')
+    union = S.or_(find(idx, '[pos="noun"]'), find(idx, '[pos="verb"]'))
+    got = rows_of(merged)
+    assert got == rows_of(union)
+    assert len(got) == len(set(got))
+    # exactly ONE Generate (posexplode) in the merged plan, two in the
+    # generic union
+    assert _plan(merged).count("Generate") == 1
+    assert _plan(union).count("Generate") == 2
+    g = _guar(idx, Q.Or(Q.Term("noun", "pos"), Q.Term("verb", "pos")))
+    assert g.unique
+    assert "single pos-layer probe" in explain(
+        '[pos="noun"] | [pos="verb"]', idx)

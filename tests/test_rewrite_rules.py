@@ -119,14 +119,35 @@ def test_ccnot_result_identity(idx, tiny_oracle):
 
 
 def test_ccnot_plan_avoids_token_complement(idx):
-    """The rewritten plan must not read doc_meta at all: the
-    neighbour's postings expand by one token and anti-join the
-    complemented term's postings — no corpus-wide any-token
-    generation (the win CCNot exists for)."""
+    """The rewritten plan never generates the corpus-wide token
+    complement: the neighbour's postings expand by one token and
+    anti-join the complemented term's hits. On the tiny corpus 'the'
+    is HOT (df·4 ≥ n_docs), so the filter side probes the token
+    arrays of ONLY the producer's docs — the doc_meta scan must carry
+    the pushed doc_id IN-list, and no any-token generation appears."""
     df = find(idx, '[word!="the"] "visa"')
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "doc_meta" not in plan
     assert "postings" in plan
+    if "doc_meta" in plan:
+        # the hot-filter probe path: an array_contains-guarded token
+        # probe (doc-id IN-pushed when the selectivity guard allows;
+        # on the tiny corpus the guard correctly skips the IN-list)
+        assert "array_contains" in plan
+    # the any-token complement would show as a sequence(0, n_tokens…)
+    # generator — absent
+    assert "sequence(0" not in plan
+
+
+def test_ccnot_hot_filter_pruned_probe_identity(idx, tiny_oracle):
+    """Hot-filter pruned probe ≡ postings-decode filter ≡ oracle for
+    a rare producer (the shape the pruning exists for)."""
+    rows = rows_of(find(idx, '"visa" [word!="the"]'))
+    want = sorted(
+        (d, p, p + 2)
+        for d, toks in toks_of(tiny_oracle).items()
+        for p in range(len(toks) - 1)
+        if toks[p] == "visa" and toks[p + 1] != "the")
+    assert rows == want
 
 
 def test_ccnot_preserves_captures(idx, tiny_oracle):
