@@ -135,11 +135,14 @@ def guarantees(p: Q.Pattern) -> SpanGuarantees:
         return SpanGuarantees(g.len_min * p.min_rep, hi, True)
     if isinstance(p, Q.Expand):
         g = guarantees(p.clause)
-        # (start, end) pins the operand only when the clause is
-        # fixed-width (then the expansion amount is pinned too)
+        # unique when the operand row is pinned by an output span:
+        # a FIXED amount (min==max) is an injective shift for any
+        # clause; a variable amount is pinned only by a fixed-width
+        # clause (then amount = output width − clause width)
+        fixed_amount = p.max_exp is not None and p.min_exp == p.max_exp
         return SpanGuarantees(
             g.len_min + p.min_exp, _add(g.len_max, p.max_exp),
-            g.unique and g.fixed_width)
+            g.unique and (fixed_amount or g.fixed_width))
     if isinstance(p, Q.PosFilter):
         # semi/anti join: keeps a subset of producer rows, multiplicity
         # untouched

@@ -18,8 +18,8 @@ import re
 from blacklab_spark.plans.guarantees import guarantees
 from blacklab_spark.plans.query import (And, AnyToken, CAnnot, Capture,
                                         CBool, CCmp, Constrained, CrossField,
-                                        CStr, Expand, Force, LenFilter, Not,
-                                        Or, Overlap,
+                                        CStr, Expand, Force, Fuzzy,
+                                        LenFilter, Not, Or, Overlap,
                                         Pattern, PosFilter, RCapture, Regex,
                                         RelBranch, RelFunc, RelMatch,
                                         RelMulti, RMatch, Rep, RField,
@@ -310,6 +310,18 @@ def _rewrite_once(p: Pattern) -> Pattern:
         for c in p.clauses:
             flat.extend(c.clauses if isinstance(c, Seq) else [c])
         # CCAnyCombine: adjacent []{a,b} []{c,d} → []{a+c,b+d}
+        # CCRepetition (query rewriting.md): adjacent identical simple
+        # leaves (or repetitions of one) combine — A A → A{2},
+        # A{a,b} A{c,d} → A{a+c,b+d} (integer count intervals sum to
+        # an interval, so the merge is always exact). Simple leaves
+        # only: captures must keep their own spans.
+        def _rep_parts(c: Pattern) -> tuple | None:
+            if isinstance(c, (Term, Regex, Fuzzy)):
+                return c, 1, 1
+            if isinstance(c, Rep) and \
+                    isinstance(c.clause, (Term, Regex, Fuzzy)):
+                return c.clause, c.min_rep, c.max_rep
+            return None
         merged: list[Pattern] = []
         for c in flat:
             if (merged and isinstance(c, AnyToken)
@@ -317,6 +329,13 @@ def _rewrite_once(p: Pattern) -> Pattern:
                 prev = merged.pop()
                 merged.append(AnyToken(prev.min_len + c.min_len,
                                        _add(prev.max_len, c.max_len)))
+                continue
+            rc, rp = _rep_parts(c), (_rep_parts(merged[-1])
+                                     if merged else None)
+            if rc is not None and rp is not None and rc[0] == rp[0]:
+                merged.pop()
+                merged.append(Rep(rc[0], rp[1] + rc[1],
+                                  _add(rp[2], rc[2])))
             else:
                 merged.append(c)
         # EmptyClauseAlts (correctness-critical, SURVEY §4.1 / §7 hard

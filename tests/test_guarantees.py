@@ -77,9 +77,14 @@ def test_expand_and_posfilter_rules():
     # Expand of a fixed-width unique clause stays unique
     g = guarantees(Q.Expand(Q.Term("a"), "left", 1, 3))
     assert (g.len_min, g.len_max, g.unique) == (2, 4, True)
-    # variable-width clause → expansion amount not pinned → not unique
+    # variable-width clause AND variable amount → nothing pins the
+    # operand → not unique
     g = guarantees(Q.Expand(Q.AnyToken(1, 2), "right", 1, 2))
     assert not g.unique
+    # a FIXED amount is an injective shift even for a variable-width
+    # clause (the CCNot product shape)
+    g = guarantees(Q.Expand(Q.AnyToken(1, 2), "left", 1, 1))
+    assert g.unique and (g.len_min, g.len_max) == (2, 3)
     # position filter passes the producer through
     assert g_of('"a" within <turn/>') == SpanGuarantees(1, 1, True)
     g = guarantees(Q.Overlap(Q.AnyToken(1, 3), Q.AnyToken(1, 2)))

@@ -72,6 +72,35 @@ def test_lenfilter_executes_as_row_filter_not_join(idx):
     assert "posexplode" not in plan
 
 
+# ---------------- CCRepetition ----------------
+
+def test_ccrepetition_shapes():
+    assert rewrite(parse('"the" "the"')) == Q.Rep(Q.Term("the"), 2, 2)
+    assert rewrite(parse('"the" "the" "the"')) == \
+        Q.Rep(Q.Term("the"), 3, 3)
+    # count intervals sum exactly (Minkowski of integer intervals)
+    assert rewrite(parse('"the"{2,3} "the"')) == \
+        Q.Rep(Q.Term("the"), 3, 4)
+    assert rewrite(parse('"the" "the"+')) == \
+        Q.Rep(Q.Term("the"), 2, None)
+    # a zero-min neighbour merges too, making the result non-empty —
+    # no EmptyClauseAlts alternative needed
+    assert rewrite(parse('"the" "the"* "a"')) == \
+        Q.Seq(Q.Rep(Q.Term("the"), 1, None), Q.Term("a"))
+    # captures never merge (their spans are their own)
+    got = rewrite(parse('x:("the") "the"'))
+    assert isinstance(got, Q.Seq)
+
+
+def test_ccrepetition_result_identity(idx, tiny_oracle):
+    rows = rows_of(find(idx, '"the" "the"'))
+    want = sorted((d, p, p + 2)
+                  for d, toks in toks_of(tiny_oracle).items()
+                  for p in range(len(toks) - 1)
+                  if toks[p] == "the" and toks[p + 1] == "the")
+    assert rows == want
+
+
 # ---------------- CCNot ----------------
 
 def test_ccnot_shapes():
