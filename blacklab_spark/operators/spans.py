@@ -187,10 +187,16 @@ def fixed_span(index: InvertedIndex, start: int, end: int) -> DataFrame:
 # -- set combinators --------------------------------------------------
 def or_(*clauses: DataFrame) -> DataFrame:
     """Union of span sets (BLSpanOrQuery priority-queue merge ≙ union +
-    downstream sort; duplicates kept, as in the reference)."""
-    out = _h(clauses[0])
-    for c in clauses[1:]:
-        out = out.unionByName(_h(c))
+    downstream sort; duplicates kept, as in the reference). When any
+    branch carries match_info (e.g. a capture inside a position
+    filter), the others gain an empty map so the union schemas line
+    up."""
+    frames = [_h(c) for c in clauses]
+    if any("match_info" in f.columns for f in frames):
+        frames = [capture_noop(f) for f in frames]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
     return out
 
 
@@ -205,6 +211,10 @@ def and_(*clauses: DataFrame,
     then cannot multiply rows, exactly why SpansAndSimple needs no
     SpansUnique."""
     uq = inputs_unique or (False,) * len(clauses)
+    if len(uq) != len(clauses):
+        raise ValueError(
+            f"inputs_unique has {len(uq)} entries for "
+            f"{len(clauses)} clauses")
 
     def _u(df: DataFrame, unique: bool) -> DataFrame:
         d = _h(df)

@@ -251,6 +251,13 @@ def _guar(index: InvertedIndex, p: Q.Pattern) -> SpanGuarantees:
     return g
 
 
+def _is_hot_term(index: InvertedIndex, text: str) -> bool:
+    """The collocations df-rule: a term in ≥1/4 of all docs is 'hot' —
+    probing beats decoding its posting list (lookup is memoized)."""
+    info = index.lookup_terms([text])
+    return not info.empty and int(info["df"].sum()) * 4 >= index.n_docs
+
+
 def _fixed_width(p: Q.Pattern) -> int | None:
     """Token width of a pattern if constant, else None."""
     if isinstance(p, (Q.Term, Q.Regex)):
@@ -616,9 +623,7 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                             attr_range=p.filter.attr_range)
         elif (isinstance(p.filter, Q.Term) and p.filter.layer == "word"
               and index.cfg.store_positions
-              and not index.lookup_terms([p.filter.text]).empty
-              and int(index.lookup_terms([p.filter.text])["df"].sum())
-              * 4 >= index.n_docs):
+              and _is_hot_term(index, p.filter.text)):
             # HOT filter term (the collocations df-rule): probe the
             # token arrays of ONLY the producer's docs instead of
             # decoding the hot term's full postings — a CCNot product
@@ -878,14 +883,12 @@ def _field_b_predicate(p: Q.Pattern):
 
 
 def _has_capture(p: Q.Pattern) -> bool:
-    if isinstance(p, Q.Capture):
-        return True
-    for attr in ("clauses",):
-        if hasattr(p, attr):
-            return any(_has_capture(c) for c in getattr(p, attr))
-    if hasattr(p, "clause"):
-        return _has_capture(p.clause)
-    return False
+    """Does any node under ``p`` capture? Must see through EVERY
+    nesting attribute — a CCNot product hides its neighbour (and that
+    neighbour's captures) under PosFilter.producer, and missing it
+    would route a capture-carrying sequence through the match_info-
+    dropping plain joins."""
+    return any(isinstance(n, Q.Capture) for n in _walk(p))
 
 
 def find_pattern(index: InvertedIndex, ast: Q.Pattern) -> DataFrame:

@@ -118,8 +118,14 @@ def guarantees(p: Q.Pattern) -> SpanGuarantees:
             else max(g.len_max for g in gs),
             False)   # clauses may overlap; union keeps duplicates
     if isinstance(p, Q.And):
-        # same-span intersection: output ⊆ each clause's DEDUPED set
-        gs = [guarantees(c) for c in p.clauses]
+        # Same-span intersection: output ⊆ each POSITIVE clause's
+        # deduped set. Negated clauses execute as an exact-span
+        # anti-join (AND(A,!C) → ANDNOT): they can only REMOVE rows,
+        # never bound the output width — intersecting a Not's width-1
+        # bound would wrongly shrink the interval (a width-2 span is
+        # simply never equal to a width-1 complement hit).
+        pos = [c for c in p.clauses if not isinstance(c, Q.Not)]
+        gs = [guarantees(c) for c in (pos or p.clauses)]
         hi: int | None = None
         for g in gs:
             hi = _min_none_inf(hi, g.len_max)

@@ -242,7 +242,10 @@ def _nonempty(p: Pattern) -> Pattern:
     if isinstance(p, AnyToken):
         return AnyToken(1, p.max_len)
     if isinstance(p, LenFilter):
-        return LenFilter(p.clause, max(1, p.min_len), p.max_len)
+        # raising the bound to ≥1 excludes the empty match, so the
+        # clause itself can (and must, for executability) go nonempty
+        return LenFilter(_nonempty(p.clause), max(1, p.min_len),
+                         p.max_len)
     if isinstance(p, Or):
         return Or(*[_nonempty(c) for c in p.clauses])
     if isinstance(p, Capture):
@@ -432,6 +435,12 @@ def _rewrite_once(p: Pattern) -> Pattern:
                     n is None
                     or (g.len_max is not None and g.len_max <= n)):
                 return rest          # bounds subsume: filter is free
+            if m >= 1 and _matches_empty(rest):
+                # width ≥ 1 excludes the empty match anyway, and the
+                # executor cannot run a possibly-empty pattern outside
+                # a sequence (no EmptyClauseAlts lift applies here) —
+                # LENFILTER(A, ≥1) ≡ LENFILTER(nonempty(A), ≥1)
+                rest = _nonempty(rest)
             return LenFilter(rest, m, n)
         if len(flat) == 1:
             return flat[0]

@@ -65,6 +65,60 @@ def test_and_anytoken_must_not_drop_binding_bounds(idx):
     assert got != all_reps  # the filter really removed something
 
 
+def test_and_not_clauses_do_not_shrink_width_bounds(idx):
+    """Review finding: a negated clause in a same-span AND executes
+    as an exact-span anti-join — it must NOT contribute its width-1
+    bound, or a binding []{m,n} filter gets dropped as 'redundant'."""
+    from blacklab_spark.plans.guarantees import guarantees
+    g = guarantees(rewrite(parse('("a" "b") & [word!="x"]')))
+    assert (g.len_min, g.len_max) == (2, 2)
+    # the width-1 filter must BIND (kept as a LenFilter), and the
+    # result is empty: a width-2 phrase can never have width 1
+    got = rewrite(parse('("a" "b") & [word!="x"] & []{1,1}'))
+    assert isinstance(got, Q.LenFilter) and (got.min_len,
+                                             got.max_len) == (1, 1)
+    assert find(idx, '("the" "a") & [word!="x"] & []{1,1}').count() == 0
+
+
+def test_lenfilter_over_possibly_empty_clause_executes(idx,
+                                                       tiny_oracle):
+    """Review finding: LENFILTER(REP(a,0,inf),1,2) must go nonempty
+    (width ≥ 1 excludes the empty match) or the executor rejects it."""
+    got = rewrite(parse('("the"* & []{1,2})'))
+    assert got == Q.LenFilter(Q.Rep(Q.Term("the"), 1, None), 1, 2)
+    rows = rows_of(find(idx, '"a" ("the"* & []{1,2})'))
+    # oracle: 'a' followed by 1-2 consecutive 'the'
+    want = sorted(
+        (d, p, p + 1 + k)
+        for d, toks in toks_of(tiny_oracle).items()
+        for p in range(len(toks))
+        for k in (1, 2)
+        if toks[p] == "a" and p + k < len(toks)
+        and all(t == "the" for t in toks[p + 1:p + 1 + k]))
+    assert rows == want
+
+
+def test_or_mixed_capture_branches_union(idx):
+    """Review finding: OR of a capture-carrying position-filter branch
+    with a plain branch must union (empty map on the plain side)."""
+    df = find(idx, '(x:("the") within <turn/>) | "visa"')
+    assert "match_info" in df.columns
+    n_the = find(idx, '"the"').count()
+    n_visa = find(idx, '"visa"').count()
+    assert df.count() == n_the + n_visa
+
+
+def test_ccnot_capture_in_producer_survives_sequence(idx):
+    """Review finding: the CCNot product hides its neighbour under
+    PosFilter.producer; a following sequence join must still take the
+    capture-preserving path."""
+    df = find(idx, 'x:("good") [word!="the"] "the"')
+    assert "match_info" in df.columns
+    for r in df.collect():
+        assert r["match_info"]["x"]["s"] == r["start"]
+        assert r["match_info"]["x"]["e"] == r["start"] + 1
+
+
 def test_lenfilter_executes_as_row_filter_not_join(idx):
     df = find(idx, '("the" "a" "the") & []{2,2}')
     plan = df._jdf.queryExecution().executedPlan().toString()
