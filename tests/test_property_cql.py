@@ -90,6 +90,8 @@ def _minlen(node) -> int:
         return min(_minlen(k) for k in node[1])
     if t == "pf":
         return 1 if node[3] == "overlap" else _minlen(node[1])
+    if t == "lenand":
+        return max(_minlen(node[1]), node[2])
     return node[2] * _minlen(node[1])  # rep
 
 
@@ -98,6 +100,10 @@ def _gen(rng: random.Random, depth: int):
         return _leaf(rng)
     r = rng.random()
     if r < 0.30:
+        if rng.random() < 0.2:
+            # identical neighbours — the CCRepetition merge shape
+            k = _gen(rng, depth - 1)
+            return ("seq", (k, k))
         return ("seq", tuple(_gen(rng, depth - 1)
                               for _ in range(rng.randint(2, 3))))
     if r < 0.48:
@@ -122,7 +128,7 @@ def _gen(rng: random.Random, depth: int):
             m = rng.randint(1, 2)
             mx = m + rng.randint(0, 2)        # {m,n}
         return ("rep", kid, m, mx)
-    if r < 0.85:
+    if r < 0.82:
         a, b = _gen(rng, depth - 1), _gen(rng, depth - 1)
         if _minlen(a) == 0:
             a = _leaf(rng)
@@ -130,6 +136,15 @@ def _gen(rng: random.Random, depth: int):
             b = _leaf(rng)
         return ("pf", a, b, rng.choice(["within", "containing",
                                         "overlap"]))
+    if r < 0.90:
+        # same-span AND with an all-token clause — the
+        # NGramsToLengthFilter shape (A & []{m,n})
+        inner = _gen(rng, depth - 1)
+        if _minlen(inner) == 0:
+            inner = _leaf(rng)
+        m = rng.randint(1, 3)
+        mx = None if rng.random() < 0.3 else m + rng.randint(0, 2)
+        return ("lenand", inner, m, mx)
     return _leaf(rng)
 
 
@@ -166,20 +181,27 @@ def render(node, parenthesize: bool = False) -> str:
         return "[" + f" {op} ".join(f'{ly}{o}"{v}"'
                                     for ly, v, o in tests) + "]"
     if t == "seq":
-        s = " ".join(render(k, parenthesize=(k[0] in ("or", "pf")))
+        s = " ".join(render(k, parenthesize=(k[0] in ("or", "pf",
+                                                      "lenand")))
                      for k in node[1])
     elif t == "or":
-        s = " | ".join(render(k, parenthesize=(k[0] == "pf"))
+        s = " | ".join(render(k, parenthesize=(k[0] in ("pf",
+                                                        "lenand")))
                        for k in node[1])
     elif t == "pf":
         # both sides fully parenthesized: within/containing bind
         # loosest, so a composite operand would otherwise swallow the
         # rest of the query
         s = (f"({render(node[1])}) {node[3]} ({render(node[2])})")
+    elif t == "lenand":
+        _, inner, m, mx = node
+        rng_s = f"{{{m},}}" if mx is None else f"{{{m},{mx}}}"
+        s = f"({render(inner)}) & []{rng_s}"
     else:  # rep
         kid, m, mx = node[1], node[2], node[3]
         base = render(kid,
-                      parenthesize=kid[0] in ("seq", "or", "rep", "pf"))
+                      parenthesize=kid[0] in ("seq", "or", "rep", "pf",
+                                              "lenand"))
         suf = _SUFFIX.get((m, mx))
         if suf is None:
             suf = f"{{{m},}}" if mx is None else f"{{{m},{mx}}}"
@@ -251,7 +273,7 @@ def _ends(node, toks: list[str], start: int, memo: dict) -> set[int]:
         out = cur
     elif t == "or":
         out = set().union(*(_ends(k, toks, start, memo) for k in node[1]))
-    elif t == "pf":
+    elif t in ("pf", "lenand"):
         out = {e for (s, e) in _spans_node(node, toks, memo) if s == start}
     else:
         # rep: expand count-by-count; no cross-count frontier pruning
@@ -281,6 +303,12 @@ def _spans_node(node, toks: list[str], memo: dict):
     if key in memo:
         return memo[key]
     t = node[0]
+    if t == "lenand":
+        _, inner, m, mx = node
+        out = {(s, e) for (s, e) in _spans_node(inner, toks, memo)
+               if e - s >= m and (mx is None or e - s <= mx)}
+        memo[key] = out
+        return out
     if t == "pf":
         A = _spans_node(node[1], toks, memo)
         B = _spans_node(node[2], toks, memo)
@@ -333,6 +361,10 @@ def _no_liftable_empties(node) -> bool:
         kids = [node.clause]
     elif isinstance(node, Q.Expand):
         kids = [node.clause]
+    elif isinstance(node, Q.LenFilter):
+        kids = [node.clause]
+    elif isinstance(node, Q.PosFilter):
+        kids = [node.producer, node.filter]
     return all(_no_liftable_empties(k) for k in kids)
 
 
