@@ -530,6 +530,8 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             return hits_for_term_ids(index,
                                      [int(t) for t in info["term_id"]])
         return S.or_(*[S.term(index, t) for t in info["term"]])
+    if isinstance(p, Q.NoHits):
+        return S.no_hits(index)
     if isinstance(p, Q.AnyToken):
         return S.any_token(index, p.min_len, p.max_len)
     if isinstance(p, Q.Turn):
@@ -601,6 +603,15 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
             raise ValueError(
                 "possibly-empty pattern at top level is not supported "
                 "(inside a sequence it is rewritten to alternatives)")
+        if _has_capture(p.clause):
+            # the repetition paths (chain window / self-joins /
+            # closure kernel) carry (doc_id, start, end) only; a
+            # capture bound once per repetition turn has no v1
+            # representation — fail loudly rather than dropping
+            # match_info or crashing on a schema mismatch
+            raise ValueError(
+                "captures inside a repetition are not supported: "
+                f"{Q.pattern_str(p)}")
         return S.repetition(_exec(index, p.clause), p.min_rep, p.max_rep,
                             width=Q.static_width(p.clause),
                             clause_unique=_guar(index, p.clause).unique)
@@ -825,6 +836,13 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                 "leaves")
         stats = [_leaf_info(index, c) for c in clauses]
         a = min(range(len(clauses)), key=lambda i: stats[i][0])
+        if stats[a][2] is None:
+            # every leaf is a non-word annotation layer: there is no
+            # postings anchor to seed the verify — same clear error
+            # the normal path avoids by choosing the generic strategy
+            raise ValueError(
+                "_FI1() needs at least one word-layer leaf to anchor "
+                "the forward-index verify")
         return _fiseq(index, clauses, stats, a)
     if isinstance(p, Q.CrossField):
         # source ==> target: the target leaf runs against FIELD B's

@@ -78,6 +78,9 @@ def guarantees(p: Q.Pattern) -> SpanGuarantees:
     probe, dictionary-expansion probe) emit one row per matching
     corpus position, and a single-value annotation position matches a
     term set at most once — so every leaf is duplicate-free."""
+    if isinstance(p, Q.NoHits):
+        # the empty set satisfies every width claim
+        return SpanGuarantees(0, 0, True)
     if isinstance(p, (Q.Term, Q.Regex, Q.Fuzzy)):
         return SpanGuarantees(1, 1, True)
     if isinstance(p, Q.Not):
@@ -161,10 +164,12 @@ def guarantees(p: Q.Pattern) -> SpanGuarantees:
                               g.unique)
     if isinstance(p, Q.Overlap):
         ga, gb = guarantees(p.a), guarantees(p.b)
-        # overlap regions are ≥1 token (strict inequalities) and no
-        # wider than either operand; output is dedup'd
+        # overlap regions are ≥1 token ONLY when both operands are —
+        # a width-0 operand hit (tag edge) strictly inside the other
+        # operand emits a width-0 overlap region; output is dedup'd
+        lo = 1 if ga.len_min >= 1 and gb.len_min >= 1 else 0
         return SpanGuarantees(
-            1, _min_none_inf(ga.len_max, gb.len_max), True)
+            lo, _min_none_inf(ga.len_max, gb.len_max), True)
     if isinstance(p, (Q.Capture, Q.Force)):
         return guarantees(p.clause)
     if isinstance(p, Q.Constrained):

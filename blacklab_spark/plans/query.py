@@ -38,6 +38,13 @@ class Fuzzy(Pattern):         # TextPatternFuzzy  "word"~edits
 
 
 @dataclass(frozen=True)
+class NoHits(Pattern):        # SpanQueryNoHits.java:20
+    """Matches nothing — the rewrite product of impossible shapes
+    (e.g. the non-empty variant of ``A{0,0}``); simplification rules
+    collapse most parents of a NoHits child."""
+
+
+@dataclass(frozen=True)
 class AnyToken(Pattern):      # TextPatternAnyToken  []{min,max}
     min_len: int = 1
     max_len: int | None = 1   # None = unbounded (clamped to doc length)
@@ -391,9 +398,12 @@ def static_width(p: Pattern) -> int | None:
         ws = {static_width(c) for c in p.clauses}
         return ws.pop() if len(ws) == 1 and None not in ws else None
     if isinstance(p, And):
-        # same-span AND: all clauses cover one span, so any clause
-        # with a known width pins the result width
-        ws = {static_width(c) for c in p.clauses} - {None}
+        # same-span AND: any POSITIVE clause with a known width pins
+        # the result width. Negated clauses execute as an exact-span
+        # anti-join (they only remove rows) — counting their width-1
+        # bound would wrongly pin a variable-width AND-NOT.
+        pos = [c for c in p.clauses if not isinstance(c, Not)]
+        ws = {static_width(c) for c in (pos or p.clauses)} - {None}
         return ws.pop() if len(ws) == 1 else None
     if isinstance(p, (Capture, Force)):
         return static_width(p.clause)
@@ -426,6 +436,8 @@ def _b(v: int | None) -> str:
 
 def pattern_str(p: Pattern) -> str:
     """Stable printable form (used by explain())."""
+    if isinstance(p, NoHits):
+        return "NOHITS"
     if isinstance(p, Term):
         return f'"{p.text}"' if p.layer == "word" else \
             f'[{p.layer}="{p.text}"]'

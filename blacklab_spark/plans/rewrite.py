@@ -15,11 +15,12 @@ from __future__ import annotations
 
 import re
 
-from blacklab_spark.plans.guarantees import guarantees
+from blacklab_spark.plans.guarantees import _add, _mul, guarantees
 from blacklab_spark.plans.query import (And, AnyToken, CAnnot, Capture,
                                         CBool, CCmp, Constrained, CrossField,
                                         CStr, Expand, Force, Fuzzy,
-                                        LenFilter, Not, Or, Overlap,
+                                        LenFilter, NoHits, Not, Or,
+                                        Overlap,
                                         Pattern, PosFilter, RCapture, Regex,
                                         RelBranch, RelFunc, RelMatch,
                                         RelMulti, RMatch, Rep, RField,
@@ -28,13 +29,20 @@ from blacklab_spark.plans.query import (And, AnyToken, CAnnot, Capture,
 _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
 
-def _mul(a: int | None, b: int | None) -> int | None:
-    """Bound arithmetic where None = unbounded."""
-    return None if a is None or b is None else a * b
-
-
-def _add(a: int | None, b: int | None) -> int | None:
-    return None if a is None or b is None else a + b
+def _fold_for_layer(value: str, layer: str) -> str:
+    """Desensitize a literal exactly as the layer's stored values were
+    (≙ _compile_constraint.lit and the parser's term folding): @i
+    lowercases + accent-folds, @ci lowercases, @di accent-folds,
+    everything else (word_s, pos, lemma, …) is layer-literal."""
+    from blacklab_spark.tokenizer import (py_fold_diacritics,
+                                          py_fold_insensitive)
+    if layer == "word":
+        return py_fold_insensitive(value)
+    if layer == "word_ci":
+        return value.lower()
+    if layer == "word_di":
+        return py_fold_diacritics(value)
+    return value
 
 
 def _map_children(p: Pattern, fn) -> Pattern:
@@ -122,6 +130,8 @@ def _fold_constrained(p: Constrained) -> Pattern:
     dup: set[str] = set()
 
     def walk(q):
+        """Eligible bindings: captures reachable through pure
+        Seq/Capture nesting (bind exactly once per match)."""
         if isinstance(q, Capture):
             if q.name in caps:
                 dup.add(q.name)
@@ -133,6 +143,29 @@ def _fold_constrained(p: Constrained) -> Pattern:
                 walk(c)
 
     walk(p.clause)
+
+    def walk_all(q, counts: dict):
+        """EVERY capture binding anywhere (Or branches, repetitions,
+        position filters, …) — a label bound outside the eligible
+        Seq/Capture spine does not bind once-per-match and must not
+        fold (round-3 review: a Rep-nested rebinding was invisible)."""
+        if isinstance(q, Capture):
+            counts[q.name] = counts.get(q.name, 0) + 1
+        for c in getattr(q, "clauses", ()):
+            walk_all(c, counts)
+        for br in getattr(q, "branches", ()):   # RelBranch children
+            walk_all(br.target, counts)
+        for attr in ("clause", "producer", "filter", "a", "b",
+                     "source", "target"):
+            v = getattr(q, attr, None)
+            if isinstance(v, Pattern):
+                walk_all(v, counts)
+
+    all_counts: dict[str, int] = {}
+    walk_all(p.clause, all_counts)
+    for name, n in all_counts.items():
+        if n > (1 if name in caps else 0):
+            dup.add(name)
 
     conjs: list = []
 
@@ -166,9 +199,11 @@ def _fold_constrained(p: Constrained) -> Pattern:
                         and tgt.max_len == 1):
                     continue
                 if isinstance(lhs, CStr):
-                    # literal desensitizes per the annot layer — the
-                    # TERM leaf applies the identical fold
-                    text = lhs.value
+                    # literal desensitizes per the annot layer (the
+                    # same fold _compile_constraint.lit applies — the
+                    # @i dictionary/postings are folded, so the TERM
+                    # leaf must carry the folded form)
+                    text = _fold_for_layer(lhs.value, rhs.annot)
                 elif (isinstance(lhs, CAnnot) and lhs.label in caps
                       and lhs.label not in dup
                       and lhs.label not in replaced
@@ -231,25 +266,43 @@ def _nonempty(p: Pattern) -> Pattern:
     """The variant of ``p`` that matches everything ``p`` matches
     EXCEPT the empty sequence (noEmpty() in the reference's
     TextPattern rewrites). Only called on empty-matchable patterns;
-    identity otherwise."""
+    identity otherwise. A pattern that matches ONLY the empty
+    sequence (``A{0,0}``, ``[]{0,0}``) has no non-empty variant —
+    NoHits — which the simplification rules then collapse."""
     if not _matches_empty(p):
         return p
     if isinstance(p, Rep):
+        if p.max_rep == 0:
+            return NoHits()      # A{0,0} matches only the empty seq
         # repetitions of an empty match contribute nothing, so the
         # non-empty variant always needs just one non-empty turn:
         # (a?){2,5} ≡ ε | a{1,5}
-        return Rep(_nonempty(p.clause), 1, p.max_rep)
+        inner = _nonempty(p.clause)
+        if isinstance(inner, NoHits):
+            return NoHits()
+        return Rep(inner, 1, p.max_rep)
     if isinstance(p, AnyToken):
+        if p.max_len == 0:
+            return NoHits()
         return AnyToken(1, p.max_len)
     if isinstance(p, LenFilter):
         # raising the bound to ≥1 excludes the empty match, so the
         # clause itself can (and must, for executability) go nonempty
-        return LenFilter(_nonempty(p.clause), max(1, p.min_len),
-                         p.max_len)
+        inner = _nonempty(p.clause)
+        if isinstance(inner, NoHits):
+            return NoHits()
+        return LenFilter(inner, max(1, p.min_len), p.max_len)
     if isinstance(p, Or):
-        return Or(*[_nonempty(c) for c in p.clauses])
+        branches = [_nonempty(c) for c in p.clauses]
+        kept = [b for b in branches if not isinstance(b, NoHits)]
+        if not kept:
+            return NoHits()
+        return kept[0] if len(kept) == 1 else Or(*kept)
     if isinstance(p, Capture):
-        return Capture(_nonempty(p.clause), p.name)
+        inner = _nonempty(p.clause)
+        if isinstance(inner, NoHits):
+            return NoHits()
+        return Capture(inner, p.name)
     if isinstance(p, Seq):
         # nonempty(A·R) = nonempty(A)·R ∪ nonempty(R)  (A,R both
         # empty-matchable here, else the Seq itself would not be)
@@ -257,7 +310,15 @@ def _nonempty(p: Pattern) -> Pattern:
         if not rest:
             return _nonempty(a)
         r = Seq(*rest)
-        return Or(Seq(_nonempty(a), r), _nonempty(r))
+        a_ne, r_ne = _nonempty(a), _nonempty(r)
+        left = None if isinstance(a_ne, NoHits) else Seq(a_ne, r)
+        if left is None and isinstance(r_ne, NoHits):
+            return NoHits()
+        if left is None:
+            return r_ne
+        if isinstance(r_ne, NoHits):
+            return left
+        return Or(left, r_ne)
     return p
 
 
@@ -275,10 +336,48 @@ def _ccnot_neighbour_ok(b: Pattern) -> bool:
 def _rewrite_once(p: Pattern) -> Pattern:
     p = _map_children(p, _rewrite_once)
 
+    # NoHits collapse (SpanQueryNoHits absorption): a no-match child
+    # annihilates conjunctive parents, disappears from alternations,
+    # and inverts under NOT (complement of nothing = every token).
+    if isinstance(p, Seq) and any(isinstance(c, NoHits)
+                                  for c in p.clauses):
+        return NoHits()
+    if isinstance(p, Or):
+        kept = [c for c in p.clauses if not isinstance(c, NoHits)]
+        if len(kept) < len(p.clauses):
+            if not kept:
+                return NoHits()
+            return kept[0] if len(kept) == 1 else Or(*kept)
+    if isinstance(p, And) and any(isinstance(c, NoHits)
+                                  for c in p.clauses):
+        return NoHits()
+    if isinstance(p, Not) and isinstance(p.clause, NoHits):
+        return AnyToken(1, 1)
+    if isinstance(p, Rep) and isinstance(p.clause, NoHits) \
+            and p.min_rep >= 1:
+        return NoHits()
+    if isinstance(p, (Expand, Capture, Constrained, LenFilter)) \
+            and isinstance(p.clause, NoHits):
+        return NoHits()
+    if isinstance(p, Overlap) and (isinstance(p.a, NoHits)
+                                   or isinstance(p.b, NoHits)):
+        return NoHits()
+    if isinstance(p, PosFilter):
+        if isinstance(p.producer, NoHits):
+            return NoHits()
+        if isinstance(p.filter, NoHits):
+            # nothing to relate to: inverted filters keep everything,
+            # plain ones keep nothing
+            return p.producer if p.invert else NoHits()
+
     # SimplestMatcher: REGEX with no metachars → TERM (query
-    # rewriting.md: "REGEX(appel) → TERM(appel)")
+    # rewriting.md: "REGEX(appel) → TERM(appel)") — keeping the
+    # annotation layer, with the literal folded exactly as that
+    # layer's stored values (non-word layers are layer-literal; the
+    # old unconditional .lower() corrupted pos/word_s values and
+    # skipped the @i accent fold)
     if isinstance(p, Regex) and not _META.search(p.pattern):
-        return Term(p.pattern.lower())
+        return Term(_fold_for_layer(p.pattern, p.layer), p.layer)
 
     # TrivialRep: A{1,1} → A ; REP(ANY) merge: []{a,b}{c,d} → []{ac,bd}
     if isinstance(p, Rep):

@@ -126,6 +126,93 @@ def test_lenfilter_executes_as_row_filter_not_join(idx):
     assert "posexplode" not in plan
 
 
+# ---------------- review-pass fixes (session 20, 2nd pass) --------
+
+def test_fold_constrained_desensitizes_literal(idx):
+    """:: B.word = "GOOD" must fold the literal like the constraint
+    path does — the pinned TERM leaf probes the @i dictionary."""
+    got = rewrite(parse('B:[] :: B.word = "GOOD"'))
+    assert got == Q.Capture(Q.Term("good"), "B")
+    assert find(idx, 'x:[] :: x.word = "GOOD"').count() == \
+        find(idx, '"good"').count() > 0
+
+
+def test_capture_inside_repetition_raises(idx):
+    with pytest.raises(ValueError, match="captures inside a repetition"):
+        find(idx, '(x:("the")){2,2}').count()
+
+
+def test_static_width_ignores_not_clauses():
+    inner = Q.And(Q.Or(Q.Term("a"), Q.Seq(Q.Term("a"), Q.Term("b"))),
+                  Q.Not(Q.Term("c")))
+    assert Q.static_width(inner) is None     # NOT must not pin width 1
+
+
+def test_andnot_variable_width_repetition_identity(idx, tiny_oracle):
+    """A variable-width AND-NOT under repetition must not take the
+    fixed-width chain path (the old static_width counted the Not's
+    width-1 bound)."""
+    cql = '(("the" | "the" "a") & [word!="zzzmissing"]){2,2}'
+    rows = rows_of(find(idx, cql))
+    inner = {}
+    for d, toks in toks_of(tiny_oracle).items():
+        spans = set()
+        for p in range(len(toks)):
+            if toks[p] == "the":
+                spans.add((p, p + 1))
+                if p + 1 < len(toks) and toks[p + 1] == "a":
+                    spans.add((p, p + 2))
+        inner[d] = spans
+    want = sorted((d, s, e2)
+                  for d, spans in inner.items()
+                  for (s, e) in spans for (s2, e2) in spans
+                  if s2 == e)
+    assert rows == want
+
+
+def test_rep_zero_zero_vanishes(idx):
+    """A{0,0} matches only the empty sequence: its non-empty variant
+    is NoHits and the alternative collapses (no impossible Rep(1,0),
+    no descending F.sequence, no IndexError for variable-width A)."""
+    assert rewrite(parse('"a" "the"{0,0} "good"')) == \
+        Q.Seq(Q.Term("a"), Q.Term("good"))
+    a = rows_of(find(idx, '"a" "the"{0,0} "good"'))
+    b = rows_of(find(idx, '"a" "good"'))
+    assert a == b
+    # variable-width clause (the pre-fix IndexError shape)
+    c = rows_of(find(idx, '"a" ("the" | "the" "a"){0,0} "good"'))
+    assert c == b
+
+
+def test_overlap_guarantee_admits_zero_width():
+    from blacklab_spark.plans.guarantees import guarantees
+    g = guarantees(Q.Overlap(Q.Tag("s", adjust="lead"),
+                             Q.AnyToken(1, 3)))
+    assert g.len_min == 0
+    g2 = guarantees(Q.Overlap(Q.AnyToken(1, 2), Q.AnyToken(1, 3)))
+    assert g2.len_min == 1
+
+
+def test_simplest_matcher_keeps_layer_and_folds():
+    assert rewrite(Q.Regex("noun", layer="pos")) == \
+        Q.Term("noun", layer="pos")
+    assert rewrite(Q.Regex("Thé")) == Q.Term("the")
+    assert rewrite(Q.Regex("Foo", layer="word_ci")) == \
+        Q.Term("foo", layer="word_ci")
+
+
+def test_fi1_all_annot_leaves_raises(idx):
+    with pytest.raises(ValueError, match="word-layer leaf"):
+        find(idx, '_FI1([pos="func"] [pos="noun"])').count()
+
+
+def test_fold_constrained_sees_nested_rebinding():
+    """A label rebound inside a repetition must not fold (it does not
+    bind once per match)."""
+    got = rewrite(parse('A:[] (A:"x"){2,2} :: A.word = "the"'))
+    assert isinstance(got, Q.Constrained)
+
+
 # ---------------- CCRepetition ----------------
 
 def test_ccrepetition_shapes():
