@@ -74,6 +74,28 @@ def warm_python_workers(spark, partitions: int) -> None:
      .mapInPandas(noop, "id long").count())
 
 
+def cpu_control(seconds: float = 0.5) -> float:
+    """Single-thread pure-CPU control benchmark: md5 over a fixed
+    1 MiB block for ~``seconds``; returns MiB/s. The box documents
+    multi-minute degraded windows (1.6× on identical code —
+    BASELINE.md); recording this per scaling child makes a poisoned
+    measurement machine-detectable in the artifact itself: a child
+    whose control is far below its pair-mate's ran in a different
+    host window, so its build time is not comparable."""
+    import hashlib
+    blk = b"\xa5" * (1 << 20)
+    # calibrate iterations to ~`seconds` of work
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    h.update(blk)
+    per = max(time.perf_counter() - t0, 1e-6)
+    iters = max(16, int(seconds / per))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        h.update(blk)
+    return round(iters / (time.perf_counter() - t0), 1)
+
+
 def build_once(spark, corpus_path: str, out_dir: str, partitions: int,
                warmup_corpus: str | None = None, reps: int = 3) -> dict:
     """Timed build. If ``warmup_corpus`` is given, an untimed build of
@@ -121,7 +143,10 @@ def main() -> None:
 
     # -- corpora (deterministic; regenerate only if missing) -----------
     n_convs = max(40, int(40000 * sf))
-    scaling_convs = 60000  # sized so parallel work >> fixed job latency
+    # sized so parallel work >> fixed job latency (env override is
+    # for local smoke tests of the protocol only)
+    scaling_convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS",
+                                       "60000"))
     corpus_path = f"{WORK}/corpus_{n_convs}"
     scaling_path = f"{WORK}/corpus_{scaling_convs}"
     warm_path = f"{WORK}/corpus_warm2000"
@@ -283,20 +308,20 @@ def main() -> None:
     if RUN_SCALING:
         spark.stop()
         import subprocess
-        levels = sorted({1, max(1, CPUS // 8), max(4, CPUS // 2)})
         ncpu = os.cpu_count() or 32
-        for cores in levels:
+
+        def run_child(cores: int) -> dict:
+            """One scaling level in a FRESH taskset-pinned subprocess
+            (fresh JVM: no level inherits another's JIT state), with
+            nice-19 busy-loops pinned to the COMPLEMENT cores.
+            Frequency equalization: the box's effective per-core
+            clock depends on how many cores are busy (measured 24%
+            single-thread drop idle→all-busy here); with complement
+            spinners every level measures at the same all-core
+            operating point — also the representative state of a
+            fully loaded cluster node. The spinners never compete
+            for the child's own CPUs."""
             budget = min(2 * cores, ncpu)
-            # Frequency equalization: the box's effective per-core
-            # clock depends on how many cores are busy (measured 24%
-            # single-thread drop idle→all-busy here). Without this, a
-            # local[1] child runs at near-idle turbo while local[16]
-            # runs at all-core clock — a hardware artifact that
-            # deflates the N→4N ratio. Pin nice-19 busy-loops to the
-            # COMPLEMENT cores (never the child's mask) so every
-            # level measures at the same all-core operating point —
-            # which is also the representative state of a fully
-            # loaded cluster node.
             spinners = [
                 subprocess.Popen(
                     ["taskset", "-c", str(c), "nice", "-n", "19",
@@ -307,30 +332,60 @@ def main() -> None:
                    "--scale-child", str(cores), scaling_path, warm_path,
                    f"{WORK}/idx_scale_{cores}", str(CPUS)]
             log(f"scaling local[{cores}] on {budget} cpus "
-                f"(+{ncpu - budget} complement spinners): {' '.join(cmd)}")
+                f"(+{ncpu - budget} complement spinners)")
             try:
                 proc = subprocess.run(cmd, stdout=subprocess.PIPE,
                                       cwd=REPO)
             finally:
                 for p in spinners:
                     p.kill()
-            best = json.loads(proc.stdout.decode().strip().splitlines()[-1])
-            scaling[f"local[{cores}]"] = best
-            log(f"scaling local[{cores}]: {best}")
-        def thr(c):
-            return scaling[f"local[{c}]"]["turns_per_sec"]
-        lo, mid, hi = levels[0], levels[1], levels[2]
-        if mid == 4 * lo:
-            scaling[f"efficiency_{lo}_to_{mid}"] = round(
-                thr(mid) / (4 * thr(lo)), 3)
-        if hi == 4 * mid:
-            scaling[f"efficiency_{mid}_to_{hi}"] = round(
-                thr(hi) / (4 * thr(mid)), 3)
-        # headline N→4N: the lowest pair (no intra-box contention —
-        # closest analog of adding machines)
-        scaling["efficiency_n_to_4n"] = scaling.get(
-            f"efficiency_{lo}_to_{mid}",
-            scaling.get(f"efficiency_{mid}_to_{hi}"))
+            r = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+            log(f"scaling local[{cores}]: {r}")
+            return r
+
+        # N→4N evidence (BASELINE.md criterion): INTERLEAVED pairs
+        # 1,4,1,4,1,4 — one efficiency per adjacent pair, median of
+        # the pairs as the headline. The box has documented
+        # multi-minute degraded windows (1.6× on identical code);
+        # with sequential levels one window straddling a whole level
+        # poisons the single recorded ratio (BENCH_r03 recorded
+        # 0.749 for code that measures 0.92 idle). Interleaving puts
+        # both halves of each ratio in the SAME window, and the
+        # median ignores one poisoned pair entirely. Each child also
+        # records the pure-CPU control so a bad window is visible in
+        # the artifact (control MiB/s far below the pair-mate's).
+        lo, hi4 = 1, 4
+        pair_results: list[tuple[dict, dict]] = []
+        for _ in range(3):
+            r_lo = run_child(lo)
+            r_hi = run_child(hi4)
+            pair_results.append((r_lo, r_hi))
+        pair_effs = [round(h["turns_per_sec"] / (4 * l["turns_per_sec"]), 3)
+                     for l, h in pair_results]
+        scaling[f"local[{lo}]"] = max((l for l, _ in pair_results),
+                                      key=lambda r: r["turns_per_sec"])
+        scaling[f"local[{hi4}]"] = max((h for _, h in pair_results),
+                                       key=lambda r: r["turns_per_sec"])
+        scaling["pair_efficiencies_1_to_4"] = pair_effs
+        scaling["cpu_control_mibs"] = {
+            f"local[{lo}]": [l["cpu_control_mibs"] for l, _ in pair_results],
+            f"local[{hi4}]": [h["cpu_control_mibs"] for _, h in pair_results],
+        }
+        eff = round(statistics.median(pair_effs), 3)
+        scaling["efficiency_1_to_4"] = eff
+        # headline N→4N: the low-occupancy pair — the closest
+        # single-box analog of adding machines (each real node brings
+        # its own memory bus + JVM; at high occupancy this box's
+        # shared memory bus and SMT siblings cap per-slot throughput,
+        # a hardware artifact a multi-node cluster doesn't have —
+        # BASELINE.md documents the pure-CPU control degrading to
+        # ~0.75/core at 32-way occupancy on this host).
+        scaling["efficiency_n_to_4n"] = eff
+        # one local[16] run for the throughput-at-parallelism curve
+        # (informational: 16 slots × 2 threads = all 32 logical CPUs
+        # = SMT-shared physical cores, so per-slot throughput is
+        # structurally capped on this box; not an N→4N criterion).
+        scaling["local[16]"] = run_child(16)
 
     out = {
         "metric": "index-build turns/sec + BM25 top-k latency "
@@ -349,29 +404,26 @@ def main() -> None:
 
 def scale_child(argv: list[str]) -> None:
     """One scaling level, run in its own (taskset-pinned) process:
-    fresh JVM, untimed warm-up build on rep0, best-of-3 timed builds.
-    Prints one JSON line with the best rep."""
+    fresh JVM, untimed warm-up build (JIT tiering), then ONE timed
+    build bracketed by single-thread pure-CPU controls. One rep per
+    child is deliberate — the parent interleaves children (1,4,1,4,…)
+    and takes the median per-pair efficiency, so repetitions live at
+    the pair level where they defend against host windows; the
+    bracketing controls stamp the window's health into the record.
+    Prints one JSON line."""
     cores, scaling_path, warm_path, out_dir, partitions = (
         int(argv[0]), argv[1], argv[2], argv[3], int(argv[4]))
     s = get_spark(f"blacklab-scale-{cores}", cores=cores,
                   shuffle_partitions=partitions)  # same partitioning!
-    best = None
-    for i in range(3):
-        r = build_once(s, scaling_path, out_dir, partitions,
-                       warmup_corpus=warm_path if i == 0 else None,
-                       reps=1)
-        log(f"local[{cores}] rep{i}: {r}")
-        if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
-            best = r
-        # Drop inter-rep garbage before the next timed run: at full
-        # occupancy a 2nd/3rd build in the same JVM has been observed
-        # to degrade several-fold from accumulated old-gen pressure;
-        # best-of-3 shields the metric, the explicit full GC shortens
-        # the wasted wall clock.
-        s.catalog.clearCache()
-        s.sparkContext._jvm.System.gc()
+    c0 = cpu_control()
+    r = build_once(s, scaling_path, out_dir, partitions,
+                   warmup_corpus=warm_path, reps=1)
+    c1 = cpu_control()
+    r["cpu_control_mibs"] = min(c0, c1)
+    r["cpu_control_before_after"] = [c0, c1]
+    log(f"local[{cores}]: {r}")
     s.stop()
-    print(json.dumps(best))
+    print(json.dumps(r))
 
 
 if __name__ == "__main__":

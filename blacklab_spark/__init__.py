@@ -24,4 +24,4 @@ from blacklab_spark.config import BuildConfig, K1, B
 from blacklab_spark.session import get_spark
 
 __all__ = ["BuildConfig", "K1", "B", "get_spark"]
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -59,6 +59,14 @@ def _binary_col(offsets: np.ndarray, data: bytes | np.ndarray,
 # posting shuffle's JVM↔Arrow row pivot alone cost ~480 CPU-s).
 # --------------------------------------------------------------------
 def spimi_arrow_rows(batches):
+    """2-column batches (doc_id, tokens): positions = array index,
+    dl = array length. 4-column batches (doc_id, tokens, positions,
+    dl): EXPLICIT per-entry positions + per-doc dl — the multi-value
+    (posIncr-0) input shape, where one position carries several
+    stacked entries (BuildConfig.synonyms; dl stays the PRIMARY
+    token count so BM25 length normalization ignores stacking).
+    Explicit positions must ascend within each doc (stacked values
+    adjacent), which the JVM-side flatten construction guarantees."""
     for batch in batches:
         doc_ids = batch.column(0).to_numpy(**_ZCF).astype(np.int64)
         tokens = batch.column(1)
@@ -72,9 +80,15 @@ def spimi_arrow_rows(batches):
         vocab = de.dictionary
 
         docs_flat = np.repeat(doc_ids, lens)
-        starts = np.repeat(np.cumsum(lens) - lens, lens)
-        pos_flat = (np.arange(total) - starts).astype(np.int64)
-        dls_flat = np.repeat(lens, lens).astype(np.int32)
+        if batch.num_columns >= 4:
+            pos_flat = batch.column(2).flatten() \
+                .to_numpy(**_ZCF).astype(np.int64)
+            dl_vals = batch.column(3).to_numpy(**_ZCF).astype(np.int64)
+            dls_flat = np.repeat(dl_vals, lens).astype(np.int32)
+        else:
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            pos_flat = (np.arange(total) - starts).astype(np.int64)
+            dls_flat = np.repeat(lens, lens).astype(np.int32)
 
         # build batches arrive doc_id-ascending (assign_doc_ids sorts
         # above its join — plan-asserted in test_build) and positions

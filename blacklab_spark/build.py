@@ -202,9 +202,35 @@ def assign_doc_ids(df: DataFrame, num_partitions: int):
 def _spimi_miniblocks(doc_meta: DataFrame, cfg: BuildConfig) -> DataFrame:
     """Per-partition SPIMI → encoded mini-block rows (Arrow-native,
     see arrow_kernels.spimi_miniblocks). Tokenizes from text when the
-    arrays are not materialized (format v5)."""
+    arrays are not materialized (format v5).
+
+    With ``cfg.synonyms`` the postings input is the FLATTENED
+    multi-value view (reference posIncr-0 stacking,
+    AnnotationWriter.java:233-311): per position, the primary token
+    plus its injected alternatives, with EXPLICIT positions and the
+    primary doc length — all JVM higher-order functions, one extra
+    flat array per doc, no shuffle. Same-position stacked entries
+    stay adjacent, so the kernel's sorted fast path still applies."""
     from blacklab_spark.annotations import with_token_layers
-    return with_token_layers(doc_meta).select("doc_id", "tokens") \
+    dm = with_token_layers(doc_meta)
+    if cfg.synonyms:
+        pairs = []
+        for k, vs in sorted(cfg.synonyms.items()):
+            pairs += [F.lit(k), F.array(*[F.lit(v) for v in vs])]
+        syn = F.create_map(*pairs)
+        ts = F.col("tokens")
+        mv = F.transform(ts, lambda t: F.concat(
+            F.array(t), F.coalesce(syn[t],
+                                   F.array().cast("array<string>"))))
+        flat_tokens = F.flatten(mv)
+        flat_pos = F.flatten(F.transform(
+            mv, lambda vs, i: F.transform(vs, lambda _: i)))
+        return (dm.select(
+            "doc_id", flat_tokens.alias("tokens"),
+            flat_pos.cast("array<int>").alias("positions"),
+            F.size(ts).cast("int").alias("dl"))
+            .mapInArrow(spimi_miniblocks(cfg), MINIBLOCK_SCHEMA))
+    return dm.select("doc_id", "tokens") \
         .mapInArrow(spimi_miniblocks(cfg), MINIBLOCK_SCHEMA)
 
 
@@ -258,6 +284,19 @@ class IndexBuilder:
     def build(self, transcripts: DataFrame, resume: bool = False) -> dict:
         """Run all stages; returns the final manifest."""
         cfg = self.cfg
+        if cfg.synonyms:
+            # stacked word values live in the POSTINGS only; a
+            # positionless/probe-only index would silently drop them
+            if not cfg.store_positions:
+                raise ValueError(
+                    "BuildConfig.synonyms requires store_positions="
+                    "True (stacked values are searchable through the "
+                    "postings; probes see the primary value only)")
+            for k, vs in cfg.synonyms.items():
+                if k in vs:
+                    raise ValueError(
+                        f"synonym list of {k!r} contains the token "
+                        "itself (would double-count its postings)")
         parts = cfg.num_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions"))
         m = self._load_manifest() if resume else {
@@ -334,7 +373,14 @@ class IndexBuilder:
             doc_meta = doc_meta.select(
                 "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                 "n_tokens", *stored, "text",
-                *(["text_raw"] if cfg.tags else []))
+                *(["text_raw"] if cfg.tags else []),
+                # parallel-corpus field b: a GIVEN second token layer
+                # (its own coordinate system) is stored as-is; the
+                # alignment edges land in the _alignments artifact
+                # (stage 1d). Catalyst prunes the column for queries
+                # that never touch field b.
+                *(["tokens_b"] if "tokens_b" in transcripts.columns
+                  else []))
             # with_ids is already range-partitioned by (conv_id, turn_idx)
             # = doc_id order, rows sorted within partitions by the
             # row_number window → files hold disjoint sorted doc_id
@@ -368,6 +414,63 @@ class IndexBuilder:
                     .option("parquet.block.size", 4 * 1024 * 1024) \
                     .parquet(spans_path)
                 self._finish_stage(m, "spans", t0, spans_path, parts)
+
+        # Stage 1c: REAL dependency edges — inputs carrying a
+        # per-token HEAD/DEPREL layer (read_conllu; reference indexes
+        # relations from input, integrated.md:34-119) get a stored
+        # `_relations` edge artifact (doc_id, rel_type, src/tgt span);
+        # operators/relations.doc_relations prefers it over the
+        # synthetic pos-grammar fallback. The input arrays join to
+        # doc_meta's dense ids on the natural key — a narrow
+        # build-time join, never on the query path.
+        if {"tokens_head", "tokens_deprel"} <= set(transcripts.columns):
+            rel_path = os.path.join(self.out, "_relations")
+            if not (resume and os.path.exists(
+                    os.path.join(rel_path, "_SUCCESS"))):
+                t0 = time.time()
+                from blacklab_spark.operators.relations import \
+                    edges_from_head_layer
+                keyed = transcripts.select(
+                    "conv_id", "turn_idx", "tokens_head",
+                    "tokens_deprel")
+                rel_src = doc_meta.select(
+                    "doc_id", "conv_id", "turn_idx") \
+                    .join(keyed, ["conv_id", "turn_idx"])
+                edges_from_head_layer(rel_src).write.mode("overwrite") \
+                    .option("parquet.block.size", 4 * 1024 * 1024) \
+                    .parquet(rel_path)
+                self._finish_stage(m, "relations", t0, rel_path, parts)
+
+        # Stage 1d: REAL alignment edges — parallel-corpus inputs
+        # carrying an `align_pairs` column (array<struct<src,tgt>> of
+        # token-level pairs, the fast_align/eflomal output shape) get
+        # a stored `_alignments` edge artifact;
+        # operators/parallel.alignment_edges prefers it over the
+        # derived 2:1-fusion fallback.
+        if "align_pairs" in transcripts.columns:
+            al_path = os.path.join(self.out, "_alignments")
+            if not (resume and os.path.exists(
+                    os.path.join(al_path, "_SUCCESS"))):
+                t0 = time.time()
+                keyed = transcripts.select("conv_id", "turn_idx",
+                                           "align_pairs")
+                al_src = doc_meta.select(
+                    "doc_id", "conv_id", "turn_idx") \
+                    .join(keyed, ["conv_id", "turn_idx"])
+                (al_src.select(
+                    "doc_id", F.explode("align_pairs").alias("e"))
+                 .select(
+                     "doc_id",
+                     F.col("e.src").cast("int").alias("al_src_start"),
+                     (F.col("e.src") + 1).cast("int")
+                     .alias("al_src_end"),
+                     F.col("e.tgt").cast("int").alias("al_tgt_start"),
+                     (F.col("e.tgt") + 1).cast("int")
+                     .alias("al_tgt_end"))
+                 .write.mode("overwrite")
+                 .option("parquet.block.size", 4 * 1024 * 1024)
+                 .parquet(al_path))
+                self._finish_stage(m, "alignments", t0, al_path, parts)
 
         agg = doc_meta.agg(F.count("*").alias("n"),
                            F.sum("n_tokens").alias("tot")).collect()[0]

@@ -117,6 +117,18 @@ class BuildConfig:
     # artifact (doc_id, tag, start, end, attrs) derived map-side
     # (operators/tags.py). Off by default — plain corpora pay zero.
     tags: bool = False
+    # Word-layer multi-value injection (the reference's position-
+    # increment-0 stacking on the word annotation itself,
+    # AnnotationWriter.java:233-311 — synonym-injection indexing):
+    # map token → extra searchable values stacked at every position
+    # the token occupies. The POSTINGS carry the stacked values (so
+    # `[word="X"]` matches an injected alternative, and df/tf count
+    # stacked occurrences — same as the reference's inverted index);
+    # the forward index keeps the PRIMARY value only (display,
+    # probes, constraint comparisons — the reference's primary-value
+    # payload flag). Query planning pins postings for word leaves
+    # when set. None/empty → zero cost.
+    synonyms: dict | None = None
     # Number of partitions for doc-id assignment / posting shuffle.
     # None → spark.sql.shuffle.partitions.
     num_partitions: int | None = None

@@ -106,6 +106,25 @@ def micro_delete_engine(spark: SparkSession) -> SearchEngine:
     return _ENGINES[key]
 
 
+def synonym_engine(spark: SparkSession) -> SearchEngine:
+    """Micro fixture indexed with word-layer synonym injection
+    (BuildConfig.synonyms — the reference's posIncr-0 stacking on the
+    word annotation, AnnotationWriter.java:233-311): every 'visa'
+    position also indexes 'permit'."""
+    ensure_shipped(spark)
+    key = "__synonyms__"
+    if key not in _ENGINES:
+        out = os.path.join(_idx_root(), "synonyms")
+        pdf = gen_transcripts_pandas("micro", seed=42)
+        cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2,
+                          synonyms={"visa": ["permit"]})
+        build_index(spark, spark.createDataFrame(pdf,
+                                                 schema=TRANSCRIPT_SCHEMA),
+                    out, cfg, resume=True)
+        _ENGINES[key] = SearchEngine.open(spark, out)
+    return _ENGINES[key]
+
+
 def multi_engine(spark: SparkSession) -> SearchEngine:
     """Multilingual fixture engine — the tokenizer-v2 gate corpus."""
     ensure_shipped(spark)
@@ -160,6 +179,45 @@ def conllu_gate_engine(spark: SparkSession) -> SearchEngine:
         cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
         build_index(spark, read_conllu(spark, src_dir), out, cfg,
                     resume=True)
+        _ENGINES[key] = SearchEngine.open(spark, out)
+    return _ENGINES[key]
+
+
+def aligned_gate_engine(spark: SparkSession) -> SearchEngine:
+    """Engine over the explicit-alignment parallel fixture
+    (gen_aligned_rows): pre-tokenized field a, a GIVEN field-b token
+    layer and an align_pairs edge list — the build stores the
+    `_alignments` artifact and operators/parallel rides it instead of
+    the derived 2:1 fusion."""
+    from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                                   StructField, StructType)
+    from blacklab_spark.sources.transcripts import gen_aligned_rows
+    ensure_shipped(spark)
+    key = "__aligned__"
+    if key not in _ENGINES:
+        out = os.path.join(_idx_root(), "aligned")
+        rows = gen_aligned_rows(seed=42)
+        pair = StructType([StructField("src", IntegerType()),
+                           StructField("tgt", IntegerType())])
+        schema = StructType([
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts_off", IntegerType()),
+            StructField("tokens_s", ArrayType(StringType())),
+            StructField("tokens_b", ArrayType(StringType())),
+            StructField("align_pairs", ArrayType(pair)),
+        ])
+        df = spark.createDataFrame(
+            [(r["conv_id"], r["turn_idx"], r["role"], r["text"],
+              r["tool"], r["ts_off"], r["tokens_s"], r["tokens_b"],
+              r["align_pairs"]) for r in rows], schema) \
+            .withColumn("ts", F.timestamp_seconds(
+                F.lit(946684800) + F.col("ts_off"))).drop("ts_off")
+        cfg = BuildConfig(block_size=8, bucket_size=8, num_partitions=2)
+        build_index(spark, df, out, cfg, resume=True)
         _ENGINES[key] = SearchEngine.open(spark, out)
     return _ENGINES[key]
 
@@ -371,6 +429,75 @@ WITH {conllu_cte()}
 SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, CAST(p AS INT) AS start,
        CAST(p + 1 AS INT) AS "end"
 FROM cpos WHERE {layer} = '{value}'
+"""
+
+
+def _conllu_deprel_sql(deprel: str) -> str:
+    """Oracle for the REAL-dependency-edge gate: the independent
+    pure-Python parse of the CoNLL-U fixture's HEAD/DEPREL columns;
+    one row per ``deprel`` edge reported as the full source+target
+    span (the engine's RelMatch '_ -type-> _' span semantics, pinned
+    by the synthetic-corpus relation gates)."""
+    from blacklab_spark.sources.transcripts import (gen_conllu_texts,
+                                                    parse_conllu_texts)
+    toks = parse_conllu_texts(gen_conllu_texts(seed=42))
+    rows = [(t["conv_id"], t["turn_idx"],
+             min(t["head"] - 1, t["p"]), max(t["head"], t["p"] + 1))
+            for t in toks
+            if t["deprel"] == deprel and t["head"] and t["head"] > 0]
+    vals = ",\n  ".join(f"('{c}', {ti}, {s}, {e})"
+                        for c, ti, s, e in sorted(rows))
+    return f"""
+WITH credges(conv_id, turn_idx, start, "end") AS (VALUES
+  {vals})
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(start AS INT) AS start, CAST("end" AS INT) AS "end"
+FROM credges
+"""
+
+
+def _aligned_stored_sql(w1: str, w2: str) -> str:
+    """Oracle for the stored-alignment gate: independent pure-Python
+    projection of phrase hits onto field b through the fixture's
+    EXPLICIT reversal edges (j ↔ n-1-j). A 2-token hit [s, s+2)
+    covers edges s and s+1 → target span [n-2-s, n-s); the derived
+    2:1-fusion fallback would give [s//2, (s+3)//2) instead, so a
+    hash match proves the stored artifact drove the engine."""
+    from blacklab_spark.sources.transcripts import gen_aligned_rows
+    out = []
+    for r in gen_aligned_rows(seed=42):
+        toks, n = r["tokens_s"], len(r["tokens_s"])
+        for s in range(n - 1):
+            if toks[s] == w1 and toks[s + 1] == w2:
+                bs, be = n - 2 - s, n - s
+                bt = " ".join(r["tokens_b"][bs:be])
+                out.append((r["conv_id"], r["turn_idx"], bs, be, bt,
+                            s, s + 2))
+    vals = ",\n  ".join(
+        f"('{c}', {ti}, {bs}, {be}, '{bt}', {a0}, {a1})"
+        for c, ti, bs, be, bt, a0, a1 in sorted(out))
+    return f"""
+WITH aedges(conv_id, turn_idx, start, "end", b_text, a_start, a_end)
+  AS (VALUES
+  {vals})
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(start AS INT) AS start, CAST("end" AS INT) AS "end",
+       b_text, CAST(a_start AS INT) AS a_start,
+       CAST(a_end AS INT) AS a_end
+FROM aedges
+"""
+
+
+def _synonym_injection_sql() -> str:
+    """Oracle for word-layer synonym injection: '[word="permit"]'
+    over the synonym engine must match every position whose PRIMARY
+    token is 'visa' (the injected source) or natively 'permit'."""
+    return f"""
+WITH {micro_cte()}
+SELECT d.conv_id, CAST(d.turn_idx AS INT) AS turn_idx,
+       CAST(t.p AS INT) AS start, CAST(t.p + 1 AS INT) AS "end"
+FROM tpos t JOIN tdocs d USING (doc_id)
+WHERE t.tok = 'visa' OR t.tok = 'permit'
 """
 
 
@@ -857,7 +984,13 @@ def group_subcorpus_sql(term: str) -> str:
     """Oracle for grouped hits with subcorpus sizes: hits of ``term``
     grouped by the language field; each group carries the docs/tokens
     of ALL docs with that language (hits or not) + the relative
-    frequency (BLS grouped-response subcorpusSize semantics)."""
+    frequency (BLS grouped-response subcorpusSize semantics).
+
+    ``rel_freq_e9`` is the frequency scaled by 1e9 and computed with
+    EXACT integer division on both engine and oracle sides — a
+    ``round(count/tokens, 9)`` double is build-dependent at last-ulp
+    boundaries (it cost a green row in round 3 despite identical
+    logic on both sides)."""
     return f"""
 WITH {_DOC_POS},
 sub AS (SELECT d.lang, count(*) AS subcorpus_docs,
@@ -867,7 +1000,8 @@ grp AS (SELECT d.lang, count(*) AS "count"
         FROM pos h JOIN documents d USING (doc_id)
         WHERE h.tok = '{term}' GROUP BY 1)
 SELECT g.lang, g."count", s.subcorpus_docs, s.subcorpus_tokens,
-       round(g."count"::DOUBLE / s.subcorpus_tokens, 9) AS rel_freq
+       CAST((g."count" * 1000000000) // s.subcorpus_tokens AS BIGINT)
+           AS rel_freq_e9
 FROM grp g JOIN sub s USING (lang)
 """
 
@@ -885,6 +1019,101 @@ GROUP BY 1
 # --------------------------------------------------------------------
 # the paired query set
 # --------------------------------------------------------------------
+#: Registry order = driver execution order, and the driver runs a
+#: PREFIX of the registry (r03 executed the first 50 of 120 gates).
+#: This list front-loads one strongest witness per SURVEY §2.A/§2.B
+#: component (r3 VERDICT #7) — §2.A rows 1-29 first, then §2.B's 18
+#: result ops, then one representative each for §2.C build / §2.D
+#: streaming and the LLM-pipeline families; everything not named
+#: keeps its original relative order after these.
+_GATE_PRIORITY = [
+    # §2.A span/query operators (one witness per row)
+    "cql_term_postings",          # 1 term lookup
+    "cql_regex_postings",         # 2 regex
+    "cql_fuzzy_term",             # 2 fuzzy
+    "cql_gap_phrase",             # 3 any-token gaps + 11 expansion
+    "spans_fixed_span",           # 5 fixed span
+    "cql_or_terms",               # 6 OR
+    "cql_and_same_span",          # 7 AND
+    "cql_and_not_span",           # 8 AND-NOT
+    "cql_not_token",              # 9 NOT
+    "phrase_hits",                # 10 sequence
+    "cql_repetition_unbounded",   # 12 repetition
+    "spans_containing_trigram",   # 13 position filters
+    "cql_overlap_keyword",        # 14 overlapping
+    "spans_filter_ngrams",        # 15 filter-n-grams
+    "spans_edge_trailing",        # 16 edge
+    "cql_capture_group",          # 17 capture
+    "cql_constraint_samewords",   # 18 global constraint
+    "cql_constraint_function",    # 18 constraint function registry
+    "bm25_topk_filtered_lang",    # 21 filter by doc set
+    "hits_filter_by_length",      # 22 length filter
+    "cql_force_fiseq",            # 23 forward-index strategy
+    "cql_force_postings",         # 23 (strategy-pinned pair)
+    "tags_spans_all",             # 24 tags
+    "relations_det_target",       # 25 relations
+    "conllu_deprel_relations",    # 25 REAL relation edges
+    "parallel_other_field_hits",  # 26 parallel corpora
+    "parallel_stored_alignment",  # 26 REAL alignment edges
+    "cql_sensitivity_flags",      # 27 default value / settings
+    "bm25_topk_single",           # 28/29 bucketed WAND kernel
+    "bm25_topk_single_exhaustive",  # 29 dual-path pair
+    "bm25_topk_multi",
+    # §2.B result-set operators
+    "hits_window_page2",
+    "hits_sample_deterministic",
+    "sort_hits_property_dsl",
+    "group_hits_by_next_word",
+    "group_hits_subcorpus_lang",  # r3's one red row, now int-exact
+    "term_frequencies_top100",
+    "hit_group_stats",
+    "hits_to_docs",
+    "docs_grouped_by_source",
+    "facets_by_lang",
+    "docs_group_of_groups",
+    "collocations_window5",
+    "collocations_phrase_hits",
+    "kwic_spark_ctx3",
+    "content_store_roundtrip",
+    "luceneql_docs_filter",
+    "contextql_contents_and_meta",
+    # §2.C build / §2.D streaming representatives
+    "conllu_word_folded",
+    "unicode_term_frequencies",
+    "cql_lemma_multivalue",
+    "cql_synonym_injection",
+    "delete_tombstone_visibility",
+    "server_hits_lifecycle",
+    "streaming_delta_topk",
+    "events_sessionize",
+    # LLM-pipeline family representatives
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "dedup_streaming_lsh",
+    "embedding_cosine_topk",
+    "embedding_cosine_topk_ivf",
+    "embedding_near_pairs_lsh",
+    "text_token_stats",
+    "curation_decontaminate",
+    "curation_redact_pii",
+    "curation_mixture_sample",
+    "sequence_chunk_documents",
+    "sequence_pack_greedy",
+    "sequence_shard_corpus",
+    "multimodal_byte_features",
+]
+
+
+def _prioritize(d: dict) -> dict:
+    """Reorder a gate dict: _GATE_PRIORITY names first (in that
+    order), everything else after in its original order."""
+    out = {k: d[k] for k in _GATE_PRIORITY if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def gate_queries() -> dict:
     """name → callable(spark, sf_dir) -> DataFrame (engine side)."""
     def bm25_single(spark, sf_dir):
@@ -926,10 +1155,14 @@ def gate_queries() -> dict:
         grouped by the language field ('role' slot)."""
         eng = docs_engine(spark, sf_dir)
         g = eng.group_hits_subcorpus(eng.term_hits("the"), "field:role")
-        return g.select(F.col("key_0").alias("lang"), F.col("count"),
-                        F.col("subcorpus_docs"),
-                        F.col("subcorpus_tokens"),
-                        F.round("rel_freq", 9).alias("rel_freq"))
+        # exact integer arithmetic, never a double ratio (see
+        # group_subcorpus_sql): count*1e9 DIV tokens is bit-identical
+        # across DuckDB/JVM builds.
+        return g.select(
+            F.col("key_0").alias("lang"), F.col("count"),
+            F.col("subcorpus_docs"), F.col("subcorpus_tokens"),
+            F.expr("CAST((count * 1000000000L) DIV subcorpus_tokens "
+                   "AS BIGINT)").alias("rel_freq_e9"))
 
     def hit_group_stats(spark, sf_dir):
         """Group statistics (HitGroups.java:140-190: largestGroupSize,
@@ -1351,6 +1584,19 @@ def gate_queries() -> dict:
             _orig_doc_id(), F.col("start"), F.col("end"),
             F.col("b_start"), F.col("b_end"))
 
+    def cql_constraint_function(spark, sf_dir):
+        """Registered function call inside a global constraint
+        (MatchFilterFunctionCall / the constraint-function registry,
+        r3 What's-missing #3): ``A:[]{1,2} B:"visa" ::
+        length(A) = length(B)`` keeps only width-1 A spans — every
+        'visa' at p ≥ 1 as [p-1, p+1)."""
+        eng = docs_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index,
+                    'A:[]{1,2} B:"spark" :: length(A) = length(B)')
+        return with_conv(eng, hits.drop("match_info")).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def cql_constraint_samewords(spark, sf_dir):
         """Global constraint ``A:[] B:[] :: A.word = B.word`` —
         adjacent duplicate words (SpanQueryConstrained analog)."""
@@ -1745,6 +1991,43 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select("conv_id", "turn_idx",
                                            "start", "end")
 
+    def cql_synonym_injection(spark, sf_dir):
+        """Word-layer multi-value (synonym injection) — r3
+        What's-missing #4: '[word="permit"]' matches every stacked
+        'visa' position through the postings; the forward index keeps
+        the primary value (oracle checks against the primary token
+        stream)."""
+        eng = synonym_engine(spark)
+        hits = eng.find('"permit"')
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
+    def parallel_stored_alignment(spark, sf_dir):
+        """REAL alignment edges end-to-end (r3 What's-missing #2):
+        the fixture's explicit align_pairs land in the `_alignments`
+        build artifact and other_field_hits projects through the
+        STORED edges (reversal alignment — a shape the derived 2:1
+        fallback cannot produce, so the hash proves the stored
+        path)."""
+        eng = aligned_gate_engine(spark)
+        hits = eng.phrase_hits(["visa", "application"], path="tokens")
+        proj = eng.other_field(hits)
+        return with_conv(eng, proj).select(
+            "conv_id", "turn_idx", "start", "end", "b_text",
+            "a_start", "a_end")
+
+    def conllu_deprel_relations(spark, sf_dir):
+        """REAL dependency edges end-to-end (r3 What's-missing #1):
+        the .conllu fixture's HEAD/DEPREL columns are ingested by
+        read_conllu, stored as the `_relations` build artifact
+        (build stage 1c), and CQL '_ -nsubj-> _' rides
+        doc_relations' stored-artifact path; the oracle re-derives
+        the same edges from an independent pure-Python parse."""
+        eng = conllu_gate_engine(spark)
+        hits = eng.find('_ -nsubj-> _')
+        return with_conv(eng, hits).select("conv_id", "turn_idx",
+                                           "start", "end")
+
     def conllu_word_folded(spark, sf_dir):
         """Pre-tokenized word layer rides the normal postings path
         with the @i fold applied to the GIVEN forms: "café" matches
@@ -1814,7 +2097,7 @@ def gate_queries() -> dict:
                                     _sf.read_naf, "*.naf")
 
     from blacklab_spark.driver_gate_pipeline import pipeline_queries
-    return {
+    return _prioritize({
         **pipeline_queries(),
         "bm25_topk_single": bm25_single,
         "bm25_topk_single_exhaustive": bm25_single_exhaustive,
@@ -1833,6 +2116,7 @@ def gate_queries() -> dict:
         "cql_term_postings": cql_term_postings,
         "cql_regex_postings": cql_regex_postings,
         "cql_bracket_bool": cql_bracket_bool,
+        "cql_constraint_function": cql_constraint_function,
         "cql_constraint_samewords": cql_constraint_samewords,
         "cql_constraint_folded": cql_constraint_folded,
         "cql_constraint_full_grammar": cql_constraint_full_grammar,
@@ -1901,6 +2185,9 @@ def gate_queries() -> dict:
         "cql_tag_sentence_initial": cql_tag_sentence_initial,
         "luceneql_docs_filter": luceneql_docs_filter,
         "contextql_contents_and_meta": contextql_contents_and_meta,
+        "cql_synonym_injection": cql_synonym_injection,
+        "parallel_stored_alignment": parallel_stored_alignment,
+        "conllu_deprel_relations": conllu_deprel_relations,
         "conllu_pos_given": conllu_pos_given,
         "conllu_lemma_given": conllu_lemma_given,
         "conllu_word_folded": conllu_word_folded,
@@ -1911,12 +2198,12 @@ def gate_queries() -> dict:
         "eaf_tokens_parse": eaf_tokens_parse,
         "tcf_tokens_parse": tcf_tokens_parse,
         "naf_tokens_parse": naf_tokens_parse,
-    }
+    })
 
 
 def gate_oracles() -> dict[str, str]:
     from blacklab_spark.driver_gate_pipeline import pipeline_oracles
-    return {
+    return _prioritize({
         **pipeline_oracles(),
         "bm25_topk_single": bm25_docs_sql(["spark"], 10),
         "bm25_topk_single_exhaustive": bm25_docs_sql(["spark"], 10),
@@ -1951,6 +2238,13 @@ WITH {_DOC_POS}
 SELECT a.doc_id, CAST(a.p AS INT) AS start, CAST(a.p + 2 AS INT) AS "end"
 FROM pos a JOIN pos b
   ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.tok = b.tok
+""",
+        # length(A)=length(B) keeps only the width-1 A expansion:
+        # every 'spark' at p>=1 reported as [p-1, p+1)
+        "cql_constraint_function": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p - 1 AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos WHERE tok = 'spark' AND p >= 1
 """,
         "cql_constraint_folded": f"""
 WITH {_DOC_POS}
@@ -2255,6 +2549,10 @@ SELECT d.conv_id, d.turn_idx, CAST(t.p AS INT) AS start,
 FROM tpos t JOIN tdocs d USING (doc_id)
 WHERE t.tok LIKE 'vis%' AND lower(d.role) = 'user'
 """,
+        "cql_synonym_injection": _synonym_injection_sql(),
+        "parallel_stored_alignment": _aligned_stored_sql(
+            "visa", "application"),
+        "conllu_deprel_relations": _conllu_deprel_sql("nsubj"),
         "conllu_pos_given": _conllu_layer_sql("upos", "NOUN"),
         "conllu_lemma_given": _conllu_layer_sql("lemma", "be"),
         "conllu_word_folded": _conllu_layer_sql("word", "cafe"),
@@ -2262,4 +2560,4 @@ WHERE t.tok LIKE 'vis%' AND lower(d.role) = 'user'
         "folia_tokens_parse": _folia_tokens_sql(),
         **{f"{k}_tokens_parse": _token_layers_sql(g, p)
            for k, g, p in _reader_fixtures()},
-    }
+    })

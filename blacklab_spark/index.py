@@ -101,6 +101,49 @@ class InvertedIndex:
         return self._df_cache[key]
 
     @property
+    def doc_relations_stored(self) -> DataFrame | None:
+        """Stored relation-edge artifact ``(doc_id, rel_type,
+        src_start, src_end, tgt_start, tgt_end)`` — real dependency
+        edges ingested at build time from the input's HEAD/DEPREL
+        layer (build stage 'relations'; reference: relations indexed
+        from input per integrated.md:34-119 / DocIndexerConfig
+        relation handling). ``None`` when the index was built without
+        one — operators.relations.doc_relations then falls back to
+        the synthetic pos-grammar derivation. Tombstone-filtered like
+        doc_meta."""
+        if ("relations" not in self.meta.get("stages", {})
+                and not os.path.isdir(os.path.join(self.path,
+                                                   "_relations"))):
+            return None
+        key = ("doc_relations", self._tombstone_listing())
+        if key not in self._df_cache:
+            rel = self.spark.read.parquet(
+                os.path.join(self.path, "_relations"))
+            self._df_cache[key] = self.without_deleted(rel)
+        return self._df_cache[key]
+
+    @property
+    def doc_alignments_stored(self) -> DataFrame | None:
+        """Stored cross-field alignment-edge artifact ``(doc_id,
+        al_src_start, al_src_end, al_tgt_start, al_tgt_end)`` — a
+        real aligner's output (fast_align/eflomal token pairs)
+        ingested at build time from the input's ``align_pairs``
+        column (build stage 'alignments'; reference: alignment
+        relations indexed per SpanQueryOtherFieldHits.java:23).
+        ``None`` when absent — operators.parallel.alignment_edges
+        then falls back to the derived 2:1-fusion alignment."""
+        if ("alignments" not in self.meta.get("stages", {})
+                and not os.path.isdir(os.path.join(self.path,
+                                                   "_alignments"))):
+            return None
+        key = ("doc_alignments", self._tombstone_listing())
+        if key not in self._df_cache:
+            al = self.spark.read.parquet(
+                os.path.join(self.path, "_alignments"))
+            self._df_cache[key] = self.without_deleted(al)
+        return self._df_cache[key]
+
+    @property
     def postings(self) -> DataFrame:
         if "postings" not in self._df_cache:
             self._df_cache["postings"] = self.spark.read.parquet(

@@ -144,7 +144,11 @@ def term_hits_auto(index: InvertedIndex, term: str,
         return term_hits(index, term, doc_filter, sensitivity)
     from blacklab_spark.tokenizer import py_fold_insensitive
     info = index.lookup_terms([py_fold_insensitive(term)])
-    if not info.empty and int(info["df"].sum()) * 4 >= index.n_docs:
+    if (not info.empty and int(info["df"].sum()) * 4 >= index.n_docs
+            and not getattr(index.cfg, "synonyms", None)):
+        # hot-term probe shortcut — but NEVER with word-layer
+        # synonyms: the probe compares primary values only, while
+        # the postings carry the stacked alternatives
         return term_hits(index, term, doc_filter, sensitivity)
     hits = term_hits_via_postings(index, py_fold_insensitive(term))
     if doc_filter is not None:

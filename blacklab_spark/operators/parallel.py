@@ -73,10 +73,24 @@ def _doc_meta_b(dm: DataFrame) -> DataFrame:
 
 def alignment_edges(index: InvertedIndex,
                     dm: DataFrame | None = None) -> DataFrame:
-    """All alignment relations, one row per edge — derived JVM-side
-    (sequence + transform + explode, the doc_relations pattern).
-    Edge j: source [2j, min(2j+2, n)) → target [j, j+1). Pass ``dm``
-    to derive from an already-pruned doc_meta scan."""
+    """All alignment relations, one row per edge.
+
+    Prefers the STORED ``_alignments`` build artifact (a real
+    aligner's edges ingested from the input's ``align_pairs`` column
+    — build stage 'alignments'); the derived 2:1 fusion below is the
+    fallback for corpora without one. Pass ``dm`` to restrict to an
+    already-pruned doc set (semi-join on the stored path, pruned
+    derivation on the fallback).
+
+    Fallback derivation is JVM-side (sequence + transform + explode,
+    the doc_relations pattern). Edge j: source [2j, min(2j+2, n)) →
+    target [j, j+1)."""
+    stored = index.doc_alignments_stored
+    if stored is not None:
+        if dm is not None:
+            stored = stored.join(dm.select("doc_id"), "doc_id",
+                                 "leftsemi")
+        return stored
     dm = index.doc_meta if dm is None else dm
     ts = F.col("tokens")
     n = F.size(ts)

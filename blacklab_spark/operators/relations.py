@@ -64,17 +64,63 @@ def _edge(typ, s0, s1, t0, t1) -> Column:
                     _c(t0).alias("tgt_start"), _c(t1).alias("tgt_end"))
 
 
+def edges_from_head_layer(df: DataFrame) -> DataFrame:
+    """Relation edges from a per-token HEAD/DEPREL layer (the real
+    dependency source — e.g. read_conllu's ``tokens_head`` /
+    ``tokens_deprel`` columns; reference: DocIndexerConfig relation
+    indexing over formats/conll-u.blf.yaml's HEAD/DEPREL mapping,
+    RelationInfo.java:30 source=head span, target=dependent span).
+
+    JVM higher-order functions only (no shuffle, no Python): per doc,
+    positions with a non-null HEAD become one edge each — HEAD=0 is a
+    root edge (no source, indexed at the target like the reference),
+    HEAD=h>0 sources at the 0-based head token [h-1, h). Unspecified
+    ('_' → null) HEADs are skipped."""
+    hd, dp = F.col("tokens_head"), F.col("tokens_deprel")
+    n = F.size(hd)
+    idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    keep = F.filter(idx, lambda i: F.element_at(hd, i + 1).isNotNull())
+
+    def mk(i: Column) -> Column:
+        h = F.element_at(hd, i + 1)
+        return F.struct(
+            F.coalesce(F.element_at(dp, i + 1), F.lit("dep"))
+            .alias("rel_type"),
+            F.when(h > 0, h - 1).cast("int").alias("src_start"),
+            F.when(h > 0, h).cast("int").alias("src_end"),
+            i.cast("int").alias("tgt_start"),
+            (i + 1).cast("int").alias("tgt_end"))
+
+    return (df.select("doc_id",
+                      F.explode(F.transform(keep, mk)).alias("e"))
+            .select("doc_id", *[F.col(f"e.{f}") for f in _EDGE_FIELDS]))
+
+
 def doc_relations(index: InvertedIndex,
                   dm: DataFrame | None = None) -> DataFrame:
-    """All relation edges, one row per edge — derived JVM-side from
-    the pos layer with higher-order array functions (no shuffle, no
-    Python: the per-doc edge array is built inside the projection and
-    exploded).
+    """All relation edges, one row per edge.
 
-    Requires the ``pos`` annotation layer (same materialization check
-    as the executor's layer leaves). Pass ``dm`` (an already-pruned
-    doc_meta scan, e.g. push_hit_docs of an operand's hits) to derive
-    edges only for the anchor docs instead of corpus-wide."""
+    Prefers the STORED ``_relations`` build artifact (real edges
+    ingested from the input's HEAD/DEPREL layer — build stage
+    'relations'); the synthetic pos-grammar derivation below is the
+    fallback for corpora that arrive without a dependency layer.
+    Pass ``dm`` (an already-pruned doc_meta scan, e.g. push_hit_docs
+    of an operand's hits) to restrict edges to the anchor docs
+    instead of corpus-wide — a semi-join doc filter on the stored
+    path, a pruned derivation on the synthetic path.
+
+    The synthetic path is derived JVM-side from the pos layer with
+    higher-order array functions (no shuffle, no Python: the per-doc
+    edge array is built inside the projection and exploded) and
+    requires the ``pos`` annotation layer (same materialization check
+    as the executor's layer leaves)."""
+    stored = index.doc_relations_stored
+    if stored is not None:
+        if dm is not None:
+            stored = stored.join(dm.select("doc_id"), "doc_id",
+                                 "leftsemi")
+        return stored
     dm = index.doc_meta if dm is None else dm
     if "tokens_pos" not in dm.columns:
         raise ValueError(

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F, types as T
 
 from blacklab_spark import codec
@@ -59,26 +59,54 @@ LOCAL_TOPK_SCHEMA = T.StructType([
 WAND_SEED_MIN_POSTINGS = 1_000_000
 
 
-def _seed_threshold(blocks: DataFrame, k: int) -> float:
-    """k-th largest per-BUCKET max_score within a single term → lower
-    bound on the k-th best total score (see module docstring §1).
+# Salt width of the two-level k-th threshold seed: per-term bucket
+# maxima are pre-reduced to a top-k per (term_id, pmod(bucket, S))
+# slice before the per-term k-th is taken, so no single task ever
+# holds more than max(n_buckets/S, S·k) rows for a term. At 10^12
+# docs / 8192-doc buckets a stopword has ~1.2×10^8 buckets; S=4096
+# caps the per-task row count at ~3×10^4 either level.
+WAND_SEED_SALT = 4096
 
+
+def _seed_threshold_frame(blocks: DataFrame, k: int) -> DataFrame:
+    """One-row frame with the seed threshold ``t0`` (collected by
+    :func:`_seed_threshold`; factored out so tests can assert the
+    PLAN — notably that no per-term single-partition window remains).
+
+    k-th largest per-BUCKET max_score within a single term → lower
+    bound on the k-th best total score (see module docstring §1).
     Buckets are doc-disjoint, so k buckets above the bound certify k
     distinct docs scoring ≥ it — a valid (slightly weaker) bound vs
-    the per-block k-th. The pre-aggregation matters for skew: for a
-    stopword at 10^12 turns the per-term window would funnel ~10^9
-    block-metadata rows through ONE window partition; the
-    groupBy(term_id, bucket) max runs with map-side partial
-    aggregation first, shrinking the window input by the
-    blocks-per-bucket factor and keeping it shuffle-balanced."""
+    the per-block k-th.
+
+    Skew shape (r3 What's-wrong #3): a ``Window.partitionBy(term_id)``
+    k-th would funnel ALL of a stopword's bucket maxima through one
+    task (~1.2×10^8 rows at 10^12 docs). Instead: two-level exact
+    k-th — (1) groupBy(term_id, bucket) max with map-side partial
+    aggregation, (2) per (term_id, pmod(bucket, S)) salt slice keep
+    the top-k bucket maxima (any value below a slice's k-th can never
+    be the term's k-th), (3) k-th of the ≤S·k survivors per term,
+    (4) max over terms. Every stage is a groupBy with bounded task
+    input; no window, no single-partition shuffle."""
     per_bucket = (blocks.groupBy("term_id", "bucket")
                   .agg(F.max("max_score").alias("bucket_max")))
-    w = Window.partitionBy("term_id").orderBy(F.desc("bucket_max"))
-    kth = (per_bucket
-           .withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") == k)
-           .agg(F.max("bucket_max").alias("t0"))
-           .collect()[0]["t0"])
+    partial = (per_bucket
+               .groupBy("term_id",
+                        F.pmod("bucket", F.lit(WAND_SEED_SALT))
+                        .alias("salt"))
+               .agg(F.slice(F.sort_array(F.collect_list("bucket_max"),
+                                         asc=False),
+                            1, k).alias("top"))
+               .select("term_id", F.explode("top").alias("bucket_max")))
+    return (partial.groupBy("term_id")
+            .agg(F.try_element_at(
+                F.sort_array(F.collect_list("bucket_max"), asc=False),
+                F.lit(k)).alias("kth"))
+            .agg(F.max("kth").alias("t0")))
+
+
+def _seed_threshold(blocks: DataFrame, k: int) -> float:
+    kth = _seed_threshold_frame(blocks, k).collect()[0]["t0"]
     return float(kth) if kth is not None else 0.0
 
 

@@ -167,7 +167,14 @@ def _seq_choice(index: InvertedIndex, clauses):
     cf_others = sum(s[0] for i, s in enumerate(stats) if i != a)
     factor = _fi_factor()
     if (factor > 0 and cf_anchor * factor < cf_others
-            and df_anchor <= FISEQ_MAX_ANCHOR_DOCS):
+            and df_anchor <= FISEQ_MAX_ANCHOR_DOCS
+            # FiSeq verifies against the forward index, which stores
+            # the PRIMARY word value only — with synonym stacking
+            # (BuildConfig.synonyms) the postings are the sole layer
+            # carrying the injected values, so the planner pins the
+            # postings strategy (reference: NFA matching reads the
+            # forward index's primary values too)
+            and not getattr(index.cfg, "synonyms", None)):
         return ("fiseq", a, stats)
     if all(isinstance(c, Q.Term) and c.layer == "word" for c in clauses):
         return ("phrase",)
@@ -407,6 +414,34 @@ def _constrained_scan(index: InvertedIndex, width: int, caps: dict,
         F.create_map(*entries).alias("match_info"))
 
 
+#: Constraint-function registry — the extension point for NAME(label)
+#: calls inside a global `::` constraint (reference:
+#: matchfilter/MatchFilterFunctionCall.java:20, which hard-codes
+#: start|end; the registry mirrors the query-level extension-function
+#: registry QueryExtensions.java:142 at the constraint level, r3
+#: What's-missing #3). Each entry maps the function name to a
+#: callable (start: Column, end: Column) -> Column over the captured
+#: span's boundaries; the result participates in the one-Catalyst-
+#: predicate compilation like any other operand (whole-stage codegen,
+#: no Python).
+CONSTRAINT_FUNCTIONS: dict = {}
+
+
+def register_constraint_function(name: str, fn) -> None:
+    """Register ``name(label)`` for use inside ``::`` constraints;
+    ``fn(start, end)`` receives the captured span's boundary Columns
+    and returns the value Column."""
+    CONSTRAINT_FUNCTIONS[name] = fn
+
+
+# reference parity: MatchFilterFunctionCall accepts exactly start|end
+register_constraint_function("start", lambda s, e: s)
+register_constraint_function("end", lambda s, e: e)
+# registered extension beyond the reference's built-ins (demonstrates
+# the extension point; width of the captured span in tokens)
+register_constraint_function("length", lambda s, e: e - s)
+
+
 def _compile_constraint(c, layers: set[str],
                         annot_col=None, pos_col=None):
     """MatchFilter AST → ONE Catalyst boolean Column over match_info +
@@ -452,14 +487,17 @@ def _compile_constraint(c, layers: set[str],
                          else S.capture_token(v.label, column=col))
                 return (token, v.annot in MULTI_VALUE_LAYERS, v.annot)
             if isinstance(v, Q.CFunc):
-                if v.fn not in ("start", "end"):
+                fn = CONSTRAINT_FUNCTIONS.get(v.fn)
+                if fn is None:
                     raise ValueError(
                         f"unknown constraint function {v.fn!r} "
-                        "(supported: start, end)")
-                key = "s" if v.fn == "start" else "e"
-                pos = (pos_col(v.label, key) if pos_col is not None
-                       else F.col("match_info")[v.label][key])
-                return (pos, False, None)
+                        f"(registered: "
+                        f"{sorted(CONSTRAINT_FUNCTIONS)})")
+
+                def pos(key, _l=v.label):
+                    return (pos_col(_l, key) if pos_col is not None
+                            else F.col("match_info")[_l][key])
+                return (fn(pos("s"), pos("e")), False, None)
             if isinstance(v, Q.CStr):
                 return (None, False, None)
             raise ValueError(

@@ -181,6 +181,8 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
     form = lambda a: F.element_at(a, 2)            # noqa: E731
     lemma = lambda a: F.try_element_at(a, F.lit(3))  # noqa: E731
     upos = lambda a: F.try_element_at(a, F.lit(4))   # noqa: E731
+    head = lambda a: F.try_element_at(a, F.lit(7))   # noqa: E731
+    deprel = lambda a: F.try_element_at(a, F.lit(8))  # noqa: E731
     misc = lambda a: F.try_element_at(a, F.lit(10))  # noqa: E731
 
     def comment(key: str):
@@ -216,7 +218,21 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
                    F.col("_t"),
                    lambda a: F.coalesce(upos(a), F.lit("_")))
                .alias("tokens_pos"),
-               lemma_vals.alias("tokens_lemma")))
+               lemma_vals.alias("tokens_lemma"),
+               # HEAD (col 7, 1-based token id, 0 = root) + DEPREL
+               # (col 8) — the real dependency layer (reference
+               # formats/conll-u.blf.yaml relation columns; build
+               # stage 'relations' turns these into the stored
+               # _relations edge artifact). '_' / non-numeric HEAD →
+               # null (unspecified, skipped by edge derivation).
+               F.transform(
+                   F.col("_t"),
+                   lambda a: F.nullif(head(a), F.lit("_"))
+                   .try_cast("int")).alias("tokens_head"),
+               F.transform(
+                   F.col("_t"),
+                   lambda a: F.nullif(F.coalesce(deprel(a), F.lit("_")),
+                                      F.lit("_"))).alias("tokens_deprel")))
     return out
 
 

@@ -211,14 +211,35 @@ CONLLU_BANK = [
 ]
 
 
+#: deterministic DEPREL cycle for the fixture's dependency tree
+CONLLU_DEPRELS = ("nsubj", "obj", "det", "amod", "nmod")
+
+
+def _conllu_head_deprel(f: int, s: int, j: int, n: int
+                        ) -> tuple[str, str]:
+    """Deterministic HEAD/DEPREL for content token ``j`` of the
+    (f, s) fixture sentence with ``n`` content tokens: one root at
+    r = (f+s) % n, every other token headed by the root with a
+    cycled deprel; file 3 sentence 2 token 1 has HEAD '_'
+    (unspecified — must be skipped by edge derivation)."""
+    r = (f + s) % n
+    if f == 3 and s == 2 and j == 1 and r != 1:
+        return "_", "_"
+    if j == r:
+        return "0", "root"
+    return str(r + 1), CONLLU_DEPRELS[(f + s + j) % len(CONLLU_DEPRELS)]
+
+
 def gen_conllu_texts(seed: int = 42) -> dict[str, str]:
     """Deterministic CoNLL-U fixture: file name → file content.
     4 files × 3 sentence blocks; tokens drawn from CONLLU_BANK by
     index arithmetic (no RNG — the oracle re-parses the same strings
     in pure Python). Covers: ``# newdoc id`` and the filename
     fallback, speaker/ts comments, SpaceAfter=No, a multiword-token
-    range line and an empty-node line (both must be skipped), and
-    trailing-period punctuation tokens."""
+    range line and an empty-node line (both must be skipped),
+    trailing-period punctuation tokens, and a deterministic HEAD/
+    DEPREL dependency tree (one root per sentence, flat edges to it,
+    one '_' HEAD exercising the unspecified-skip path)."""
     files = {}
     for f in range(4):
         lines = []
@@ -236,12 +257,14 @@ def gen_conllu_texts(seed: int = 42) -> dict[str, str]:
                 lines.append("1-2\tcannot\t_\t_\t_\t_\t_\t_\t_\t_")
             for j, (form, lemma, upos) in enumerate(toks):
                 misc = "SpaceAfter=No" if j == n - 1 else "_"
+                head, deprel = _conllu_head_deprel(f, s, j, n)
                 lines.append(f"{j + 1}\t{form}\t{lemma}\t{upos}\t_\t_"
-                             f"\t0\tdep\t_\t{misc}")
+                             f"\t{head}\t{deprel}\t_\t{misc}")
                 if s == 1 and j == 0:
                     lines.append(f"{j + 1}.1\televen\televen\tNUM"
                                  "\t_\t_\t_\t_\t_\t_")
-            lines.append(f"{n + 1}\t.\t.\tPUNCT\t_\t_\t0\tpunct\t_\t_")
+            lines.append(f"{n + 1}\t.\t.\tPUNCT\t_\t_"
+                         f"\t{(f + s) % n + 1}\tpunct\t_\t_")
             lines.append("")
         files[f"file{f}.conllu"] = "\n".join(lines) + "\n"
     return files
@@ -251,7 +274,8 @@ def parse_conllu_texts(files: dict[str, str]) -> list[dict]:
     """Pure-Python reference parse of gen_conllu_texts output — the
     oracle's independent second implementation of read_conllu's JVM
     higher-order-function parse. Returns one dict per token position:
-    conv_id, turn_idx, p, form, lemma (``_`` → form), upos."""
+    conv_id, turn_idx, p, form, lemma (``_`` → form), upos,
+    head (1-based int, 0 = root, None = unspecified), deprel."""
     import re as _re
     out = []
     for fname, content in sorted(files.items()):
@@ -266,10 +290,50 @@ def parse_conllu_texts(files: dict[str, str]) -> list[dict]:
             for p, r in enumerate(rows):
                 lemma = r[2] if len(r) > 2 and r[2] != "_" else r[1]
                 upos = r[3] if len(r) > 3 else "_"
+                head = (int(r[6]) if len(r) > 6 and r[6].isdigit()
+                        else None)
+                deprel = (r[7] if len(r) > 7 and r[7] != "_" else None)
                 out.append({"conv_id": conv, "turn_idx": turn, "p": p,
-                            "form": r[1], "lemma": lemma, "upos": upos})
+                            "form": r[1], "lemma": lemma, "upos": upos,
+                            "head": head, "deprel": deprel})
             turn += 1
     return out
+
+
+#: token bank for the explicit-alignment parallel fixture
+ALIGNED_BANK = ["the", "visa", "application", "was", "approved",
+                "quickly", "today", "it", "is", "better"]
+
+
+def gen_aligned_rows(seed: int = 42) -> list[dict]:
+    """Deterministic parallel-corpus fixture with an EXPLICIT
+    alignment-edge layer (the stored-artifact path of
+    operators/parallel.py): 3 conversations × 4 turns; field b is the
+    REVERSED source sentence with a ``b_`` marker, aligned by the
+    reversal pairs (j ↔ n-1-j). The reversal is deliberately NOT the
+    derived 2:1 fusion fallback — a gate passing over this fixture
+    proves the stored edges (not the fallback) drove the projection.
+    Pre-tokenized (tokens_s defines the token stream) so the oracle
+    knows exact positions without re-tokenizing. One dict per turn:
+    transcript columns + tokens_s, tokens_b, align_pairs
+    [(src, tgt), ...]."""
+    rows = []
+    for c in range(3):
+        for t in range(4):
+            n = 4 + (c + t) % 3
+            toks = [ALIGNED_BANK[(c * 5 + t * 3 + j + seed)
+                                 % len(ALIGNED_BANK)]
+                    for j in range(n)]
+            tb = [f"b_{toks[n - 1 - j]}" for j in range(n)]
+            rows.append({
+                "conv_id": f"pconv{c:03d}", "turn_idx": t,
+                "role": "user" if t % 2 == 0 else "assistant",
+                "text": " ".join(toks), "tool": None,
+                "ts_off": t,
+                "tokens_s": toks, "tokens_b": tb,
+                "align_pairs": [(j, n - 1 - j) for j in range(n)],
+            })
+    return rows
 
 
 def gen_transcripts_spark(spark: SparkSession, fixture: str = "tiny",

@@ -175,3 +175,54 @@ def test_manifest_lineage(spark, tiny_index_dir):
         assert files and sum(e["rows"] for e in files) == m["stages"][st]["rows"]
     assert m["config"]["k1"] == 1.2 and m["config"]["b"] == 0.75
     assert m["stats"]["n_docs"] == 112  # 41+30+41 turns (FIXTURES.md tiny)
+
+
+def test_synonym_injection_word_multivalue(spark, tiny_pdf, tmp_path):
+    """BuildConfig.synonyms — word-layer posIncr-0 stacking
+    (AnnotationWriter.java:233-311): injected values are searchable
+    through the postings with the source's positions, df/tf count
+    stacked occurrences, the forward index keeps primary values, and
+    the planner pins postings (no FiSeq) for word leaves."""
+    from blacklab_spark.engine import SearchEngine
+    out = str(tmp_path / "syn_idx")
+    df = spark.createDataFrame(tiny_pdf)
+    cfg = BuildConfig(block_size=8, bucket_size=16, num_partitions=2,
+                      synonyms={"visa": ["permit"]})
+    build_index(spark, df, out, cfg)
+    eng = SearchEngine.open(spark, out)
+    visa = sorted((r["doc_id"], r["start"])
+                  for r in eng.find('"visa"').collect())
+    permit = sorted((r["doc_id"], r["start"])
+                    for r in eng.find('"permit"').collect())
+    assert visa and permit == visa
+    # forward index / display stays primary: no 'permit' in tokens
+    toks = eng.index.doc_meta.select(
+        F.explode("tokens").alias("t")).filter(
+        F.col("t") == "permit").count()
+    assert toks == 0
+    # phrase through postings rides the stacked values
+    assert (eng.phrase_hits(["permit", "application"]).count()
+            == eng.phrase_hits(["visa", "application"]).count())
+    # planner pins postings under synonyms (FiSeq verifies against
+    # the primary-value forward index)
+    from blacklab_spark.plans.parser import parse
+    from blacklab_spark.plans.rewrite import rewrite
+    from blacklab_spark.plans.executor import _seq_choice
+    pat = rewrite(parse('"permit" "application"'))
+    choice = _seq_choice(eng.index, list(pat.clauses))
+    assert choice[0] != "fiseq"
+    # BM25 over an injected term is rank-identical to the source term
+    a = [(r["doc_id"],) for r in eng.topk(["permit"], k=5).collect()]
+    b = [(r["doc_id"],) for r in eng.topk(["visa"], k=5).collect()]
+    assert a == b
+
+
+def test_synonym_config_validation(spark, tiny_pdf, tmp_path):
+    df = spark.createDataFrame(tiny_pdf)
+    with pytest.raises(ValueError, match="store_positions"):
+        build_index(spark, df, str(tmp_path / "x1"),
+                    BuildConfig(store_positions=False,
+                                synonyms={"a": ["b"]}))
+    with pytest.raises(ValueError, match="itself"):
+        build_index(spark, df, str(tmp_path / "x2"),
+                    BuildConfig(synonyms={"a": ["a"]}))

@@ -436,6 +436,39 @@ def test_find_constraint_functions_implication(idx, tiny_oracle):
     assert got == sorted(expected) and got
 
 
+def test_constraint_function_registry(idx, tiny_oracle):
+    """The constraint-function extension point (r3 What's-missing
+    #3): length() is a registered extension, unknown names list the
+    registry, and a runtime-registered custom function participates
+    in the one-Catalyst-predicate compilation."""
+    from pyspark.sql import functions as F
+    from blacklab_spark.plans.executor import (CONSTRAINT_FUNCTIONS,
+                                               register_constraint_function)
+    # length(): keeps only the width-1 A expansion
+    got = hits_of(find(idx, 'A:[]{1,2} B:"the" :: '
+                            'length(A) = length(B)'))
+    expected = [(d, p - 1, p + 1)
+                for d, toks in otoks(tiny_oracle).items()
+                for p in range(1, len(toks))
+                if toks[p] == "the"]
+    assert got == sorted(expected) and got
+    # unknown function: error names the registry
+    with pytest.raises(ValueError, match="registered"):
+        find(idx, 'A:[] B:[] :: nosuch(A) = nosuch(B)')
+    # custom registration: same-parity starts (start(A) mod 2 =
+    # start(B) mod 2) vs the start()-based equivalent
+    register_constraint_function(
+        "parity", lambda s, e: F.pmod(s, F.lit(2)))
+    try:
+        a = hits_of(find(idx, 'A:"the" B:[] :: parity(A) = parity(B)'))
+        b = hits_of(find(idx, 'A:"the" B:[] :: start(A) = start(A)'))
+        # parity(A)=parity(B) with B adjacent to A (start B = start A
+        # + 1) is always FALSE; the unconstrained form is all pairs
+        assert a == [] and b
+    finally:
+        del CONSTRAINT_FUNCTIONS["parity"]
+
+
 def test_find_constraint_or_not_parens(idx, tiny_oracle):
     """'|' / '!' / parens: A='the' or (not A=B)."""
     got = hits_of(find(
