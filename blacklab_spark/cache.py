@@ -11,6 +11,14 @@ cache: executor-side persists that outlive a query are exactly the
 failure mode the round-2 repetition cache was criticized for, while
 a ≤k-row list or an int on the driver is bounded by construction.
 
+Eviction is MEMORY-PRESSURE-AWARE like the reference's
+(BlsCacheEntry.java:307-323 "worthiness" considers size; BlsCache
+trims on a memory target, BlsCache.java cacheMaxSizeMegs): besides
+the entry-count LRU cap, a byte budget bounds the total estimated
+size of cached values — a handful of giant result windows can no
+longer pin the driver heap (r3 VERDICT #9). Values larger than the
+whole budget are returned uncached.
+
 Invalidation: every key embeds the index's tombstone listing (the
 only mutable part of an otherwise-immutable index — the same
 fingerprint `InvertedIndex._df_cache` keys on), so a delete changes
@@ -20,18 +28,51 @@ invalidation hook is needed.
 
 from __future__ import annotations
 
+import sys
 from collections import OrderedDict
 from typing import Any, Callable, Hashable
+
+#: default byte budget — generous for ≤k-row lists, small next to a
+#: driver heap (the reference's default cache target is 100 MB)
+DEFAULT_MAX_BYTES = 64 * 1024 * 1024
+
+#: recursion guard for the size estimator: result values are flat
+#: row lists / dicts; anything deeper is estimated shallowly
+_SIZEOF_MAX_DEPTH = 6
+
+
+def estimate_size(value: Any, _depth: int = 0) -> int:
+    """Approximate deep size in bytes of a materialized result value
+    (lists/tuples/Rows/dicts of scalars — the only shapes the engine
+    caches). Not exact accounting, just honest enough that a byte
+    budget means something; shared substructure is counted per
+    reference, which over- rather than under-estimates."""
+    size = sys.getsizeof(value)
+    if _depth >= _SIZEOF_MAX_DEPTH:
+        return size
+    if isinstance(value, dict):
+        for k, v in value.items():
+            size += estimate_size(k, _depth + 1)
+            size += estimate_size(v, _depth + 1)
+    elif isinstance(value, (list, tuple, set, frozenset)):
+        for v in value:
+            size += estimate_size(v, _depth + 1)
+    return size
 
 
 class ResultCache:
     """Thread-unsafe LRU of materialized results (one engine = one
     driver thread; the reference leaves thread-safety to the
-    application for the same reason)."""
+    application for the same reason), bounded by BOTH entry count and
+    total estimated bytes."""
 
-    def __init__(self, maxsize: int = 128):
+    def __init__(self, maxsize: int = 128,
+                 max_bytes: int = DEFAULT_MAX_BYTES):
         self.maxsize = maxsize
+        self.max_bytes = max_bytes
         self._entries: OrderedDict[Hashable, Any] = OrderedDict()
+        self._sizes: dict[Hashable, int] = {}
+        self.total_bytes = 0
         self.hits = 0
         self.misses = 0
         self._bypass = 0
@@ -51,6 +92,10 @@ class ResultCache:
                 self._bypass -= 1
         return _ctx()
 
+    def _evict_lru(self) -> None:
+        key, _ = self._entries.popitem(last=False)
+        self.total_bytes -= self._sizes.pop(key, 0)
+
     def get_or(self, key: Hashable, compute: Callable[[], Any]) -> Any:
         if self.maxsize <= 0 or self._bypass:
             return compute()
@@ -60,16 +105,27 @@ class ResultCache:
             return self._entries[key]
         value = compute()
         self.misses += 1
+        nbytes = estimate_size(value)
+        if nbytes > self.max_bytes:
+            # a single value larger than the whole budget would evict
+            # everything and still not fit — serve it uncached
+            return value
         self._entries[key] = value
-        while len(self._entries) > self.maxsize:
-            self._entries.popitem(last=False)
+        self._sizes[key] = nbytes
+        self.total_bytes += nbytes
+        while (len(self._entries) > self.maxsize
+               or self.total_bytes > self.max_bytes):
+            self._evict_lru()
         return value
 
     def clear(self) -> None:
         """RequestHandlerClearCache analog."""
         self._entries.clear()
+        self._sizes.clear()
+        self.total_bytes = 0
 
     def info(self) -> dict:
         """RequestHandlerCacheInfo analog."""
         return {"entries": len(self._entries), "maxsize": self.maxsize,
+                "bytes": self.total_bytes, "max_bytes": self.max_bytes,
                 "hits": self.hits, "misses": self.misses}

@@ -194,6 +194,26 @@ def _seq_strategy(index: InvertedIndex, clauses) -> DataFrame | None:
 
 
 def _or_merge_term_ids(index: InvertedIndex, clauses) -> list[int] | None:
+    """Memoizing wrapper: planning calls this for the same Or node
+    up to three times per query (_guar, the exec branch, explain()),
+    and each uncached call re-runs the driver-side dictionary
+    expansions (expand_regex/expand_fuzzy scans — r3 ADVICE #2). The
+    memo lives in the index's immutable-dictionary term cache, keyed
+    by the clause tuple; unhashable clause shapes just compute
+    uncached."""
+    cache = index._term_cache
+    try:
+        key = ("or_merge", tuple(clauses))
+        hit = key in cache          # hashes the key — may TypeError
+    except TypeError:
+        return _or_merge_term_ids_uncached(index, clauses)
+    if not hit:
+        cache[key] = _or_merge_term_ids_uncached(index, clauses)
+    return cache[key]
+
+
+def _or_merge_term_ids_uncached(index: InvertedIndex,
+                                clauses) -> list[int] | None:
     """OR of word-layer term-set leaves → ONE postings decode.
 
     When every clause is a word-layer Term/Regex/Fuzzy and their
@@ -458,8 +478,6 @@ def _compile_constraint(c, layers: set[str],
     candidate start index instead."""
     from blacklab_spark.annotations import (ANNOTATION_COLUMNS,
                                             MULTI_VALUE_LAYERS)
-    from blacklab_spark.tokenizer import (py_fold_diacritics,
-                                          py_fold_insensitive)
     if isinstance(c, Q.CBool):
         a = _compile_constraint(c.a, layers, annot_col, pos_col)
         b = _compile_constraint(c.b, layers, annot_col, pos_col)
@@ -506,13 +524,11 @@ def _compile_constraint(c, layers: set[str],
         ls, rs = operand(c.lhs), operand(c.rhs)
 
         def lit(strval: str, other_layer: str | None):
-            if other_layer == "word":
-                return F.lit(py_fold_insensitive(strval))
-            if other_layer == "word_ci":
-                return F.lit(strval.lower())
-            if other_layer == "word_di":
-                return F.lit(py_fold_diacritics(strval))
-            return F.lit(strval)
+            # literal desensitizes like the other operand's layer —
+            # the SHARED fold definition (tokenizer.fold_for_layer,
+            # also the optimizer's literal folding; r3 ADVICE #1)
+            from blacklab_spark.tokenizer import fold_for_layer
+            return F.lit(fold_for_layer(strval, other_layer))
         lcol = ls[0] if ls[0] is not None else lit(c.lhs.value, rs[2])
         rcol = rs[0] if rs[0] is not None else lit(c.rhs.value, ls[2])
         lmulti, rmulti = ls[1], rs[1]

@@ -34,6 +34,7 @@ duplicate-freedom and width bounds for every generated pattern.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 from blacklab_spark.plans import query as Q
 
@@ -72,6 +73,24 @@ def _min_none_inf(a: int | None, b: int | None) -> int | None:
 
 
 def guarantees(p: Q.Pattern) -> SpanGuarantees:
+    """Memoized: rewrite rules query the same subtree repeatedly
+    (the CCNot adjacency scan alone called this once per neighbour
+    pair per pass — quadratic in clause count, r3 ADVICE #3), and
+    Patterns are frozen/hashable, so one LRU entry per distinct
+    subtree makes every repeat O(1). Unhashable shapes (none today)
+    just compute uncached."""
+    try:
+        return _guarantees_cached(p)
+    except TypeError:
+        return _guarantees(p)
+
+
+@lru_cache(maxsize=8192)
+def _guarantees_cached(p: Q.Pattern) -> SpanGuarantees:
+    return _guarantees(p)
+
+
+def _guarantees(p: Q.Pattern) -> SpanGuarantees:
     """Static guarantees for the hits frame ``_exec`` produces for
     ``p``.  Sound under every physical strategy the executor may pick:
     all leaf paths (postings block decode, forward-index posexplode

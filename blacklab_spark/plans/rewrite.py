@@ -31,18 +31,11 @@ _META = re.compile(r"[.*+?^$|\\(){}\[\]]")
 
 def _fold_for_layer(value: str, layer: str) -> str:
     """Desensitize a literal exactly as the layer's stored values were
-    (≙ _compile_constraint.lit and the parser's term folding): @i
-    lowercases + accent-folds, @ci lowercases, @di accent-folds,
-    everything else (word_s, pos, lemma, …) is layer-literal."""
-    from blacklab_spark.tokenizer import (py_fold_diacritics,
-                                          py_fold_insensitive)
-    if layer == "word":
-        return py_fold_insensitive(value)
-    if layer == "word_ci":
-        return value.lower()
-    if layer == "word_di":
-        return py_fold_diacritics(value)
-    return value
+    — delegates to the single shared definition
+    (tokenizer.fold_for_layer, also used by the constraint
+    compiler's literal operands)."""
+    from blacklab_spark.tokenizer import fold_for_layer
+    return fold_for_layer(value, layer)
 
 
 def _map_children(p: Pattern, fn) -> Pattern:

@@ -76,6 +76,24 @@ def py_fold_diacritics(text: str) -> str:
     return text.translate(_PY_FOLD)
 
 
+def fold_for_layer(value: str, layer: str | None) -> str:
+    """Desensitize a literal exactly as ``layer``'s stored values
+    were: @i (word) lowercases + accent-folds, @ci lowercases, @di
+    accent-folds, everything else (word_s, pos, lemma, None, …) is
+    layer-literal. THE single definition — the optimizer's literal
+    folding (plans/rewrite.py) and the constraint compiler's literal
+    operands (plans/executor._compile_constraint) both use it, so a
+    new sensitivity layer or a fold change lands in one place
+    (r3 ADVICE #1)."""
+    if layer == "word":
+        return py_fold_insensitive(value)
+    if layer == "word_ci":
+        return value.lower()
+    if layer == "word_di":
+        return py_fold_diacritics(value)
+    return value
+
+
 def _py_runs(text: str) -> list[str]:
     """Maximal runs of Unicode L/M/N chars — the category-run
     definition of ``[\\p{L}\\p{M}\\p{N}]+`` without regex, identical

@@ -19,8 +19,10 @@ def test_lru_eviction_and_counters():
     c.get_or("c", lambda: 3)                   # evicts "a" (LRU)
     calls = []
     assert c.get_or("a", lambda: calls.append(1) or 4) == 4
-    assert calls and c.info() == {"entries": 2, "maxsize": 2,
-                                  "hits": 1, "misses": 4}
+    info = c.info()
+    assert calls and info["entries"] == 2 and info["maxsize"] == 2
+    assert info["hits"] == 1 and info["misses"] == 4
+    assert 0 < info["bytes"] <= info["max_bytes"]
     c.clear()
     assert c.info()["entries"] == 0
 
@@ -98,3 +100,30 @@ def test_server_usecache_param(tiny_engine):
     assert st == 200 and eng.cache._entries
     assert json.loads(b1)["summary"]["numberOfHits"] == \
         json.loads(b2)["summary"]["numberOfHits"]
+
+
+def test_byte_budget_eviction():
+    """r3 VERDICT #9: the cache evicts on TOTAL ESTIMATED BYTES, not
+    just entry count — giant windows can't pin the driver — and a
+    value bigger than the whole budget is served uncached."""
+    from blacklab_spark.cache import ResultCache, estimate_size
+    big = ["x" * 1000] * 100                      # ~100KB-ish
+    budget = int(estimate_size(big) * 2.5)        # fits two, not three
+    c = ResultCache(maxsize=100, max_bytes=budget)
+    c.get_or("a", lambda: list(big))
+    c.get_or("b", lambda: list(big))
+    c.get_or("c", lambda: list(big))              # must evict "a"
+    assert c.info()["entries"] == 2
+    assert c.total_bytes <= budget
+    calls = []
+    c.get_or("a", lambda: calls.append(1) or 1)   # "a" was evicted
+    assert calls
+    # oversized single value: returned but never stored
+    huge = ["y" * 1000] * 1000
+    assert estimate_size(huge) > budget
+    before = c.info()["entries"]
+    assert c.get_or("huge", lambda: huge) is huge
+    assert c.info()["entries"] == before and "huge" not in c._entries
+    # clear() resets the byte ledger
+    c.clear()
+    assert c.total_bytes == 0 and c.info()["bytes"] == 0
