@@ -259,10 +259,18 @@ class IndexBuilder:
             json.dump(m, f, indent=2, default=str)
         os.replace(tmp, self.manifest_path)
 
-    def _stage_done(self, m: dict, name: str) -> bool:
+    def _stage_done(self, m: dict, name: str,
+                    path: str | None = None) -> bool:
+        """``path`` overrides the artifact dir for stages whose dir
+        name differs from the stage name (the `_`-prefixed span/
+        relation/alignment artifacts) — without it those stages
+        re-ran on every resume because out/<stage>/_SUCCESS never
+        exists."""
         st = m["stages"].get(name)
         return bool(st and st.get("status") == "done"
-                    and os.path.exists(os.path.join(self.out, name, "_SUCCESS")))
+                    and os.path.exists(os.path.join(
+                        path or os.path.join(self.out, name),
+                        "_SUCCESS")))
 
     def _finish_stage(self, m: dict, name: str, t0: float, path: str,
                       partitions: int) -> int:
@@ -406,7 +414,8 @@ class IndexBuilder:
         # tag-leaf scan works like every other artifact.
         if cfg.tags:
             spans_path = os.path.join(self.out, "_spans")
-            if not (resume and self._stage_done(m, "spans")):
+            if not (resume and self._stage_done(m, "spans",
+                                                spans_path)):
                 t0 = time.time()
                 from blacklab_spark.operators.tags import doc_tag_spans
                 sp = doc_tag_spans(doc_meta, "text_raw")
@@ -425,8 +434,8 @@ class IndexBuilder:
         # build-time join, never on the query path.
         if {"tokens_head", "tokens_deprel"} <= set(transcripts.columns):
             rel_path = os.path.join(self.out, "_relations")
-            if not (resume and os.path.exists(
-                    os.path.join(rel_path, "_SUCCESS"))):
+            if not (resume and self._stage_done(m, "relations",
+                                                rel_path)):
                 t0 = time.time()
                 from blacklab_spark.operators.relations import \
                     edges_from_head_layer
@@ -449,8 +458,8 @@ class IndexBuilder:
         # derived 2:1-fusion fallback.
         if "align_pairs" in transcripts.columns:
             al_path = os.path.join(self.out, "_alignments")
-            if not (resume and os.path.exists(
-                    os.path.join(al_path, "_SUCCESS"))):
+            if not (resume and self._stage_done(m, "alignments",
+                                                al_path)):
                 t0 = time.time()
                 keyed = transcripts.select("conv_id", "turn_idx",
                                            "align_pairs")

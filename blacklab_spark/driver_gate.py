@@ -432,19 +432,25 @@ FROM cpos WHERE {layer} = '{value}'
 """
 
 
-def _conllu_deprel_sql(deprel: str) -> str:
-    """Oracle for the REAL-dependency-edge gate: the independent
+def _conllu_deprel_sql(deprel: str, span: str = "full") -> str:
+    """Oracle for the REAL-dependency-edge gates: the independent
     pure-Python parse of the CoNLL-U fixture's HEAD/DEPREL columns;
     one row per ``deprel`` edge reported as the full source+target
     span (the engine's RelMatch '_ -type-> _' span semantics, pinned
-    by the synthetic-corpus relation gates)."""
+    by the synthetic-corpus relation gates), or at the source (head)
+    token for ``span="source"`` (the span-mode adjust)."""
     from blacklab_spark.sources.transcripts import (gen_conllu_texts,
                                                     parse_conllu_texts)
     toks = parse_conllu_texts(gen_conllu_texts(seed=42))
-    rows = [(t["conv_id"], t["turn_idx"],
-             min(t["head"] - 1, t["p"]), max(t["head"], t["p"] + 1))
-            for t in toks
-            if t["deprel"] == deprel and t["head"] and t["head"] > 0]
+    if span == "source":
+        rows = [(t["conv_id"], t["turn_idx"], t["head"] - 1, t["head"])
+                for t in toks
+                if t["deprel"] == deprel and t["head"] and t["head"] > 0]
+    else:
+        rows = [(t["conv_id"], t["turn_idx"],
+                 min(t["head"] - 1, t["p"]), max(t["head"], t["p"] + 1))
+                for t in toks
+                if t["deprel"] == deprel and t["head"] and t["head"] > 0]
     vals = ",\n  ".join(f"('{c}', {ti}, {s}, {e})"
                         for c, ti, s, e in sorted(rows))
     return f"""
@@ -2028,6 +2034,16 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select("conv_id", "turn_idx",
                                            "start", "end")
 
+    def conllu_rel_source_mode(spark, sf_dir):
+        """Typed relations over STORED real edges with a span-mode
+        adjust: obj edges of the CoNLL-U dependency layer reported at
+        the SOURCE (head) span — SpanQueryRelations +
+        SpansRelationSpanAdjust over the `_relations` artifact."""
+        eng = conllu_gate_engine(spark)
+        rels = eng.relations("obj", span_mode="source")
+        return with_conv(eng, rels.select("doc_id", "start", "end")) \
+            .select("conv_id", "turn_idx", "start", "end")
+
     def conllu_word_folded(spark, sf_dir):
         """Pre-tokenized word layer rides the normal postings path
         with the @i fold applied to the GIVEN forms: "café" matches
@@ -2188,6 +2204,7 @@ def gate_queries() -> dict:
         "cql_synonym_injection": cql_synonym_injection,
         "parallel_stored_alignment": parallel_stored_alignment,
         "conllu_deprel_relations": conllu_deprel_relations,
+        "conllu_rel_source_mode": conllu_rel_source_mode,
         "conllu_pos_given": conllu_pos_given,
         "conllu_lemma_given": conllu_lemma_given,
         "conllu_word_folded": conllu_word_folded,
@@ -2553,6 +2570,7 @@ WHERE t.tok LIKE 'vis%' AND lower(d.role) = 'user'
         "parallel_stored_alignment": _aligned_stored_sql(
             "visa", "application"),
         "conllu_deprel_relations": _conllu_deprel_sql("nsubj"),
+        "conllu_rel_source_mode": _conllu_deprel_sql("obj", "source"),
         "conllu_pos_given": _conllu_layer_sql("upos", "NOUN"),
         "conllu_lemma_given": _conllu_layer_sql("lemma", "be"),
         "conllu_word_folded": _conllu_layer_sql("word", "cafe"),

@@ -226,3 +226,56 @@ def test_synonym_config_validation(spark, tiny_pdf, tmp_path):
     with pytest.raises(ValueError, match="itself"):
         build_index(spark, df, str(tmp_path / "x2"),
                     BuildConfig(synonyms={"a": ["a"]}))
+
+
+def test_resume_skips_artifact_stages(spark, tiny_pdf, tmp_path):
+    """Underscore-dir artifact stages (relations/alignments/spans)
+    must SKIP on resume like every other stage — they used to re-run
+    every time because _stage_done probed out/<stage>/ instead of
+    the _-prefixed artifact dir."""
+    from blacklab_spark.sources.transcripts import gen_aligned_rows
+    import pyspark.sql.functions as F2
+    rows = gen_aligned_rows(seed=42)
+    df = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"],
+          r["tokens_s"], r["tokens_b"], r["align_pairs"]) for r in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, tokens_s array<string>, tokens_b array<string>, "
+        "align_pairs array<struct<src:int,tgt:int>>") \
+        .withColumn("ts", F2.timestamp_seconds(F2.lit(946684800)))
+    out = str(tmp_path / "al_idx")
+    cfg = BuildConfig(block_size=8, bucket_size=16, num_partitions=2)
+    m1 = build_index(spark, df, out, cfg)
+    assert m1["stages"]["alignments"]["status"] == "done"
+    m2 = build_index(spark, df, out, cfg, resume=True)
+    # identical stage records → the stage was skipped, not re-run
+    assert m2["stages"]["alignments"] == m1["stages"]["alignments"]
+
+
+def test_synonym_target_collides_with_real_token(spark, tiny_pdf,
+                                                 tmp_path):
+    """Injected value = an existing vocabulary token: its postings
+    must be the UNION of natural and injected positions with merged
+    tf (one group per (term, doc) even when entries interleave), and
+    BM25 df/tf must count both — checked against a pure-Python brute
+    force over the corpus."""
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.tokenizer import py_tokens_insensitive
+    out = str(tmp_path / "syncol_idx")
+    df = spark.createDataFrame(tiny_pdf)
+    cfg = BuildConfig(block_size=8, bucket_size=16, num_partitions=2,
+                      synonyms={"visa": ["the"]})
+    build_index(spark, df, out, cfg)
+    eng = SearchEngine.open(spark, out)
+    got = sorted((r["doc_id"], r["start"])
+                 for r in eng.find('"the"').collect())
+    docs = sorted(tiny_pdf.to_dict("records"),
+                  key=lambda r: (r["conv_id"], r["turn_idx"]))
+    expected = []
+    for did, row in enumerate(docs):
+        for p, t in enumerate(py_tokens_insensitive(row["text"])):
+            if t in ("the", "visa"):
+                expected.append((did, p))
+    assert got == expected and got
+    # tf merged: no duplicate (doc, pos) pairs
+    assert len(set(got)) == len(got)
