@@ -37,6 +37,9 @@ from blacklab_spark.sources.transcripts import gen_transcripts_spark  # noqa: E4
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+# local protocol iteration only: skip the query/pipeline phases and
+# produce just the build + scaling record
+ONLY_SCALING = os.environ.get("SPARK_GRAFT_ONLY_SCALING", "0") == "1"
 WORK = os.environ.get("SPARK_GRAFT_WORK", "/dev/shm/blacklab_bench")
 
 
@@ -94,6 +97,23 @@ def cpu_control(seconds: float = 0.5) -> float:
     for _ in range(iters):
         h.update(blk)
     return round(iters / (time.perf_counter() - t0), 1)
+
+
+def mem_control(mib: int = 256, reps: int = 4) -> float:
+    """Single-thread MEMORY-BANDWIDTH control: sum a ``mib``-MiB
+    float64 array ``reps`` times; returns GB/s traversed. The md5
+    control is L2-resident and measured FLAT through a window where
+    build throughput dropped 22% (r4 run 1) — the box's degraded
+    windows are bandwidth/thermal, so the detector must stream DRAM.
+    Pair validity in the scaling record is gated on THIS number."""
+    import numpy as np
+    a = np.ones((mib * (1 << 20)) // 8, dtype=np.float64)
+    a.sum()                       # touch pages once, untimed
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        a.sum()
+    dt = max(time.perf_counter() - t0, 1e-9)
+    return round(reps * a.nbytes / dt / 1e9, 2)
 
 
 def build_once(spark, corpus_path: str, out_dir: str, partitions: int,
@@ -170,127 +190,127 @@ def main() -> None:
                        warmup_corpus=warm_path)
     queries["build_index"] = build["sec"]
 
-    # -- query latencies ----------------------------------------------
-    eng = SearchEngine.open(spark, f"{WORK}/idx_main")
-    qdefs = {
-        "q01_topk_wand_rare": lambda: eng.topk(["visa"], k=10).collect(),
-        "q02_topk_wand_multi": lambda: eng.topk(
-            ["visa", "application", "good"], k=10).collect(),
-        "q03_topk_exhaustive": lambda: eng.topk(
-            ["visa"], k=10, mode="exhaustive").collect(),
-        "q04_topk_hot_the": lambda: eng.topk(["the"], k=10).collect(),
-        "q05_topk_filtered_role": lambda: eng.topk(
-            ["visa"], k=10, role="assistant").collect(),
-        "q06_phrase_postings": lambda: eng.phrase_hits(
-            ["visa", "application"]).count(),
-        "q07_phrase_tokens": lambda: eng.phrase_hits(
-            ["very", "good"], path="tokens").count(),
-        "q08_collocations": lambda: eng.collocations(
-            "good", window=10).count(),
-        "q09_term_frequencies": lambda: eng.term_frequencies().count(),
-        "q10_group_next_word": lambda: eng.group_hits_by_context_word(
-            eng.term_hits("a"), offset=1).count(),
-        # round-2 plans
-        "q12_cql_term_postings": lambda: eng.find('"visa"').count(),
-        "q13_cql_regex_postings": lambda: eng.find('[word="vis."]').count(),
-        "q14_filtered_wand": lambda: eng.topk(
-            ["visa", "application"], k=10, mode="wand",
-            role="user").collect(),
-        "q15_unbounded_repetition": lambda: eng.find('"the"+').count(),
-        "q16_constraint_samewords": lambda: eng.find(
-            'A:"the" B:[] :: A.word = B.word').count(),
-        # q16 constant-folds to a postings phrase (rewrite
-        # _fold_constrained); q17 is the non-foldable form that
-        # genuinely measures the forward-index constraint join
-        "q17_constraint_fi_join": lambda: eng.find(
-            "A:[] B:[] :: A.word = B.word").count(),
-        # round-3 plans: merged-OR postings decode (disjoint term
-        # sets, one block scan) and the CCNot rewrite (token
-        # complement as expansion + anti position-join)
-        "q18_or_merged_postings": lambda: eng.find(
-            '"visa" | "application" | "good"').count(),
-        "q19_ccnot_sequence": lambda: eng.find(
-            '[word!="the"] "visa"').count(),
-    }
-    for name, fn in qdefs.items():
-        fn()  # warm (JIT, file listing)
-        # 5 reps: the median of 3 is defenceless against one multi-
-        # second machine-level blip covering the whole window (observed
-        # once: q14 5.69s recorded vs 1.3s steady state re-measured)
-        queries[name] = round(median_of(fn, reps=5), 3)
-        log(f"{name}: {queries[name]}s")
+    latency, pipeline = {}, {}
+    if not ONLY_SCALING:
+        # -- query latencies ----------------------------------------------
+        eng = SearchEngine.open(spark, f"{WORK}/idx_main")
+        qdefs = {
+            "q01_topk_wand_rare": lambda: eng.topk(["visa"], k=10).collect(),
+            "q02_topk_wand_multi": lambda: eng.topk(
+                ["visa", "application", "good"], k=10).collect(),
+            "q03_topk_exhaustive": lambda: eng.topk(
+                ["visa"], k=10, mode="exhaustive").collect(),
+            "q04_topk_hot_the": lambda: eng.topk(["the"], k=10).collect(),
+            "q05_topk_filtered_role": lambda: eng.topk(
+                ["visa"], k=10, role="assistant").collect(),
+            "q06_phrase_postings": lambda: eng.phrase_hits(
+                ["visa", "application"]).count(),
+            "q07_phrase_tokens": lambda: eng.phrase_hits(
+                ["very", "good"], path="tokens").count(),
+            "q08_collocations": lambda: eng.collocations(
+                "good", window=10).count(),
+            "q09_term_frequencies": lambda: eng.term_frequencies().count(),
+            "q10_group_next_word": lambda: eng.group_hits_by_context_word(
+                eng.term_hits("a"), offset=1).count(),
+            # round-2 plans
+            "q12_cql_term_postings": lambda: eng.find('"visa"').count(),
+            "q13_cql_regex_postings": lambda: eng.find('[word="vis."]').count(),
+            "q14_filtered_wand": lambda: eng.topk(
+                ["visa", "application"], k=10, mode="wand",
+                role="user").collect(),
+            "q15_unbounded_repetition": lambda: eng.find('"the"+').count(),
+            "q16_constraint_samewords": lambda: eng.find(
+                'A:"the" B:[] :: A.word = B.word').count(),
+            # q16 constant-folds to a postings phrase (rewrite
+            # _fold_constrained); q17 is the non-foldable form that
+            # genuinely measures the forward-index constraint join
+            "q17_constraint_fi_join": lambda: eng.find(
+                "A:[] B:[] :: A.word = B.word").count(),
+            # round-3 plans: merged-OR postings decode (disjoint term
+            # sets, one block scan) and the CCNot rewrite (token
+            # complement as expansion + anti position-join)
+            "q18_or_merged_postings": lambda: eng.find(
+                '"visa" | "application" | "good"').count(),
+            "q19_ccnot_sequence": lambda: eng.find(
+                '[word!="the"] "visa"').count(),
+        }
+        for name, fn in qdefs.items():
+            fn()  # warm (JIT, file listing)
+            # 5 reps: the median of 3 is defenceless against one multi-
+            # second machine-level blip covering the whole window (observed
+            # once: q14 5.69s recorded vs 1.3s steady state re-measured)
+            queries[name] = round(median_of(fn, reps=5), 3)
+            log(f"{name}: {queries[name]}s")
 
-    # p50/p95 for the headline top-k queries (driver north metric
-    # names them explicitly): 9 timed reps each, already warm.
-    latency = {}
-    for name in ("q01_topk_wand_rare", "q02_topk_wand_multi",
-                 "q05_topk_filtered_role"):
-        fn = qdefs[name]
-        times = []
-        for _ in range(9):
-            t0 = time.time()
-            fn()
-            times.append(time.time() - t0)
-        times.sort()
-        latency[name] = {"p50": round(times[4], 3),
-                         "p95": round(times[8], 3)}
-        log(f"{name}: p50={latency[name]['p50']} p95={latency[name]['p95']}")
+        # p50/p95 for the headline top-k queries (driver north metric
+        # names them explicitly): 9 timed reps each, already warm.
+        for name in ("q01_topk_wand_rare", "q02_topk_wand_multi",
+                     "q05_topk_filtered_role"):
+            fn = qdefs[name]
+            times = []
+            for _ in range(9):
+                t0 = time.time()
+                fn()
+                times.append(time.time() - t0)
+            times.sort()
+            latency[name] = {"p50": round(times[4], 3),
+                             "p95": round(times[8], 3)}
+            log(f"{name}: p50={latency[name]['p50']} p95={latency[name]['p95']}")
 
-    # -- documents-table query at SF_DIR ------------------------------
-    from blacklab_spark.driver_gate import docs_engine, fmt_topk_docs
-    t0 = time.time()
-    deng = docs_engine(spark, SF_DIR)
-    queries["docs_index_build_or_open"] = round(time.time() - t0, 3)
-    queries["q11_docs_bm25"] = round(median_of(
-        lambda: fmt_topk_docs(deng.topk(["spark", "vector"], k=10)).collect(),
-        reps=5), 3)
+        # -- documents-table query at SF_DIR ------------------------------
+        from blacklab_spark.driver_gate import docs_engine, fmt_topk_docs
+        t0 = time.time()
+        deng = docs_engine(spark, SF_DIR)
+        queries["docs_index_build_or_open"] = round(time.time() - t0, 3)
+        queries["q11_docs_bm25"] = round(median_of(
+            lambda: fmt_topk_docs(deng.topk(["spark", "vector"], k=10)).collect(),
+            reps=5), 3)
 
-    # -- LLM-pipeline op timings at SF_DIR (documents/embeddings
-    # tables). Reported in their own section — NOT added to
-    # ``queries`` so the core-engine numbers stay comparable across
-    # rounds. Each is the op's end-to-end action (count/collect).
-    from blacklab_spark.functions import chunking as K
-    from blacklab_spark.functions import curation as C
-    from blacklab_spark.functions import dedup as D
-    from blacklab_spark.functions import similarity as Sim
-    from blacklab_spark.functions import textstats as T
-    # The sf parquet files are single row groups → they scan as ONE
-    # task no matter the session's split settings, serializing every
-    # map-side kernel. A production input at this op's design scale
-    # has thousands of splits, so repartition once here to model the
-    # real input parallelism (the ops themselves never repartition —
-    # their plans are shuffle-free on the corpus side by design).
-    docs_df = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
-               .repartition(CPUS).cache())
-    emb_df = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-              .repartition(CPUS).cache())
-    docs_df.count(), emb_df.count()
-    pdefs = {
-        "p01_exact_dedup": lambda: D.exact_dedup(docs_df).count(),
-        "p02_minhash_lsh": lambda: D.minhash_lsh_pairs(
-            docs_df, threshold=0.5).count(),
-        "p03_simhash_blocked": lambda: D.simhash_near_pairs(
-            docs_df, max_hamming=4).count(),
-        "p04_embedding_lsh": lambda: D.embedding_near_pairs_lsh(
-            emb_df, threshold=0.45).count(),
-        "p05_ivf_topk": lambda: Sim.ivf_topk(
-            emb_df, query_id=7, k=10).collect(),
-        "p06_textstats": lambda: T.token_stats(docs_df).count(),
-        "p07_chunk_documents": lambda: K.chunk_documents(
-            docs_df, max_tokens=64, overlap=16).count(),
-        "p08_pack_sequences": lambda: K.pack_sequences(
-            docs_df, cap=256, n_groups=8).count(),
-        "p09_shard_corpus": lambda: K.shard_corpus(
-            docs_df, n_shards=8).count(),
-        "p10_mixture_sample": lambda: C.mixture_sample(
-            docs_df, {"en": 400, "de": 150, "es": 200, "fr": 150,
-                      "zh": 100}, budget_tokens=15_000).count(),
-    }
-    pipeline = {}
-    for name, fn in pdefs.items():
-        fn()  # warm
-        pipeline[name] = round(median_of(fn, reps=3), 3)
-        log(f"{name}: {pipeline[name]}s")
+        # -- LLM-pipeline op timings at SF_DIR (documents/embeddings
+        # tables). Reported in their own section — NOT added to
+        # ``queries`` so the core-engine numbers stay comparable across
+        # rounds. Each is the op's end-to-end action (count/collect).
+        from blacklab_spark.functions import chunking as K
+        from blacklab_spark.functions import curation as C
+        from blacklab_spark.functions import dedup as D
+        from blacklab_spark.functions import similarity as Sim
+        from blacklab_spark.functions import textstats as T
+        # The sf parquet files are single row groups → they scan as ONE
+        # task no matter the session's split settings, serializing every
+        # map-side kernel. A production input at this op's design scale
+        # has thousands of splits, so repartition once here to model the
+        # real input parallelism (the ops themselves never repartition —
+        # their plans are shuffle-free on the corpus side by design).
+        docs_df = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                   .repartition(CPUS).cache())
+        emb_df = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+                  .repartition(CPUS).cache())
+        docs_df.count(), emb_df.count()
+        pdefs = {
+            "p01_exact_dedup": lambda: D.exact_dedup(docs_df).count(),
+            "p02_minhash_lsh": lambda: D.minhash_lsh_pairs(
+                docs_df, threshold=0.5).count(),
+            "p03_simhash_blocked": lambda: D.simhash_near_pairs(
+                docs_df, max_hamming=4).count(),
+            "p04_embedding_lsh": lambda: D.embedding_near_pairs_lsh(
+                emb_df, threshold=0.45).count(),
+            "p05_ivf_topk": lambda: Sim.ivf_topk(
+                emb_df, query_id=7, k=10).collect(),
+            "p06_textstats": lambda: T.token_stats(docs_df).count(),
+            "p07_chunk_documents": lambda: K.chunk_documents(
+                docs_df, max_tokens=64, overlap=16).count(),
+            "p08_pack_sequences": lambda: K.pack_sequences(
+                docs_df, cap=256, n_groups=8).count(),
+            "p09_shard_corpus": lambda: K.shard_corpus(
+                docs_df, n_shards=8).count(),
+            "p10_mixture_sample": lambda: C.mixture_sample(
+                docs_df, {"en": 400, "de": 150, "es": 200, "fr": 150,
+                          "zh": 100}, budget_tokens=15_000).count(),
+        }
+        for name, fn in pdefs.items():
+            fn()  # warm
+            pipeline[name] = round(median_of(fn, reps=3), 3)
+            log(f"{name}: {pipeline[name]}s")
 
     # -- scaling evidence: same job + input at several parallelism
     # levels (N→4N criterion; BASELINE.md). Each level runs in a FRESH
@@ -367,24 +387,45 @@ def main() -> None:
         scaling[f"local[{hi4}]"] = max((h for _, h in pair_results),
                                        key=lambda r: r["turns_per_sec"])
         scaling["pair_efficiencies_1_to_4"] = pair_effs
-        scaling["cpu_control_mibs"] = {
-            f"local[{lo}]": [l["cpu_control_mibs"] for l, _ in pair_results],
-            f"local[{hi4}]": [h["cpu_control_mibs"] for _, h in pair_results],
-        }
+        for ctl in ("cpu_control_mibs", "mem_control_gbs"):
+            scaling[ctl] = {
+                f"local[{lo}]": [l[ctl] for l, _ in pair_results],
+                f"local[{hi4}]": [h[ctl] for _, h in pair_results],
+            }
+        # Pair health: the box's degraded windows are BANDWIDTH
+        # events (md5 stays flat while builds drop 20%+), so a pair
+        # is healthy iff BOTH children's DRAM-stream control reached
+        # ≥90% of the run's best. The rule is pre-declared and
+        # machine-checkable from this artifact alone; a pair with a
+        # starved child measures the window, not the code.
+        mems = [m for l, h in pair_results
+                for m in (l["mem_control_gbs"], h["mem_control_gbs"])]
+        best_mem = max(mems)
+        healths = [round(min(l["mem_control_gbs"],
+                             h["mem_control_gbs"]) / best_mem, 3)
+                   for l, h in pair_results]
+        scaling["pair_healths"] = healths
         eff = round(statistics.median(pair_effs), 3)
         scaling["efficiency_1_to_4"] = eff
+        healthy = [e for e, hl in zip(pair_effs, healths) if hl >= 0.9]
+        if healthy:
+            scaling["efficiency_1_to_4_healthy"] = round(
+                statistics.median(healthy), 3)
         # headline N→4N: the low-occupancy pair — the closest
         # single-box analog of adding machines (each real node brings
         # its own memory bus + JVM; at high occupancy this box's
         # shared memory bus and SMT siblings cap per-slot throughput,
         # a hardware artifact a multi-node cluster doesn't have —
         # BASELINE.md documents the pure-CPU control degrading to
-        # ~0.75/core at 32-way occupancy on this host).
-        scaling["efficiency_n_to_4n"] = eff
+        # ~0.75/core at 32-way occupancy on this host). Median over
+        # healthy pairs when any pair is healthy, else over all.
+        scaling["efficiency_n_to_4n"] = (
+            scaling.get("efficiency_1_to_4_healthy", eff))
         # one local[16] run for the throughput-at-parallelism curve
-        # (informational: 16 slots × 2 threads = all 32 logical CPUs
-        # = SMT-shared physical cores, so per-slot throughput is
-        # structurally capped on this box; not an N→4N criterion).
+        # (informational: 16 slots × 2 threads = all 32 cores — the
+        # box exposes 32 flat cores, no SMT — so this level runs at
+        # full occupancy against the shared memory bus; not an N→4N
+        # criterion).
         scaling["local[16]"] = run_child(16)
 
     out = {
@@ -415,12 +456,14 @@ def scale_child(argv: list[str]) -> None:
         int(argv[0]), argv[1], argv[2], argv[3], int(argv[4]))
     s = get_spark(f"blacklab-scale-{cores}", cores=cores,
                   shuffle_partitions=partitions)  # same partitioning!
-    c0 = cpu_control()
+    c0, m0 = cpu_control(), mem_control()
     r = build_once(s, scaling_path, out_dir, partitions,
                    warmup_corpus=warm_path, reps=1)
-    c1 = cpu_control()
+    c1, m1 = cpu_control(), mem_control()
     r["cpu_control_mibs"] = min(c0, c1)
     r["cpu_control_before_after"] = [c0, c1]
+    r["mem_control_gbs"] = min(m0, m1)
+    r["mem_control_before_after"] = [m0, m1]
     log(f"local[{cores}]: {r}")
     s.stop()
     print(json.dumps(r))

@@ -181,15 +181,8 @@ def _word_pattern_sens(text: str, layer: str,
         return _word_pattern(text)
     if not literal and _META.search(text):
         return Regex(text, layer)
-    if layer == "word":
-        from blacklab_spark.tokenizer import py_fold_insensitive
-        text = py_fold_insensitive(text)
-    elif layer == "word_ci":
-        text = text.lower()
-    elif layer == "word_di":
-        from blacklab_spark.tokenizer import py_fold_diacritics
-        text = py_fold_diacritics(text)
-    return Term(text, layer)
+    from blacklab_spark.tokenizer import fold_for_layer
+    return Term(fold_for_layer(text, layer), layer)
 
 
 _TAG_ATTR = re.compile(
