@@ -376,7 +376,22 @@ def main() -> None:
         # the artifact (control MiB/s far below the pair-mate's).
         lo, hi4 = 1, 4
         pair_results: list[tuple[dict, dict]] = []
-        for _ in range(3):
+
+        def _any_healthy() -> bool:
+            # provisional health check against best-so-far bandwidth
+            ms = [m for l, h in pair_results
+                  for m in (l["mem_control_gbs"], h["mem_control_gbs"])]
+            best = max(ms)
+            return any(min(l["mem_control_gbs"],
+                           h["mem_control_gbs"]) >= 0.9 * best
+                       for l, h in pair_results)
+
+        # 3 pairs minimum; when NONE is healthy (whole run inside a
+        # degraded bandwidth window) spend up to 2 extra pairs — the
+        # windows last minutes, so later pairs often catch the
+        # recovery (run 3 of the r4 session did exactly that).
+        while len(pair_results) < 3 or (
+                len(pair_results) < 5 and not _any_healthy()):
             r_lo = run_child(lo)
             r_hi = run_child(hi4)
             pair_results.append((r_lo, r_hi))
