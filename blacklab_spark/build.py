@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -199,6 +200,33 @@ def assign_doc_ids(df: DataFrame, num_partitions: int):
     return out, stats
 
 
+def normalized_synonyms(synonyms: dict) -> dict:
+    """Fold a BuildConfig.synonyms map into the @i layer's value
+    space (fold∘lower — the layer the injection matches and stores
+    against): raw keys like "Visa" would silently never match the
+    folded `tokens` column, and raw values like "Permit" would be
+    stored unsearchable since query literals fold too. Values are
+    deduped after folding (duplicates would double-count postings);
+    a value folding onto its own key raises (same double-count the
+    identity check exists for)."""
+    from blacklab_spark.tokenizer import py_fold_insensitive as fold
+    out: dict[str, list[str]] = {}
+    for k, vs in synonyms.items():
+        fk = fold(k)
+        fvs = sorted({fold(v) for v in vs})
+        if fk in fvs:
+            raise ValueError(
+                f"synonym list of {k!r} contains the token itself "
+                f"(after @i folding: {fk!r}) — would double-count "
+                "its postings")
+        if fk in out:
+            raise ValueError(
+                f"synonym keys {k!r} and a previous key fold to the "
+                f"same @i term {fk!r}; merge their lists")
+        out[fk] = fvs
+    return out
+
+
 def _spimi_miniblocks(doc_meta: DataFrame, cfg: BuildConfig) -> DataFrame:
     """Per-partition SPIMI → encoded mini-block rows (Arrow-native,
     see arrow_kernels.spimi_miniblocks). Tokenizes from text when the
@@ -215,7 +243,7 @@ def _spimi_miniblocks(doc_meta: DataFrame, cfg: BuildConfig) -> DataFrame:
     dm = with_token_layers(doc_meta)
     if cfg.synonyms:
         pairs = []
-        for k, vs in sorted(cfg.synonyms.items()):
+        for k, vs in sorted(normalized_synonyms(cfg.synonyms).items()):
             pairs += [F.lit(k), F.array(*[F.lit(v) for v in vs])]
         syn = F.create_map(*pairs)
         ts = F.col("tokens")
@@ -272,6 +300,18 @@ class IndexBuilder:
                         path or os.path.join(self.out, name),
                         "_SUCCESS")))
 
+    def _drop_stage(self, m: dict, name: str, path: str) -> None:
+        """Remove a stale optional-stage artifact (dir + manifest
+        entry): a rebuild whose input lacks the layer must not leave
+        a previous corpus's edges on disk where a dir-existence
+        check could serve them against the new doc ids."""
+        changed = m["stages"].pop(name, None) is not None
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+            changed = True
+        if changed:
+            self._save_manifest(m)
+
     def _finish_stage(self, m: dict, name: str, t0: float, path: str,
                       partitions: int) -> int:
         dur = time.time() - t0
@@ -300,11 +340,7 @@ class IndexBuilder:
                     "BuildConfig.synonyms requires store_positions="
                     "True (stacked values are searchable through the "
                     "postings; probes see the primary value only)")
-            for k, vs in cfg.synonyms.items():
-                if k in vs:
-                    raise ValueError(
-                        f"synonym list of {k!r} contains the token "
-                        "itself (would double-count its postings)")
+            normalized_synonyms(cfg.synonyms)  # raises on identity
         parts = cfg.num_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions"))
         m = self._load_manifest() if resume else {
@@ -432,8 +468,16 @@ class IndexBuilder:
         # synthetic pos-grammar fallback. The input arrays join to
         # doc_meta's dense ids on the natural key — a narrow
         # build-time join, never on the query path.
-        if {"tokens_head", "tokens_deprel"} <= set(transcripts.columns):
-            rel_path = os.path.join(self.out, "_relations")
+        rel_path = os.path.join(self.out, "_relations")
+        if not {"tokens_head",
+                "tokens_deprel"} <= set(transcripts.columns):
+            # input has no dependency layer: a LEFTOVER artifact from
+            # a previous build of a different corpus into this dir
+            # would otherwise be served against the new doc ids
+            # (doc_relations_stored is manifest-gated, but keep the
+            # on-disk state consistent too)
+            self._drop_stage(m, "relations", rel_path)
+        else:
             if not (resume and self._stage_done(m, "relations",
                                                 rel_path)):
                 t0 = time.time()
@@ -456,8 +500,10 @@ class IndexBuilder:
         # a stored `_alignments` edge artifact;
         # operators/parallel.alignment_edges prefers it over the
         # derived 2:1-fusion fallback.
-        if "align_pairs" in transcripts.columns:
-            al_path = os.path.join(self.out, "_alignments")
+        al_path = os.path.join(self.out, "_alignments")
+        if "align_pairs" not in transcripts.columns:
+            self._drop_stage(m, "alignments", al_path)
+        else:
             if not (resume and self._stage_done(m, "alignments",
                                                 al_path)):
                 t0 = time.time()

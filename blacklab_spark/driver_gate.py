@@ -1593,9 +1593,9 @@ def gate_queries() -> dict:
     def cql_constraint_function(spark, sf_dir):
         """Registered function call inside a global constraint
         (MatchFilterFunctionCall / the constraint-function registry,
-        r3 What's-missing #3): ``A:[]{1,2} B:"visa" ::
+        r3 What's-missing #3): ``A:[]{1,2} B:"spark" ::
         length(A) = length(B)`` keeps only width-1 A spans — every
-        'visa' at p ≥ 1 as [p-1, p+1)."""
+        'spark' at p ≥ 1 as [p-1, p+1)."""
         eng = docs_engine(spark, sf_dir)
         from blacklab_spark.plans.executor import find
         hits = find(eng.index,

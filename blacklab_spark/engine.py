@@ -125,8 +125,12 @@ class SearchEngine:
              role=None, tool=None, conv_id=None, where=None,
              filter=None) -> DataFrame:
         terms = self._terms(query)
-        key = self._cache_key("topk", tuple(terms), k, mode,
+        # one key computation (the tombstone listing is a filesystem
+        # listing — don't do it twice per call on the serving path):
+        # the result-cache key equals the plan key when caching is on
+        pkey = self._plan_key("topk", tuple(terms), k, mode,
                               role, tool, conv_id, where, filter)
+        key = pkey if self.cache.maxsize > 0 else None
 
         def build() -> DataFrame:
             filt = self._doc_filter(role, tool, conv_id, where, filter)
@@ -152,8 +156,6 @@ class SearchEngine:
             return topk_exhaustive(self.index, terms, k,
                                    doc_filter=filt)
 
-        pkey = self._plan_key("topk", tuple(terms), k, mode,
-                              role, tool, conv_id, where, filter)
         plan = (build() if pkey is None
                 else self._plan_cache.get_or(pkey, build))
         if key is None:

@@ -100,6 +100,27 @@ class InvertedIndex:
             self._df_cache[key] = self.without_deleted(sp)
         return self._df_cache[key]
 
+    def _stored_artifact(self, stage: str, dirname: str
+                         ) -> DataFrame | None:
+        """Optional build-stage artifact accessor: served ONLY when
+        the MANIFEST records the stage AND the directory exists. The
+        manifest is authoritative — a leftover directory from a
+        previous build of a different corpus into the same path must
+        not be served against the new doc ids (the builder also
+        removes such leftovers, _drop_stage), and a recorded stage
+        whose dir was deleted degrades to the derived fallback
+        instead of raising at query time. Tombstone-filtered like
+        doc_meta."""
+        p = os.path.join(self.path, dirname)
+        if stage not in self.meta.get("stages", {}) \
+                or not os.path.isdir(p):
+            return None
+        key = (dirname, self._tombstone_listing())
+        if key not in self._df_cache:
+            self._df_cache[key] = self.without_deleted(
+                self.spark.read.parquet(p))
+        return self._df_cache[key]
+
     @property
     def doc_relations_stored(self) -> DataFrame | None:
         """Stored relation-edge artifact ``(doc_id, rel_type,
@@ -109,18 +130,8 @@ class InvertedIndex:
         from input per integrated.md:34-119 / DocIndexerConfig
         relation handling). ``None`` when the index was built without
         one — operators.relations.doc_relations then falls back to
-        the synthetic pos-grammar derivation. Tombstone-filtered like
-        doc_meta."""
-        if ("relations" not in self.meta.get("stages", {})
-                and not os.path.isdir(os.path.join(self.path,
-                                                   "_relations"))):
-            return None
-        key = ("doc_relations", self._tombstone_listing())
-        if key not in self._df_cache:
-            rel = self.spark.read.parquet(
-                os.path.join(self.path, "_relations"))
-            self._df_cache[key] = self.without_deleted(rel)
-        return self._df_cache[key]
+        the synthetic pos-grammar derivation."""
+        return self._stored_artifact("relations", "_relations")
 
     @property
     def doc_alignments_stored(self) -> DataFrame | None:
@@ -132,16 +143,7 @@ class InvertedIndex:
         relations indexed per SpanQueryOtherFieldHits.java:23).
         ``None`` when absent — operators.parallel.alignment_edges
         then falls back to the derived 2:1-fusion alignment."""
-        if ("alignments" not in self.meta.get("stages", {})
-                and not os.path.isdir(os.path.join(self.path,
-                                                   "_alignments"))):
-            return None
-        key = ("doc_alignments", self._tombstone_listing())
-        if key not in self._df_cache:
-            al = self.spark.read.parquet(
-                os.path.join(self.path, "_alignments"))
-            self._df_cache[key] = self.without_deleted(al)
-        return self._df_cache[key]
+        return self._stored_artifact("alignments", "_alignments")
 
     @property
     def postings(self) -> DataFrame:

@@ -279,3 +279,68 @@ def test_synonym_target_collides_with_real_token(spark, tiny_pdf,
     assert got == expected and got
     # tf merged: no duplicate (doc, pos) pairs
     assert len(set(got)) == len(got)
+
+
+def test_synonym_unfolded_keys_and_values_fold(spark, tiny_pdf,
+                                               tmp_path):
+    """Review fix: synonym keys/values are folded into the @i value
+    space at build — 'Visa'→['Permit'] must behave exactly like
+    'visa'→['permit'] (raw keys would silently never match the folded
+    tokens column; raw values would be stored unsearchable)."""
+    from blacklab_spark.engine import SearchEngine
+    out = str(tmp_path / "synfold_idx")
+    df = spark.createDataFrame(tiny_pdf)
+    build_index(spark, df, out,
+                BuildConfig(block_size=8, bucket_size=16,
+                            num_partitions=2,
+                            synonyms={"Visa": ["Permit"]}))
+    eng = SearchEngine.open(spark, out)
+    n = eng.find('"visa"').count()
+    assert n > 0 and eng.find('"permit"').count() == n
+
+
+def test_synonym_duplicate_values_dedup(spark, tiny_pdf, tmp_path):
+    """Duplicate values in one synonym list (incl. dups created by
+    folding) are deduped — no double-counted postings."""
+    from blacklab_spark.engine import SearchEngine
+    out = str(tmp_path / "syndup_idx")
+    df = spark.createDataFrame(tiny_pdf)
+    build_index(spark, df, out,
+                BuildConfig(block_size=8, bucket_size=16,
+                            num_partitions=2,
+                            synonyms={"visa": ["permit", "Permit"]}))
+    eng = SearchEngine.open(spark, out)
+    rows = [(r["doc_id"], r["start"])
+            for r in eng.find('"permit"').collect()]
+    assert rows and len(set(rows)) == len(rows)
+    # identity after folding still raises
+    with pytest.raises(ValueError, match="itself"):
+        build_index(spark, df, str(tmp_path / "x3"),
+                    BuildConfig(synonyms={"visa": ["Visa"]}))
+
+
+def test_stale_relations_artifact_not_served(spark, tiny_pdf,
+                                             tmp_path):
+    """Review fix: rebuilding into a dir whose previous build stored
+    a _relations artifact, from an input WITHOUT a dependency layer,
+    must remove the stale artifact (manifest + dir) — the synthetic
+    fallback serves relation queries, not another corpus's edges."""
+    import os as _os
+    from blacklab_spark.index import open_index
+    from blacklab_spark.sources.transcripts import (gen_conllu_texts)
+    from blacklab_spark.sources.files import read_conllu
+    out = str(tmp_path / "stale_idx")
+    src = str(tmp_path / "conllu_src")
+    _os.makedirs(src)
+    for name, content in gen_conllu_texts(seed=42).items():
+        with open(_os.path.join(src, name), "w") as fh:
+            fh.write(content)
+    cfg = BuildConfig(block_size=8, bucket_size=16, num_partitions=2)
+    build_index(spark, read_conllu(spark, src), out, cfg)
+    assert open_index(spark, out).doc_relations_stored is not None
+    # rebuild same dir from a plain corpus (no HEAD/DEPREL layer)
+    build_index(spark, spark.createDataFrame(tiny_pdf), out, cfg)
+    idx = open_index(spark, out)
+    assert idx.doc_relations_stored is None
+    assert not _os.path.isdir(_os.path.join(out, "_relations"))
+    assert "relations" not in idx.meta["stages"]
