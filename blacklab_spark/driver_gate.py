@@ -1083,11 +1083,14 @@ _GATE_PRIORITY = [
     "content_store_roundtrip",
     "luceneql_docs_filter",
     "contextql_contents_and_meta",
-    # §2.C build / §2.D streaming representatives
+    # §2.C build / §2.D streaming representatives. The driver runs a
+    # ~50-row prefix (r01-r03 row counts 27/47/50): slots 49-50 go to
+    # the pre-annotated-input witness and the NEW round-4 synonym
+    # witness; the rest are sweep-covered.
     "conllu_word_folded",
+    "cql_synonym_injection",
     "unicode_term_frequencies",
     "cql_lemma_multivalue",
-    "cql_synonym_injection",
     "delete_tombstone_visibility",
     "server_hits_lifecycle",
     "streaming_delta_topk",

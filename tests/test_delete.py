@@ -122,3 +122,44 @@ def test_delete_visible_through_delta_engine(spark, tmp_path):
         F.col("conv_id") == "conv00000").count() == 0
     assert ceng.index.doc_meta.filter(
         F.col("conv_id") == "conv00002").count() > 0
+
+
+def test_compact_carries_stored_relations(spark, tmp_path):
+    """compact() must carry the stored _relations artifact across the
+    rebuild with doc ids remapped — it used to silently drop real
+    dependency edges (they are not derivable from doc_meta)."""
+    import os
+    from blacklab_spark.build import build_index
+    from blacklab_spark.config import BuildConfig
+    from blacklab_spark.delete import compact, delete_docs
+    from blacklab_spark.index import open_index
+    from blacklab_spark.sources.files import read_conllu
+    from blacklab_spark.sources.transcripts import gen_conllu_texts
+    src = str(tmp_path / "conllu_src")
+    os.makedirs(src)
+    for name, content in gen_conllu_texts(seed=42).items():
+        with open(os.path.join(src, name), "w") as fh:
+            fh.write(content)
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(block_size=8, bucket_size=16, num_partitions=2)
+    build_index(spark, read_conllu(spark, src), out, cfg)
+    idx = open_index(spark, out)
+    # delete one conversation, then compact
+    victim = idx.doc_meta.select("conv_id").first()["conv_id"]
+    delete_docs(idx, f"conv_id = '{victim}'")
+    new = compact(spark, out, str(tmp_path / "idx2"))
+    stored = new.doc_relations_stored
+    assert stored is not None
+    # expected: surviving edges with ids remapped via (conv, turn)
+    old_edges = (idx.doc_relations_stored
+                 .join(idx.doc_meta.select("doc_id", "conv_id",
+                                           "turn_idx"), "doc_id")
+                 .drop("doc_id"))
+    new_edges = (stored
+                 .join(new.doc_meta.select("doc_id", "conv_id",
+                                           "turn_idx"), "doc_id")
+                 .drop("doc_id"))
+    a = sorted(map(tuple, old_edges.collect()))
+    b = sorted(map(tuple, new_edges.collect()))
+    assert a == b and b
+    assert not any(r[-2] == victim for r in b)  # victim's edges gone
