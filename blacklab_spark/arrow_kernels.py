@@ -96,7 +96,15 @@ def spimi_arrow_rows(batches):
         # stable sort on the term code yields exactly the
         # (code, doc, pos) lexsort order at ~60% of its cost; the
         # monotonicity check keeps unsorted callers correct.
-        if doc_ids.size < 2 or (doc_ids[1:] >= doc_ids[:-1]).all():
+        sorted_in = doc_ids.size < 2 or (doc_ids[1:] >= doc_ids[:-1]).all()
+        if sorted_in and batch.num_columns >= 4 and total > 1:
+            # explicit-positions callers (synonym flatten) must also
+            # ascend within each doc run, or the stable argsort below
+            # would emit negative deltas that wrap via the uint64
+            # cast into corrupt varints (r4 ADVICE #2)
+            sorted_in = bool(((pos_flat[1:] >= pos_flat[:-1])
+                              | (docs_flat[1:] != docs_flat[:-1])).all())
+        if sorted_in:
             order = np.argsort(codes, kind="stable")
         else:
             order = np.lexsort((pos_flat, docs_flat, codes))

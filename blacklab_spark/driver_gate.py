@@ -1000,7 +1000,7 @@ def group_subcorpus_sql(term: str) -> str:
     return f"""
 WITH {_DOC_POS},
 sub AS (SELECT d.lang, count(*) AS subcorpus_docs,
-               sum(len(t.ts)) AS subcorpus_tokens
+               CAST(sum(len(t.ts)) AS BIGINT) AS subcorpus_tokens
         FROM documents d JOIN toks t USING (doc_id) GROUP BY 1),
 grp AS (SELECT d.lang, count(*) AS "count"
         FROM pos h JOIN documents d USING (doc_id)
@@ -1033,10 +1033,15 @@ GROUP BY 1
 #: streaming and the LLM-pipeline families; everything not named
 #: keeps its original relative order after these.
 _GATE_PRIORITY = [
+    # ~40 fixed §2 witnesses (one per SURVEY §2.A/§2.B row), then 10
+    # rotation slots for the LLM-pipeline/§2.D family (r4 VERDICT #4:
+    # the r4 prefix held 50 §2 rows and pushed every pipeline gate out
+    # of driver verification; r5 rotates the prescribed 10 back in).
+    # Demoted-but-still-registered §2 second witnesses (sweep-covered)
+    # follow right after the prefix.
     # §2.A span/query operators (one witness per row)
     "cql_term_postings",          # 1 term lookup
-    "cql_regex_postings",         # 2 regex
-    "cql_fuzzy_term",             # 2 fuzzy
+    "cql_regex_postings",         # 2 regex (fuzzy: demoted 2nd witness)
     "cql_gap_phrase",             # 3 any-token gaps + 11 expansion
     "spans_fixed_span",           # 5 fixed span
     "cql_or_terms",               # 6 OR
@@ -1055,61 +1060,63 @@ _GATE_PRIORITY = [
     "bm25_topk_filtered_lang",    # 21 filter by doc set
     "hits_filter_by_length",      # 22 length filter
     "cql_force_fiseq",            # 23 forward-index strategy
-    "cql_force_postings",         # 23 (strategy-pinned pair)
     "tags_spans_all",             # 24 tags
-    "relations_det_target",       # 25 relations
-    "conllu_deprel_relations",    # 25 REAL relation edges
-    "parallel_other_field_hits",  # 26 parallel corpora
-    "parallel_stored_alignment",  # 26 REAL alignment edges
+    "conllu_deprel_relations",    # 25 relations (REAL stored edges)
+    "parallel_stored_alignment",  # 26 parallel (REAL stored edges)
     "cql_sensitivity_flags",      # 27 default value / settings
-    "bm25_topk_single",           # 28/29 bucketed WAND kernel
-    "bm25_topk_single_exhaustive",  # 29 dual-path pair
-    "bm25_topk_multi",
+    "bm25_topk_multi",            # 28/29 bucketed WAND, two-phase
     # §2.B result-set operators
     "hits_window_page2",
     "hits_sample_deterministic",
     "sort_hits_property_dsl",
     "group_hits_by_next_word",
-    "group_hits_subcorpus_lang",  # r3's one red row, now int-exact
+    "group_hits_subcorpus_lang",  # r3/r4 red row; oracle HUGEINT cast
     "term_frequencies_top100",
     "hit_group_stats",
     "hits_to_docs",
     "docs_grouped_by_source",
     "facets_by_lang",
-    "docs_group_of_groups",
     "collocations_window5",
-    "collocations_phrase_hits",
     "kwic_spark_ctx3",
     "content_store_roundtrip",
     "luceneql_docs_filter",
     "contextql_contents_and_meta",
-    # §2.C build / §2.D streaming representatives. The driver runs a
-    # ~50-row prefix (r01-r03 row counts 27/47/50): slots 49-50 go to
-    # the pre-annotated-input witness and the NEW round-4 synonym
-    # witness; the rest are sweep-covered.
+    # r5 rotation slots: LLM-pipeline + §2.D driver witnesses
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "embedding_near_pairs_lsh",
+    "embedding_cosine_topk_ivf",
+    "curation_decontaminate",
+    "curation_mixture_sample",
+    "sequence_pack_greedy",
+    "streaming_delta_topk",
+    "events_sessionize",
+    # --- end of the ~50-row driver prefix ---
+    # demoted §2 second witnesses (each row above keeps one)
+    "cql_fuzzy_term",             # 2 fuzzy
+    "cql_force_postings",         # 23 strategy-pinned pair
+    "relations_det_target",       # 25 synthetic-grammar fallback
+    "parallel_other_field_hits",  # 26 fallback edges
+    "bm25_topk_single",           # 28 single-term WAND
+    "bm25_topk_single_exhaustive",  # 29 dual-path pair
+    "docs_group_of_groups",
+    "collocations_phrase_hits",
+    # §2.C build representatives (every gate builds the index; these
+    # add input-mode/synonym specifics)
     "conllu_word_folded",
     "cql_synonym_injection",
     "unicode_term_frequencies",
     "cql_lemma_multivalue",
     "delete_tombstone_visibility",
     "server_hits_lifecycle",
-    "streaming_delta_topk",
-    "events_sessionize",
-    # LLM-pipeline family representatives
-    "dedup_exact",
-    "dedup_minhash_lsh",
+    # remaining pipeline family
     "dedup_simhash_pairs",
-    "dedup_clusters",
     "dedup_streaming_lsh",
     "embedding_cosine_topk",
-    "embedding_cosine_topk_ivf",
-    "embedding_near_pairs_lsh",
     "text_token_stats",
-    "curation_decontaminate",
     "curation_redact_pii",
-    "curation_mixture_sample",
     "sequence_chunk_documents",
-    "sequence_pack_greedy",
     "sequence_shard_corpus",
     "multimodal_byte_features",
 ]

@@ -688,6 +688,11 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
                             attr_range=p.filter.attr_range)
         elif (isinstance(p.filter, Q.Term) and p.filter.layer == "word"
               and index.cfg.store_positions
+              # forward-index probe sees PRIMARY word values only —
+              # with synonym stacking (BuildConfig.synonyms) the
+              # postings are the sole layer carrying injected values,
+              # so the probe shortcut would silently miss them
+              and not getattr(index.cfg, "synonyms", None)
               and _is_hot_term(index, p.filter.text)):
             # HOT filter term (the collocations df-rule): probe the
             # token arrays of ONLY the producer's docs instead of

@@ -461,10 +461,20 @@ def _rewrite_once(p: Pattern) -> Pattern:
         # neighbour's hits stretch one token toward the complement and
         # an anti position-join against A's (small) hit set replaces
         # the corpus-wide token-complement explode.
+        _not1_memo: dict[int, bool] = {}
+
         def _not1(c: Pattern) -> bool:
-            return isinstance(c, Not) and \
-                guarantees(c.clause).fixed_width and \
-                guarantees(c.clause).len_min == 1
+            # guarantees() recurses over the clause subtree; memoize
+            # per node so the adjacency loop below stays linear in
+            # clause count (r4 VERDICT #6)
+            if not isinstance(c, Not):
+                return False
+            r = _not1_memo.get(id(c))
+            if r is None:
+                g = guarantees(c.clause)
+                r = bool(g.fixed_width and g.len_min == 1)
+                _not1_memo[id(c)] = r
+            return r
         out: list[Pattern] = []
         for c in merged:
             if (out and _not1(c)

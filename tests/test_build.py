@@ -281,6 +281,36 @@ def test_synonym_target_collides_with_real_token(spark, tiny_pdf,
     assert len(set(got)) == len(got)
 
 
+def test_synonym_hot_filter_term_uses_postings(spark, tiny_pdf,
+                                               tmp_path):
+    """r4 ADVICE #1: the PosFilter hot-filter-term shortcut probes the
+    forward index (PRIMARY values only) — on a synonym-stacked index
+    it must be disabled, or positions where the filter term exists
+    only as an injected synonym are silently missed.
+
+    Fixture: synonyms {'visa': ['the']} makes every 'visa' position an
+    injected 'the'; 'the' is hot (df*4 >= n_docs, and df counts
+    stacked postings).  ``"visa" containing "the"`` must therefore
+    return EVERY visa hit — the probe path returns none of them (no
+    primary token 'the' at a visa position)."""
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.plans.executor import _is_hot_term
+    out = str(tmp_path / "synhot_idx")
+    df = spark.createDataFrame(tiny_pdf)
+    build_index(spark, df, out,
+                BuildConfig(block_size=8, bucket_size=16,
+                            num_partitions=2,
+                            synonyms={"visa": ["the"]}))
+    eng = SearchEngine.open(spark, out)
+    # the guard only matters if the term qualifies as hot here
+    assert _is_hot_term(eng.index, "the")
+    visa = sorted((r["doc_id"], r["start"])
+                  for r in eng.find('"visa"').collect())
+    filt = sorted((r["doc_id"], r["start"])
+                  for r in eng.find('"visa" containing "the"').collect())
+    assert visa and filt == visa
+
+
 def test_synonym_unfolded_keys_and_values_fold(spark, tiny_pdf,
                                                tmp_path):
     """Review fix: synonym keys/values are folded into the @i value

@@ -63,6 +63,43 @@ def _canon(pdf) -> tuple[str, list[str]]:
     return h, cols
 
 
+def _dtype_kind(series) -> str:
+    """Canonical dtype kind for --strict-types: 'i' (any integer,
+    signed/unsigned/nullable-ext), 'f' (float), 'b' (bool), 'M'
+    (datetime), 'O' (object/string/list).  Width (int32 vs int64) is
+    NOT compared — Spark surfaces INT columns as int32 where DuckDB's
+    BIGINT aggregates are int64; the bug class this mode exists for is
+    kind divergence (HUGEINT → float64 vs int64)."""
+    import numpy as np
+    import pandas as pd
+
+    dt = series.dtype
+    if isinstance(dt, pd.api.types.CategoricalDtype):
+        return _dtype_kind(series.cat.categories.to_series())
+    kind = getattr(dt, "kind", "O")
+    if kind in ("i", "u"):
+        return "i"
+    if kind == "f":
+        # an all-integral float column is still kind 'f': that IS the
+        # divergence (HUGEINT/DOUBLE rendering) unless the other side
+        # is float too
+        return "f"
+    if kind == "b":
+        return "b"
+    if kind in ("M", "m"):
+        return "M"
+    if kind == "O":
+        # pandas nullable Int64 etc. arrive as extension dtypes with
+        # kind 'O' via str(dtype); sniff non-null values
+        vals = series.dropna()
+        if len(vals) and all(isinstance(v, (int, np.integer))
+                             and not isinstance(v, bool)
+                             for v in vals.head(50)):
+            return "i"
+        return "O"
+    return kind
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -71,6 +108,14 @@ def main() -> None:
                     help="comma-separated name substrings to skip "
                          "(e.g. the quadratic brute-force oracle paths "
                          "when sweeping above the driver's sf0.01)")
+    ap.add_argument("--strict-types", action="store_true",
+                    help="also fail when Spark and DuckDB frame dtype "
+                         "KINDS disagree (int vs float vs object) even "
+                         "if stringified values hash-match — the class "
+                         "of divergence the driver's canonicalizer "
+                         "catches and _canon absorbs (r4 red row: "
+                         "DuckDB HUGEINT → pandas float64 vs Spark "
+                         "int64)")
     args = ap.parse_args()
     excludes = [e for e in (args.exclude or "").split(",") if e]
 
@@ -132,7 +177,17 @@ def main() -> None:
         rows_ok = len(sdf) == len(odf)
         schema_ok = scols == ocols
         hash_ok = sh == oh
-        status = "ok" if (rows_ok and schema_ok and hash_ok) else "MISMATCH"
+        types_ok = True
+        if args.strict_types and schema_ok:
+            for c in scols:
+                sk, ok_ = _dtype_kind(sdf[c]), _dtype_kind(odf[c])
+                if sk != ok_:
+                    types_ok = False
+                    print(f"    dtype kind mismatch on {c!r}: "
+                          f"spark {sdf[c].dtype} ({sk}) vs "
+                          f"oracle {odf[c].dtype} ({ok_})")
+        status = "ok" if (rows_ok and schema_ok and hash_ok
+                          and types_ok) else "MISMATCH"
         if status != "ok":
             bad.append(name)
         print(f"{name:42s} {status:8s} rows {len(sdf):>6d}/{len(odf):<6d} "
