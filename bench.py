@@ -148,9 +148,21 @@ def build_once(spark, corpus_path: str, out_dir: str, partitions: int,
         durs.append(time.time() - t0)
         log(f"build rep{rep}: {durs[-1]:.2f}s")
     dur = statistics.median(durs)
-    return {"sec": round(dur, 2), "turns": m["stats"]["n_docs"],
-            "turns_per_sec": round(m["stats"]["n_docs"] / dur, 1),
-            "tokens": m["stats"]["total_tokens"]}
+    out = {"sec": round(dur, 2), "turns": m["stats"]["n_docs"],
+           "turns_per_sec": round(m["stats"]["n_docs"] / dur, 1),
+           "tokens": m["stats"]["total_tokens"]}
+    # bytes moved per turn (from the manifest's per-stage shuffle
+    # deltas, r4 VERDICT #2c): ties the scaling-efficiency number to a
+    # measured bandwidth demand instead of a guess
+    sw = [st.get("shuffle_write_bytes") for st in m["stages"].values()]
+    if all(b is not None for b in sw):
+        out["shuffle_write_bytes"] = sum(sw)
+        out["shuffle_bytes_per_turn"] = round(sum(sw) / out["turns"], 1)
+        out["stage_profile"] = {
+            name: {"sec": st["duration_sec"],
+                   "shuffle_write_bytes": st["shuffle_write_bytes"]}
+            for name, st in m["stages"].items()}
+    return out
 
 
 def main() -> None:
@@ -190,7 +202,7 @@ def main() -> None:
                        warmup_corpus=warm_path)
     queries["build_index"] = build["sec"]
 
-    latency, pipeline = {}, {}
+    latency, pipeline, queries_cold = {}, {}, {}
     if not ONLY_SCALING:
         # -- query latencies ----------------------------------------------
         eng = SearchEngine.open(spark, f"{WORK}/idx_main")
@@ -235,12 +247,19 @@ def main() -> None:
                 '[word!="the"] "visa"').count(),
         }
         for name, fn in qdefs.items():
+            # rep-0 IS the cold number (r4 VERDICT #3): plan-handle
+            # memoization (engine.py) makes every later rep a warm
+            # cache hit for the top-k queries, so without recording it
+            # a cold-plan regression would be invisible in the median
+            t0 = time.time()
             fn()  # warm (JIT, file listing)
+            queries_cold[name] = round(time.time() - t0, 3)
             # 5 reps: the median of 3 is defenceless against one multi-
             # second machine-level blip covering the whole window (observed
             # once: q14 5.69s recorded vs 1.3s steady state re-measured)
             queries[name] = round(median_of(fn, reps=5), 3)
-            log(f"{name}: {queries[name]}s")
+            log(f"{name}: cold={queries_cold[name]}s "
+                f"warm-median={queries[name]}s")
 
         # p50/p95 for the headline top-k queries (driver north metric
         # names them explicitly): 9 timed reps each, already warm.
@@ -262,9 +281,12 @@ def main() -> None:
         t0 = time.time()
         deng = docs_engine(spark, SF_DIR)
         queries["docs_index_build_or_open"] = round(time.time() - t0, 3)
-        queries["q11_docs_bm25"] = round(median_of(
-            lambda: fmt_topk_docs(deng.topk(["spark", "vector"], k=10)).collect(),
-            reps=5), 3)
+        q11 = lambda: fmt_topk_docs(  # noqa: E731
+            deng.topk(["spark", "vector"], k=10)).collect()
+        t0 = time.time()
+        q11()
+        queries_cold["q11_docs_bm25"] = round(time.time() - t0, 3)
+        queries["q11_docs_bm25"] = round(median_of(q11, reps=5), 3)
 
         # -- LLM-pipeline op timings at SF_DIR (documents/embeddings
         # tables). Reported in their own section — NOT added to
@@ -449,6 +471,7 @@ def main() -> None:
         "value": round(time.time() - t_all, 2),
         "unit": "sec",
         "queries": queries,
+        "queries_cold": queries_cold,
         "pipeline": pipeline,
         "topk_latency_p50_p95": latency,
         "sf": sf,

@@ -81,6 +81,29 @@ BLOCK_SCHEMA = T.StructType([
 ])
 
 
+def _shuffle_snapshot(spark) -> tuple[int, int] | None:
+    """Cumulative (shuffle_write_bytes, shuffle_read_bytes) across all
+    completed Spark stages, from the live AppStatusStore. Per-stage
+    deltas land in the manifest so scaling efficiency can be tied to a
+    measured bytes-moved-per-turn number (r4 VERDICT #2c) instead of
+    guessed. Pure introspection via py4j — any reflection drift across
+    Spark versions degrades to None, never fails the build."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.ArrayList()
+        quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+        stages = store.stageList(empty, False, False, quantiles, empty)
+        it, w, r = stages.iterator(), 0, 0
+        while it.hasNext():
+            s = it.next()
+            w += s.shuffleWriteBytes()
+            r += s.shuffleReadBytes()
+        return int(w), int(r)
+    except Exception:
+        return None
+
+
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footers (driver-side, no Spark job —
     each read-back count() was ~0.5-1s of serial latency per stage)."""
@@ -325,6 +348,16 @@ class IndexBuilder:
             # file = per write-task row count, from the parquet footers
             "files": [{"file": f, "rows": r} for f, r in files],
         }
+        # shuffle bytes moved by THIS stage (delta of the session-wide
+        # cumulative counters since the previous stage boundary)
+        snap = _shuffle_snapshot(self.spark)
+        if snap is not None and self._shuffle_snap is not None:
+            m["stages"][name]["shuffle_write_bytes"] = \
+                snap[0] - self._shuffle_snap[0]
+            m["stages"][name]["shuffle_read_bytes"] = \
+                snap[1] - self._shuffle_snap[1]
+        if snap is not None:
+            self._shuffle_snap = snap
         self._save_manifest(m)
         return rows
 
@@ -332,6 +365,14 @@ class IndexBuilder:
     def build(self, transcripts: DataFrame, resume: bool = False) -> dict:
         """Run all stages; returns the final manifest."""
         cfg = self.cfg
+        if cfg.preprocess:
+            # convert-and-tag hooks (preprocess.py): column-expression
+            # transforms fused into the stage-1 scan by Catalyst; a
+            # tagger that adds tokens_s/tokens_pos flows into the
+            # pre-annotated input mode below
+            from blacklab_spark.preprocess import apply_preprocessors
+            transcripts = apply_preprocessors(transcripts,
+                                              cfg.preprocess)
         if cfg.synonyms:
             # stacked word values live in the POSTINGS only; a
             # positionless/probe-only index would silently drop them
@@ -343,6 +384,7 @@ class IndexBuilder:
             normalized_synonyms(cfg.synonyms)  # raises on identity
         parts = cfg.num_partitions or int(
             self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self._shuffle_snap = _shuffle_snapshot(self.spark)
         m = self._load_manifest() if resume else {
             "format_version": cfg.format_version, "config": cfg.to_dict(),
             "stages": {}}
@@ -549,19 +591,43 @@ class IndexBuilder:
         runs = self.spark.read.parquet(runs_path)
 
         # Stage 3: terms dictionary with dense ids (sorted by term).
+        # The aggregate is persisted BEFORE any id scheme runs: the
+        # generic scheme's range-boundary sampling job used to execute
+        # the full groupBy a second time (the stage's 1→4-core
+        # efficiency was 0.57 — a serial floor of repeated jobs, not
+        # parallel work; r4 VERDICT #2b).
         terms_path = os.path.join(self.out, "terms")
         if not (resume and self._stage_done(m, "terms")):
             t0 = time.time()
             terms_agg = (runs.groupBy("term")
                          .agg(F.sum("n_docs").alias("df"),
-                              F.sum("sum_tf").alias("cf")))
-            terms, t_cached = assign_dense_ids(terms_agg, ["term"],
-                                               "term_id", parts)
-            terms = terms.select("term", "term_id", "df", "cf")
-            # same: assign_dense_ids leaves terms range-partitioned
-            # and sorted by term (= term_id order); write directly
-            terms.write.mode("overwrite").parquet(terms_path)
-            t_cached.unpersist()
+                              F.sum("sum_tf").alias("cf"))).persist()
+            n_terms = terms_agg.count()
+            if n_terms <= cfg.terms_single_partition_max:
+                # bounded dictionary (the common case — the reference
+                # holds the whole dictionary in memory per index,
+                # TermsIntegrated.java:82-111): ONE task sorts the
+                # vocabulary and numbers rows in sort order via
+                # monotonically_increasing_id (pid 0 → dense 0-based).
+                # One job total; no sampling pass, no count-collect,
+                # no window join.
+                terms = (terms_agg.repartition(1)
+                         .sortWithinPartitions("term")
+                         .select("term",
+                                 F.monotonically_increasing_id()
+                                 .alias("term_id"), "df", "cf"))
+                terms.write.mode("overwrite").parquet(terms_path)
+                terms_agg.unpersist()
+            else:
+                # web-scale vocabulary: fully-distributed dense ids
+                terms, t_cached = assign_dense_ids(
+                    terms_agg, ["term"], "term_id", parts)
+                terms = terms.select("term", "term_id", "df", "cf")
+                # assign_dense_ids leaves terms range-partitioned and
+                # sorted by term (= term_id order); write directly
+                terms.write.mode("overwrite").parquet(terms_path)
+                t_cached.unpersist()
+                terms_agg.unpersist()
             self._finish_stage(m, "terms", t0, terms_path, parts)
         terms = self.spark.read.parquet(terms_path)
 

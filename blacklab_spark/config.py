@@ -129,9 +129,27 @@ class BuildConfig:
     # payload flag). Query planning pins postings for word leaves
     # when set. None/empty → zero cost.
     synonyms: dict | None = None
+    # Convert-and-tag preprocessing plugins (reference ConvertPlugin/
+    # TagPlugin/DocIndexerConvertAndTag): names of registered
+    # DataFrame→DataFrame transforms (blacklab_spark.preprocess) run
+    # over the transcripts input before stage 1 — typically to
+    # populate tokens_s/tokens_pos/tokens_lemma so the pre-annotated
+    # input mode stores a tagger's layers. () → zero cost.
+    preprocess: tuple = ()
     # Number of partitions for doc-id assignment / posting shuffle.
     # None → spark.sql.shuffle.partitions.
     num_partitions: int | None = None
+    # Terms-dictionary dense-id fast path: vocabularies at or below
+    # this row count take a single-task sort (one job, near-zero fixed
+    # floor) instead of the generic range-partition scheme (a sampling
+    # job + a count job + a window join — measured as the build's
+    # worst-scaling stage, 0.57 efficiency at 1→4 cores, because its
+    # ~2s serial floor doesn't parallelize). The reference holds the
+    # ENTIRE dictionary in memory per index (TermsIntegrated.java), so
+    # a bounded single-task dictionary sort is faithful to it; corpora
+    # whose vocabulary exceeds the bound (web-scale mixed text) fall
+    # back to the fully-distributed scheme automatically.
+    terms_single_partition_max: int = 4_000_000
     tokenizer_version: str = TOKENIZER_VERSION
     format_version: int = INDEX_FORMAT_VERSION
 

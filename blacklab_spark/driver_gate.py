@@ -125,6 +125,25 @@ def synonym_engine(spark: SparkSession) -> SearchEngine:
     return _ENGINES[key]
 
 
+def preprocess_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Documents corpus built through a registered convert-and-tag
+    preprocessor (BuildConfig.preprocess=('length_tagger',) —
+    reference ConvertPlugin/TagPlugin/DocIndexerConvertAndTag): the
+    toy tagger populates tokens_s/tokens_pos before stage 1, so the
+    pre-annotated input mode stores its pos layer for [pos=...]."""
+    ensure_shipped(spark)
+    key = "__preprocess__" + os.path.abspath(sf_dir)
+    if key not in _ENGINES:
+        slug = re.sub(r"[^A-Za-z0-9.]+", "_", os.path.abspath(sf_dir))
+        out = os.path.join(_idx_root(), f"prep{slug}")
+        cfg = BuildConfig(block_size=128, bucket_size=1024,
+                          preprocess=("length_tagger",))
+        build_index(spark, documents_as_transcripts(spark, sf_dir),
+                    out, cfg, resume=True)
+        _ENGINES[key] = SearchEngine.open(spark, out)
+    return _ENGINES[key]
+
+
 def multi_engine(spark: SparkSession) -> SearchEngine:
     """Multilingual fixture engine — the tokenizer-v2 gate corpus."""
     ensure_shipped(spark)
@@ -1093,6 +1112,9 @@ _GATE_PRIORITY = [
     "streaming_delta_topk",
     "events_sessionize",
     # --- end of the ~50-row driver prefix ---
+    # round-5 convert-and-tag plugin witness (r4 VERDICT #7) — first
+    # past the prefix so a time-budgeted driver run picks it up next
+    "preprocess_length_tagger",
     # demoted §2 second witnesses (each row above keeps one)
     "cql_fuzzy_term",             # 2 fuzzy
     "cql_force_postings",         # 23 strategy-pinned pair
@@ -2063,6 +2085,18 @@ def gate_queries() -> dict:
         return with_conv(eng, hits).select("conv_id", "turn_idx",
                                            "start", "end")
 
+    def preprocess_length_tagger(spark, sf_dir):
+        """Convert-and-tag plugin hook: a registered toy tagger
+        (preprocess.length_tagger — pos = 'long' iff the @i folding
+        exceeds 4 chars) runs over the input at build time and its
+        layer answers [pos="long"] through the normal annotation
+        path."""
+        eng = preprocess_engine(spark, sf_dir)
+        from blacklab_spark.plans.executor import find
+        hits = find(eng.index, '[pos="long"]')
+        return with_conv(eng, hits).select(
+            _orig_doc_id(), F.col("start"), F.col("end"))
+
     def chat_turns_parse(spark, sf_dir):
         """read_chat's JVM regexp parse vs an independent pure-Python
         parse of the same .cha fixture (continuation joins, bullet
@@ -2218,6 +2252,7 @@ def gate_queries() -> dict:
         "conllu_pos_given": conllu_pos_given,
         "conllu_lemma_given": conllu_lemma_given,
         "conllu_word_folded": conllu_word_folded,
+        "preprocess_length_tagger": preprocess_length_tagger,
         "chat_turns_parse": chat_turns_parse,
         "folia_tokens_parse": folia_tokens_parse,
         "wpl_tokens_parse": wpl_tokens_parse,
@@ -2584,6 +2619,11 @@ WHERE t.tok LIKE 'vis%' AND lower(d.role) = 'user'
         "conllu_pos_given": _conllu_layer_sql("upos", "NOUN"),
         "conllu_lemma_given": _conllu_layer_sql("lemma", "be"),
         "conllu_word_folded": _conllu_layer_sql("word", "cafe"),
+        "preprocess_length_tagger": f"""
+WITH {_DOC_POS}
+SELECT doc_id, CAST(p AS INT) AS start, CAST(p + 1 AS INT) AS "end"
+FROM pos WHERE len(tok) > 4
+""",
         "chat_turns_parse": _chat_turns_sql(),
         "folia_tokens_parse": _folia_tokens_sql(),
         **{f"{k}_tokens_parse": _token_layers_sql(g, p)
