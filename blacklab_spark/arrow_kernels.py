@@ -76,18 +76,31 @@ def spimi_arrow_rows(batches):
             continue
         flat = tokens.flatten()
         de = pc.dictionary_encode(flat)
-        codes = de.indices.to_numpy(**_ZCF).astype(np.int64)
+        # keep Arrow's native int32 dictionary indices: the stable
+        # sort + gathers below are the kernel's memory-bandwidth hot
+        # loop, and int64 upcasts double their traffic for nothing
+        # (a batch's vocabulary is < 2^31 by Arrow's array limit)
+        codes = de.indices.to_numpy(**_ZCF)
         vocab = de.dictionary
 
-        docs_flat = np.repeat(doc_ids, lens)
+        # doc sort/group keys in int32 when the batch's doc-id RANGE
+        # allows (always true for the build's dense ascending ids);
+        # absolute int64 ids are recovered at group starts only
+        doc_base = int(doc_ids.min()) if doc_ids.size else 0
+        if doc_ids.size and int(doc_ids.max()) - doc_base < 2**31:
+            docs_flat = np.repeat(
+                (doc_ids - doc_base).astype(np.int32), lens)
+        else:
+            doc_base = 0
+            docs_flat = np.repeat(doc_ids, lens)
         if batch.num_columns >= 4:
             pos_flat = batch.column(2).flatten() \
-                .to_numpy(**_ZCF).astype(np.int64)
-            dl_vals = batch.column(3).to_numpy(**_ZCF).astype(np.int64)
+                .to_numpy(**_ZCF).astype(np.int32)
+            dl_vals = batch.column(3).to_numpy(**_ZCF)
             dls_flat = np.repeat(dl_vals, lens).astype(np.int32)
         else:
-            starts = np.repeat(np.cumsum(lens) - lens, lens)
-            pos_flat = (np.arange(total) - starts).astype(np.int64)
+            starts = np.repeat((np.cumsum(lens) - lens), lens)
+            pos_flat = (np.arange(total) - starts).astype(np.int32)
             dls_flat = np.repeat(lens, lens).astype(np.int32)
 
         # build batches arrive doc_id-ascending (assign_doc_ids sorts
@@ -133,10 +146,16 @@ def spimi_arrow_rows(batches):
         v_bounds = np.append(cnt_idx, stream.size)
         pos_col = _binary_col(boff[v_bounds], enc, n_groups)
 
-        term_col = pc.take(vocab, pa.array(f[g_starts].astype(np.int64)))
+        # term stays DICTIONARY-encoded: the sole consumer
+        # (spimi_miniblocks) groups by code and re-encoding the
+        # materialized strings there was a second full pass over the
+        # batch's term bytes
+        term_col = pa.DictionaryArray.from_arrays(
+            pa.array(f[g_starts], type=pa.int32()), vocab)
+        doc_out = dcs[g_starts].astype(np.int64) + doc_base
         yield pa.RecordBatch.from_arrays(
-            [term_col.cast(pa.string()),
-             pa.array(dcs[g_starts], type=pa.int64()),
+            [term_col,
+             pa.array(doc_out, type=pa.int64()),
              pa.array(tfs, type=pa.int32()),
              pos_col,
              pa.array(dls[g_starts], type=pa.int32())],
@@ -155,17 +174,23 @@ def spimi_miniblocks(cfg: BuildConfig):
 
     def gen(batches):
         for batch in spimi_arrow_rows(batches):
-            term = batch.column(0)          # string
+            term = batch.column(0)          # dictionary<string>
             doc = batch.column(1).to_numpy(**_ZCF).astype(np.int64)
-            tf = batch.column(2).to_numpy(**_ZCF).astype(np.int64)
+            tf = batch.column(2).to_numpy(**_ZCF)
             pos_off, pos_data = binary_views(batch.column(3))
-            dl = batch.column(4).to_numpy(**_ZCF).astype(np.int64)
+            dl = batch.column(4).to_numpy(**_ZCF)
             n = doc.size
-            # rows arrive grouped by term (sorted by code) and doc asc;
-            # determine term-run + bucket + block boundaries
-            de = pc.dictionary_encode(term)
-            codes = de.indices.to_numpy(**_ZCF).astype(np.int64)
-            vocab = de.dictionary
+            # rows arrive grouped by term (sorted by code) and doc
+            # asc, already dictionary-encoded by spimi_arrow_rows —
+            # use its codes directly (re-encoding the strings here
+            # was a second full pass over the term bytes)
+            if pa.types.is_dictionary(term.type):
+                codes = term.indices.to_numpy(**_ZCF)
+                vocab = term.dictionary
+            else:
+                de = pc.dictionary_encode(term)
+                codes = de.indices.to_numpy(**_ZCF)
+                vocab = de.dictionary
             bkt = doc // bucket_size
             group_change = np.empty(n, dtype=bool)
             group_change[0] = True
@@ -188,7 +213,8 @@ def spimi_miniblocks(cfg: BuildConfig):
             tf_off = np.concatenate(([0], np.cumsum(codec.varint_lengths(tf))))
             dl_stream = codec.encode_varints(dl)
             dl_off = np.concatenate(([0], np.cumsum(codec.varint_lengths(dl))))
-            sum_tf = np.add.reduceat(tf, b_starts).astype(np.int64)
+            sum_tf = np.add.reduceat(tf, b_starts,
+                                     dtype=np.int64).astype(np.int64)
             max_tf = np.maximum.reduceat(tf, b_starts).astype(np.int32)
 
             yield pa.RecordBatch.from_arrays([

@@ -294,6 +294,9 @@ class IndexBuilder:
         self.out = out_dir.rstrip("/")
         self.cfg = cfg or BuildConfig()
         self.manifest_path = os.path.join(self.out, "_index_meta.json")
+        # per-stage shuffle-byte deltas baseline (compact() calls
+        # _finish_stage without going through build())
+        self._shuffle_snap = _shuffle_snapshot(spark)
 
     # -- manifest / checkpoint helpers ---------------------------------
     def _load_manifest(self) -> dict:

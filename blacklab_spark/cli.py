@@ -36,7 +36,8 @@ def _build(args) -> int:
     df = read_transcripts(spark, args.input, args.format)
     cfg = BuildConfig(block_size=args.block_size,
                       bucket_size=args.bucket_size,
-                      store_positions=not args.no_positions)
+                      store_positions=not args.no_positions,
+                      preprocess=tuple(args.preprocess or ()))
     t0 = time.time()
     manifest = build_index(spark, df, args.out, cfg, resume=args.resume)
     dur = time.time() - t0
@@ -157,6 +158,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--bucket-size", type=int, default=8192)
     b.add_argument("--no-positions", action="store_true")
+    b.add_argument("--preprocess", action="append", default=[],
+                   metavar="NAME",
+                   help="registered convert-and-tag preprocessor to "
+                        "run before indexing (repeatable, applied in "
+                        "order; see blacklab_spark.preprocess)")
     b.set_defaults(fn=_build)
 
     q = sub.add_parser("query",

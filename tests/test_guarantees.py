@@ -176,6 +176,31 @@ def test_or_merges_disjoint_terms(idx):
         "merged postings decode" in explain('"visa" | "good"', idx)
 
 
+def test_or_merge_expansion_runs_once_per_node(idx, monkeypatch):
+    """r4 VERDICT #6: planning touches the same Or node up to three
+    times (_guar, the exec branch, explain()); the memoizing wrapper
+    must run the driver-side dictionary expansion exactly ONCE per
+    distinct clause tuple."""
+    import blacklab_spark.plans.executor as ex
+    calls = []
+    real = ex._or_merge_term_ids_uncached
+
+    def counting(index, clauses):
+        calls.append(tuple(clauses))
+        return real(index, clauses)
+
+    monkeypatch.setattr(ex, "_or_merge_term_ids_uncached", counting)
+    # fresh cache so the spy observes this query's expansions
+    idx._term_cache.clear()
+    q = '[word="vis.*"] | "good"'
+    find(idx, q).count()
+    explain(q, idx)
+    distinct = set(calls)
+    assert len(calls) == len(distinct), (
+        f"uncached expansion ran {len(calls)}x for "
+        f"{len(distinct)} distinct Or nodes: {calls}")
+
+
 def test_or_overlapping_expansions_keep_union_semantics(idx):
     """Regexes that both match 'visa' must NOT merge: the reference's
     OR yields one hit per matching clause (duplicates kept)."""
