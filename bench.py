@@ -140,14 +140,18 @@ def build_once(spark, corpus_path: str, out_dir: str, partitions: int,
     # as a throughput regression that doesn't exist. The scaling child
     # passes reps=1: its builds run 40-380s (blips amortize) and it
     # already takes best-of-3 across calls.
-    durs, m = [], None
+    durs, manifests = [], []
     for rep in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        m = build_index(spark, corpus, out_dir, cfg)
+        manifests.append(build_index(spark, corpus, out_dir, cfg))
         durs.append(time.time() - t0)
         log(f"build rep{rep}: {durs[-1]:.2f}s")
     dur = statistics.median(durs)
+    # stage_profile must come from the MEDIAN rep, not the last one —
+    # otherwise a blip rep's per-stage seconds would "explain" a
+    # headline they don't belong to (r5 review)
+    m = manifests[min(range(len(durs)), key=lambda i: abs(durs[i] - dur))]
     out = {"sec": round(dur, 2), "turns": m["stats"]["n_docs"],
            "turns_per_sec": round(m["stats"]["n_docs"] / dur, 1),
            "tokens": m["stats"]["total_tokens"]}

@@ -352,13 +352,20 @@ class IndexBuilder:
             "files": [{"file": f, "rows": r} for f, r in files],
         }
         # shuffle bytes moved by THIS stage (delta of the session-wide
-        # cumulative counters since the previous stage boundary)
+        # cumulative counters since the previous stage boundary).
+        # Caveats by construction: the store retains a bounded stage
+        # window (spark.ui.retainedStages), so in a very long session
+        # the cumulative counter can DROP between snapshots, and
+        # concurrent jobs in the same session land in this stage's
+        # delta — negative deltas are discarded rather than recorded
+        # (they would corrupt bytes-per-turn downstream).
         snap = _shuffle_snapshot(self.spark)
         if snap is not None and self._shuffle_snap is not None:
-            m["stages"][name]["shuffle_write_bytes"] = \
-                snap[0] - self._shuffle_snap[0]
-            m["stages"][name]["shuffle_read_bytes"] = \
-                snap[1] - self._shuffle_snap[1]
+            dw = snap[0] - self._shuffle_snap[0]
+            dr = snap[1] - self._shuffle_snap[1]
+            if dw >= 0 and dr >= 0:
+                m["stages"][name]["shuffle_write_bytes"] = dw
+                m["stages"][name]["shuffle_read_bytes"] = dr
         if snap is not None:
             self._shuffle_snap = snap
         self._save_manifest(m)
@@ -605,33 +612,37 @@ class IndexBuilder:
             terms_agg = (runs.groupBy("term")
                          .agg(F.sum("n_docs").alias("df"),
                               F.sum("sum_tf").alias("cf"))).persist()
-            n_terms = terms_agg.count()
-            if n_terms <= cfg.terms_single_partition_max:
-                # bounded dictionary (the common case — the reference
-                # holds the whole dictionary in memory per index,
-                # TermsIntegrated.java:82-111): ONE task sorts the
-                # vocabulary and numbers rows in sort order via
-                # monotonically_increasing_id (pid 0 → dense 0-based).
-                # One job total; no sampling pass, no count-collect,
-                # no window join.
-                terms = (terms_agg.repartition(1)
-                         .sortWithinPartitions("term")
-                         .select("term",
-                                 F.monotonically_increasing_id()
-                                 .alias("term_id"), "df", "cf"))
+            t_cached = None
+            try:
+                n_terms = terms_agg.count()
+                single = n_terms <= cfg.terms_single_partition_max
+                if single:
+                    # bounded dictionary (the common case — the
+                    # reference holds the whole dictionary in memory
+                    # per index, TermsIntegrated.java:82-111): ONE
+                    # task sorts the vocabulary and numbers rows in
+                    # sort order via monotonically_increasing_id
+                    # (pid 0 → dense 0-based). One job total; no
+                    # sampling pass, no count-collect, no window join.
+                    terms = (terms_agg.repartition(1)
+                             .sortWithinPartitions("term")
+                             .select("term",
+                                     F.monotonically_increasing_id()
+                                     .alias("term_id"), "df", "cf"))
+                else:
+                    # web-scale vocabulary: fully-distributed dense ids
+                    terms, t_cached = assign_dense_ids(
+                        terms_agg, ["term"], "term_id", parts)
+                    terms = terms.select("term", "term_id", "df", "cf")
+                    # assign_dense_ids leaves terms range-partitioned
+                    # and sorted by term (= term_id order)
                 terms.write.mode("overwrite").parquet(terms_path)
+            finally:
                 terms_agg.unpersist()
-            else:
-                # web-scale vocabulary: fully-distributed dense ids
-                terms, t_cached = assign_dense_ids(
-                    terms_agg, ["term"], "term_id", parts)
-                terms = terms.select("term", "term_id", "df", "cf")
-                # assign_dense_ids leaves terms range-partitioned and
-                # sorted by term (= term_id order); write directly
-                terms.write.mode("overwrite").parquet(terms_path)
-                t_cached.unpersist()
-                terms_agg.unpersist()
-            self._finish_stage(m, "terms", t0, terms_path, parts)
+                if t_cached is not None:
+                    t_cached.unpersist()
+            self._finish_stage(m, "terms", t0, terms_path,
+                               1 if single else parts)
         terms = self.spark.read.parquet(terms_path)
 
         # Stage 4: shuffle merge of mini-blocks per (term_id, bucket):

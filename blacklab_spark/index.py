@@ -54,6 +54,27 @@ class InvertedIndex:
         # entry is keyed on its file listing and refreshes when a
         # delete lands.
         self._df_cache: dict = {}
+        self._syn_values: frozenset | None = None
+
+    @property
+    def synonym_injected_values(self) -> frozenset:
+        """@i-folded set of word-layer values that exist ANYWHERE as
+        an injected synonym (BuildConfig.synonyms value union). Probe
+        paths (forward index = primary values only) are sound for any
+        term OUTSIDE this set — synonym keys included: injection adds
+        extra values AT the key's positions, never the key elsewhere.
+        Empty for non-synonym indexes."""
+        if self._syn_values is None:
+            syn = getattr(self.cfg, "synonyms", None) or {}
+            if syn:
+                from blacklab_spark.build import normalized_synonyms
+                vals: set = set()
+                for vs in normalized_synonyms(syn).values():
+                    vals.update(vs)
+                self._syn_values = frozenset(vals)
+            else:
+                self._syn_values = frozenset()
+        return self._syn_values
 
     # Lazy DataFrames over the artifacts -------------------------------
     @property

@@ -143,12 +143,16 @@ def term_hits_auto(index: InvertedIndex, term: str,
     if sensitivity != "i" or not index.cfg.store_positions:
         return term_hits(index, term, doc_filter, sensitivity)
     from blacklab_spark.tokenizer import py_fold_insensitive
-    info = index.lookup_terms([py_fold_insensitive(term)])
+    folded = py_fold_insensitive(term)
+    info = index.lookup_terms([folded])
     if (not info.empty and int(info["df"].sum()) * 4 >= index.n_docs
-            and not getattr(index.cfg, "synonyms", None)):
-        # hot-term probe shortcut — but NEVER with word-layer
-        # synonyms: the probe compares primary values only, while
-        # the postings carry the stacked alternatives
+            and folded not in index.synonym_injected_values):
+        # hot-term probe shortcut — sound unless the term exists
+        # somewhere ONLY as an injected synonym value (the probe
+        # compares primary values; postings carry the stacked
+        # alternatives). Synonym keys and uninvolved terms keep the
+        # fast path (r5 review: the blanket synonyms guard disabled
+        # it for every term on a synonym index).
         return term_hits(index, term, doc_filter, sensitivity)
     hits = term_hits_via_postings(index, py_fold_insensitive(term))
     if doc_filter is not None:

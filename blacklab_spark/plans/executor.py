@@ -169,12 +169,11 @@ def _seq_choice(index: InvertedIndex, clauses):
     if (factor > 0 and cf_anchor * factor < cf_others
             and df_anchor <= FISEQ_MAX_ANCHOR_DOCS
             # FiSeq verifies against the forward index, which stores
-            # the PRIMARY word value only — with synonym stacking
-            # (BuildConfig.synonyms) the postings are the sole layer
-            # carrying the injected values, so the planner pins the
-            # postings strategy (reference: NFA matching reads the
-            # forward index's primary values too)
-            and not getattr(index.cfg, "synonyms", None)):
+            # the PRIMARY word value only — pin postings when any
+            # clause could match through an injected synonym value
+            # (reference: NFA matching reads the forward index's
+            # primary values too)
+            and not _fiseq_synonym_unsafe(index, clauses)):
         return ("fiseq", a, stats)
     if all(isinstance(c, Q.Term) and c.layer == "word" for c in clauses):
         return ("phrase",)
@@ -276,6 +275,32 @@ def _guar(index: InvertedIndex, p: Q.Pattern) -> SpanGuarantees:
             or _or_annot_merge(p.clauses) is not None):
         return SpanGuarantees(g.len_min, g.len_max, True)
     return g
+
+
+def _fold_i(text: str) -> str:
+    from blacklab_spark.tokenizer import py_fold_insensitive
+    return py_fold_insensitive(text)
+
+
+def _fiseq_synonym_unsafe(index: InvertedIndex, clauses) -> bool:
+    """FiSeq verifies candidate sequences against the forward index's
+    PRIMARY word values, so it misses matches that exist only through
+    an injected synonym. Unsafe exactly when: some word-layer Term's
+    folded text is an injected value, or a word-layer non-Term leaf
+    (regex/fuzzy) could expand onto one (conservative). Synonym keys
+    and uninvolved terms keep the FiSeq fast path (r5 review)."""
+    inj = index.synonym_injected_values
+    if not inj:
+        return False
+    for c in clauses:
+        if getattr(c, "layer", None) != "word":
+            continue           # other layers are untouched by stacking
+        if isinstance(c, Q.Term):
+            if _fold_i(c.text) in inj:
+                return True
+        else:
+            return True        # word-layer regex/fuzzy: may expand to
+    return False               # an injected value — stay on postings
 
 
 def _is_hot_term(index: InvertedIndex, text: str) -> bool:
@@ -689,10 +714,12 @@ def _exec(index: InvertedIndex, p: Q.Pattern) -> DataFrame:
         elif (isinstance(p.filter, Q.Term) and p.filter.layer == "word"
               and index.cfg.store_positions
               # forward-index probe sees PRIMARY word values only —
-              # with synonym stacking (BuildConfig.synonyms) the
-              # postings are the sole layer carrying injected values,
-              # so the probe shortcut would silently miss them
-              and not getattr(index.cfg, "synonyms", None)
+              # unsound exactly when the filter term exists somewhere
+              # ONLY as an injected synonym value (synonym keys and
+              # uninvolved terms are safe: injection stacks values AT
+              # key positions, never the key elsewhere)
+              and _fold_i(p.filter.text)
+              not in index.synonym_injected_values
               and _is_hot_term(index, p.filter.text)):
             # HOT filter term (the collocations df-rule): probe the
             # token arrays of ONLY the producer's docs instead of

@@ -350,6 +350,46 @@ def test_synonym_hot_filter_term_uses_postings(spark, tiny_pdf,
     assert visa and filt == visa
 
 
+def test_synonym_guard_narrowed_to_injected_values(spark, tiny_pdf,
+                                                   tmp_path):
+    """r5 review: the probe/FiSeq synonym guards must disable fast
+    paths only for terms that exist as INJECTED VALUES — synonym keys
+    and uninvolved hot terms keep the probe (injection stacks values
+    AT key positions, never the key elsewhere), so results through
+    either path are identical."""
+    from blacklab_spark.engine import SearchEngine
+    from blacklab_spark.plans import query as Q
+    from blacklab_spark.plans.executor import (_fiseq_synonym_unsafe,
+                                               _is_hot_term)
+    out = str(tmp_path / "syng_idx")
+    df = spark.createDataFrame(tiny_pdf)
+    build_index(spark, df, out,
+                BuildConfig(block_size=8, bucket_size=16,
+                            num_partitions=2,
+                            synonyms={"visa": ["permit"]}))
+    eng = SearchEngine.open(spark, out)
+    idx = eng.index
+    assert idx.synonym_injected_values == frozenset({"permit"})
+    # value → unsafe; key and uninvolved terms → safe
+    assert _fiseq_synonym_unsafe(idx, [Q.Term("permit")])
+    assert not _fiseq_synonym_unsafe(idx, [Q.Term("visa"),
+                                           Q.Term("the")])
+    assert _fiseq_synonym_unsafe(idx, [Q.Regex("perm.*")])
+    # hot uninvolved filter term goes through the probe and agrees
+    # with the postings truth
+    assert _is_hot_term(idx, "the")
+    got = sorted((r["doc_id"], r["start"])
+                 for r in eng.find('"visa" containing "visa"').collect())
+    visa = sorted((r["doc_id"], r["start"])
+                  for r in eng.find('"visa"').collect())
+    assert got == visa and visa
+    # and the injected value still returns every stacked position
+    permit = sorted((r["doc_id"], r["start"])
+                    for r in eng.find(
+                        '"permit" containing "permit"').collect())
+    assert permit == visa
+
+
 def test_synonym_unfolded_keys_and_values_fold(spark, tiny_pdf,
                                                tmp_path):
     """Review fix: synonym keys/values are folded into the @i value

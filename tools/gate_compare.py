@@ -89,12 +89,17 @@ def _dtype_kind(series) -> str:
     if kind in ("M", "m"):
         return "M"
     if kind == "O":
-        # pandas nullable Int64 etc. arrive as extension dtypes with
-        # kind 'O' via str(dtype); sniff non-null values
+        # object columns may wrap uniform Python scalars (DuckDB
+        # fetchdf corner cases); sniff non-null values — bools BEFORE
+        # ints (bool is an int subclass) so an object-bool column
+        # compares equal to a native bool one
         vals = series.dropna()
-        if len(vals) and all(isinstance(v, (int, np.integer))
-                             and not isinstance(v, bool)
-                             for v in vals.head(50)):
+        head = list(vals.head(50))
+        if head and all(isinstance(v, (bool, np.bool_)) for v in head):
+            return "b"
+        if head and all(isinstance(v, (int, np.integer))
+                        and not isinstance(v, (bool, np.bool_))
+                        for v in head):
             return "i"
         return "O"
     return kind
