@@ -281,6 +281,62 @@ def test_synonym_target_collides_with_real_token(spark, tiny_pdf,
     assert len(set(got)) == len(got)
 
 
+def test_terms_single_partition_matches_distributed(spark, tiny_pdf,
+                                                    tmp_path):
+    """r5 terms fast path: the bounded single-task dictionary sort
+    must produce EXACTLY the distributed dense-id scheme's output
+    (term, term_id, df, cf) — the id assignment contract both the
+    postings join and every dictionary lookup depend on."""
+    df = spark.createDataFrame(tiny_pdf)
+    cfg_kw = dict(block_size=8, bucket_size=16, num_partitions=2)
+    build_index(spark, df, str(tmp_path / "single"),
+                BuildConfig(**cfg_kw))
+    build_index(spark, df, str(tmp_path / "dist"),
+                BuildConfig(**cfg_kw, terms_single_partition_max=0))
+    a = spark.read.parquet(str(tmp_path / "single" / "terms")) \
+        .toPandas().sort_values("term_id").reset_index(drop=True)
+    b = spark.read.parquet(str(tmp_path / "dist" / "terms")) \
+        .toPandas().sort_values("term_id").reset_index(drop=True)
+    cols = ["term", "term_id", "df", "cf"]
+    assert a[cols].equals(b[cols]) and len(a) > 0
+    assert (a["term_id"].values == range(len(a))).all()
+    # and the postings artifacts agree too (ids feed the merge join)
+    pa_ = spark.read.parquet(str(tmp_path / "single" / "postings")) \
+        .toPandas().sort_values(["term_id", "bucket", "block_id"]) \
+        .reset_index(drop=True)
+    pb_ = spark.read.parquet(str(tmp_path / "dist" / "postings")) \
+        .toPandas().sort_values(["term_id", "bucket", "block_id"]) \
+        .reset_index(drop=True)
+    assert pa_.equals(pb_)
+
+
+def test_spimi_kernel_int64_doc_range_fallback():
+    """r5 int32 kernel keys: a batch whose doc-id RANGE exceeds 2^31
+    must take the int64 path and still produce correct groups (the
+    build's dense ids never hit this; direct kernel feed does)."""
+    import pyarrow as pa
+    from blacklab_spark.arrow_kernels import spimi_arrow_rows
+    from blacklab_spark import codec
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([0, 2**40], type=pa.int64()),
+         pa.array([["a", "b"], ["b", "a"]],
+                  type=pa.list_(pa.string()))],
+        names=["doc_id", "tokens"])
+    rows = list(spimi_arrow_rows([batch]))
+    assert len(rows) == 1
+    out = rows[0].to_pydict()
+    got = sorted(zip(out["term"], out["doc_id"], out["tf"]))
+    assert got == [("a", 0, 1), ("a", 2**40, 1),
+                   ("b", 0, 1), ("b", 2**40, 1)]
+    # positions stream decodes back to the original indices
+    by_key = {(t, d): p for t, d, p in
+              zip(out["term"], out["doc_id"], out["positions"])}
+    dec = codec.decode_varints(by_key[("a", 0)])
+    assert list(dec) == [1, 0]           # tf=1, first_abs=0
+    dec = codec.decode_varints(by_key[("b", 2**40)])
+    assert list(dec) == [1, 0]           # 'b' is token 0 of doc 2^40
+
+
 def test_preprocess_plugin_tagger(spark, tiny_pdf, tmp_path):
     """Convert-and-tag plugin hook (reference ConvertPlugin/TagPlugin/
     DocIndexerConvertAndTag, r4 VERDICT #7): a registered transform
