@@ -1141,6 +1141,8 @@ _GATE_PRIORITY = [
     "sequence_chunk_documents",
     "sequence_shard_corpus",
     "multimodal_byte_features",
+    "multimodal_decode_image",
+    "multimodal_decode_audio",
 ]
 
 

@@ -161,6 +161,24 @@ def pipeline_queries() -> dict:
         docs = _docs(spark, sf_dir)
         return M.byte_features(M.media_from_documents(docs))
 
+    def mm_decode_image(spark, sf_dir):
+        """REAL image decode (round 5): deterministic P6 PPM payloads
+        synthesized from (doc_id, len(text)) are parsed by the pure-
+        numpy decoder; the oracle states width/height/mean from the
+        synthesis formula without any decoder — matching proves the
+        format bytes round-trip."""
+        docs = _docs(spark, sf_dir)
+        media = M.synth_media_from_documents(docs, "image")
+        return M.decode_images(media)
+
+    def mm_decode_audio(spark, sf_dir):
+        """REAL WAV decode (round 5): RIFF/PCM payloads synthesized
+        from (doc_id, len(text)); the numpy chunk-walker recovers
+        sample_rate / n_samples / duration / peak."""
+        docs = _docs(spark, sf_dir)
+        media = M.synth_media_from_documents(docs, "audio")
+        return M.decode_audio(media)
+
     def decontaminate(spark, sf_dir):
         """Benchmark = every DECON_MOD-th doc (stands in for an eval
         set; the corpus's planted near-dups of those docs surface as
@@ -254,6 +272,8 @@ def pipeline_queries() -> dict:
         "text_fingerprint": fp,
         "text_repetition_ratio": repetition_ratio,
         "multimodal_byte_features": mm_features,
+        "multimodal_decode_image": mm_decode_image,
+        "multimodal_decode_audio": mm_decode_audio,
         "curation_decontaminate": decontaminate,
         "curation_redact_pii": redact_pii,
         "curation_stratified_sample": stratified_sample,
@@ -482,6 +502,28 @@ SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS n_bytes,
        md5(text) AS digest,
        CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1))
                  ELSE NULL END AS INT) AS head_byte
+FROM documents
+""",
+        # decode gates: the oracle re-derives the decoded metadata
+        # straight from the synthesis formulas (multimodal.synth_*) —
+        # no decoder on the oracle side, so a hash match proves the
+        # engine's byte-level parse recovers exactly the planted
+        # values. NOTE: length(text) (characters) on both sides.
+        "multimodal_decode_image": """
+SELECT doc_id AS media_id,
+       CAST((length(text) % 13) + 2 AS INT) AS width,
+       CAST((doc_id % 5) + 2 AS INT) AS height,
+       'RGB' AS mode,
+       CAST(doc_id % 251 AS INT) AS mean_byte
+FROM documents
+""",
+        "multimodal_decode_audio": """
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+       CAST(160 + (length(text) % 40) * 4 AS INT) AS n_samples,
+       CAST((160 + (length(text) % 40) * 4) * 1000
+            // (8000 + (doc_id % 3) * 4000) AS INT) AS duration_ms,
+       CAST((doc_id % 1000) + 1 AS INT) AS peak
 FROM documents
 """,
         "text_repetition_ratio": f"""

@@ -5,19 +5,24 @@ columns (or object-store URIs) beside typed metadata structs; decode /
 resize / frame-sample run as Arrow-batched kernels over
 ``mapInPandas`` so bytes never round-trip through Python row objects.
 
-The decode step itself is STUBBED here (PIL/ffmpeg are not in this
-container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless the optional lib imports — but the
-Spark-side contract (schemas, batching, kernel signatures, feature
-extraction over raw bytes) is real and tested. ``byte_features`` is
-the oracle-checkable representative: metadata computed from payload
-bytes inside the kernel, verified by DuckDB against the same bytes.
+Decode support (round 5): UNCOMPRESSED container formats are decoded
+for real with numpy alone — PPM/PGM (P6/P5 binary), BMP (24-bit
+BI_RGB, bottom-up rows with 4-byte padding) and WAV (RIFF PCM 8/16
+bit) — so `decode_images`/`decode_audio` genuinely parse bytes into
+pixel/sample arrays in this container. Compressed codecs (JPEG/PNG/
+MP3/video) still require PIL/ffmpeg and raise ``NotImplementedError``
+when absent — that boundary is explicit, not silently faked.
+``byte_features`` remains the bytes-level oracle-checkable
+representative; the decode gates ride deterministic synthesized
+PPM/WAV payloads whose metadata a SQL oracle derives independently.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -83,24 +88,134 @@ def _try_import(name: str):
         return None
 
 
-def decode_image_kernel(batches):
-    """mapInPandas kernel: payload → (media_id, width, height, mode).
+# -- pure-numpy decoders for uncompressed containers -----------------
 
-    Real decode requires PIL; in this container it raises — the
-    plumbing (signature, schema, batch shape) is the tested contract.
-    """
+def decode_ppm_bytes(buf: bytes) -> tuple[np.ndarray, str]:
+    """P6 (RGB) / P5 (gray) binary PPM/PGM → (array, mode).
+
+    Header = ASCII tokens (magic, width, height, maxval) separated by
+    whitespace, ``#`` comments allowed, ONE whitespace byte before the
+    raster. maxval ≤ 255 supported (1 byte/sample)."""
+    if buf[:2] not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM: magic {buf[:2]!r}")
+    toks, i, n = [], 2, len(buf)
+    while len(toks) < 3:
+        while i < n and buf[i:i + 1].isspace():
+            i += 1
+        if buf[i:i + 1] == b"#":
+            while i < n and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not buf[j:j + 1].isspace():
+            j += 1
+        toks.append(int(buf[i:j]))
+        i = j
+    i += 1                       # exactly one whitespace before raster
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    ch = 3 if buf[:2] == b"P6" else 1
+    arr = np.frombuffer(buf, dtype=np.uint8,
+                        count=w * h * ch, offset=i)
+    if ch == 3:
+        return arr.reshape(h, w, 3), "RGB"
+    return arr.reshape(h, w), "L"
+
+
+def decode_bmp_bytes(buf: bytes) -> tuple[np.ndarray, str]:
+    """24-bit uncompressed (BI_RGB) BMP → ((h, w, 3) RGB array, 'RGB').
+
+    Parses the 14-byte file header + BITMAPINFOHEADER; rows are
+    bottom-up and padded to 4 bytes; pixels are BGR on disk."""
+    if buf[:2] != b"BM":
+        raise ValueError(f"not a BMP: magic {buf[:2]!r}")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP decoded without PIL "
+            f"(got bpp={bpp}, compression={compression})")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, :w * 3].reshape(h, w, 3)
+    if flipped:
+        px = px[::-1]
+    return px[..., ::-1].copy(), "RGB"      # BGR → RGB
+
+
+def decode_wav_bytes(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM (8-bit unsigned / 16-bit signed) →
+    (samples int array [n, channels] squeezed to 1-D when mono,
+    sample_rate). Walks the chunk list; fmt must be PCM (tag 1)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, n = 12, len(buf)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = buf[i:i + 4]
+        sz = struct.unpack_from("<I", buf, i + 4)[0]
+        body = buf[i + 8:i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)   # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = fmt
+    if tag != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM 8/16-bit WAV decoded without ffmpeg "
+            f"(got tag={tag}, bits={bits})")
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2",
+                          count=len(data) // 2).astype(np.int32)
+    else:
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    if channels > 1:
+        s = s[: (s.size // channels) * channels] \
+            .reshape(-1, channels)
+    return s, rate
+
+
+def decode_payload_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """Sniff + decode an image payload: PPM/PGM/BMP via numpy; any
+    other format through PIL when available, else an explicit
+    NotImplementedError (the honest compressed-codec boundary)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm_bytes(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp_bytes(payload)
     PIL = _try_import("PIL.Image")
     if PIL is None:
         raise NotImplementedError(
-            "image decode requires Pillow (not in container); "
-            "plumbing is exercised via byte_features instead")
-    import io
-    for pdf in batches:  # pragma: no cover - needs PIL
+            f"compressed image format (magic {payload[:4]!r}) needs "
+            "Pillow, which is not in this container")
+    import io  # pragma: no cover - needs PIL
+    img = PIL.Image.open(io.BytesIO(payload))
+    return np.asarray(img), img.mode
+
+
+def decode_image_kernel(batches):
+    """mapInPandas kernel: payload → (media_id, width, height, mode,
+    mean_byte) — real decode for PPM/PGM/BMP (numpy), PIL fallback
+    for compressed formats."""
+    for pdf in batches:
         rows = []
         for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-            img = PIL.open(io.BytesIO(payload))
-            rows.append({"media_id": mid, "width": img.width,
-                         "height": img.height, "mode": img.mode})
+            arr, mode = decode_payload_image(bytes(payload))
+            h, w = arr.shape[0], arr.shape[1]
+            rows.append({"media_id": mid, "width": w, "height": h,
+                         "mode": mode,
+                         "mean_byte": int(arr.mean()) if arr.size
+                         else None})
         yield pd.DataFrame(rows)
 
 
@@ -109,14 +224,111 @@ DECODED_IMAGE_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType(), False),
     T.StructField("height", T.IntegerType(), False),
     T.StructField("mode", T.StringType(), False),
+    T.StructField("mean_byte", T.IntegerType(), True),
 ])
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """Decode image payloads (stubbed; raises at execution without PIL)."""
+    """Decode image payloads (real for PPM/PGM/BMP; PIL-gated
+    otherwise)."""
     return (media.filter(F.col("kind") == "image")
             .select("media_id", "payload")
             .mapInPandas(decode_image_kernel, DECODED_IMAGE_SCHEMA))
+
+
+DECODED_AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), False),
+    T.StructField("n_samples", T.IntegerType(), False),
+    T.StructField("duration_ms", T.IntegerType(), False),
+    T.StructField("peak", T.IntegerType(), False),
+])
+
+
+def decode_audio_kernel(batches):
+    """mapInPandas kernel: WAV payload → (media_id, sample_rate,
+    n_samples, duration_ms, peak) via the pure-numpy RIFF parser."""
+    for pdf in batches:
+        rows = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            s, rate = decode_wav_bytes(bytes(payload))
+            n = int(s.shape[0])
+            rows.append({
+                "media_id": mid, "sample_rate": rate, "n_samples": n,
+                "duration_ms": n * 1000 // rate,
+                "peak": int(np.abs(s).max()) if n else 0})
+        yield pd.DataFrame(rows)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Decode PCM WAV payloads (real numpy RIFF parse)."""
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(decode_audio_kernel, DECODED_AUDIO_SCHEMA))
+
+
+def resize_image_nearest(arr: np.ndarray, out_w: int,
+                         out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize by index mapping — the decode-side
+    transform of the reference pipeline, pure numpy."""
+    h, w = arr.shape[0], arr.shape[1]
+    yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return arr[yi][:, xi]
+
+
+# -- deterministic synthesized payloads (gate fixtures) --------------
+# Payload CONTENT is a pure function of (doc_id, text length), so a
+# SQL oracle can state the decoded metadata without any decoder —
+# what the decode gates check is that parsing real format bytes
+# recovers exactly those numbers.
+
+def synth_ppm_bytes(doc_id: int, text_len: int) -> bytes:
+    w = (text_len % 13) + 2
+    h = (doc_id % 5) + 2
+    g = doc_id % 251
+    return (b"P6\n%d %d\n255\n" % (w, h)
+            + bytes([g]) * (w * h * 3))
+
+
+def synth_wav_bytes(doc_id: int, text_len: int) -> bytes:
+    rate = 8000 + (doc_id % 3) * 4000
+    n = 160 + (text_len % 40) * 4
+    amp = (doc_id % 1000) + 1
+    data = struct.pack("<h", amp) * n
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                   rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", 2 * n))
+    return hdr + data
+
+
+def _synth_media_kernel(kind: str):
+    synth = synth_ppm_bytes if kind == "image" else synth_wav_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": [synth(int(m), int(n)) for m, n in
+                            zip(pdf["media_id"], pdf["text_len"])]})
+    return gen
+
+
+SYNTH_MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+])
+
+
+def synth_media_from_documents(docs: DataFrame, kind: str) -> DataFrame:
+    """documents → deterministic real-format media payloads (P6 PPM
+    for 'image', PCM WAV for 'audio') keyed on (doc_id, len(text))."""
+    src = docs.select(F.col("doc_id").alias("media_id"),
+                      F.length("text").alias("text_len"))
+    return (src.mapInPandas(_synth_media_kernel(kind),
+                            SYNTH_MEDIA_SCHEMA)
+            .withColumn("kind", F.lit(kind)))
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

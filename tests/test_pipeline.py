@@ -97,11 +97,100 @@ def test_multimodal_features_roundtrip(spark, docs):
         assert f["digest"] == hashlib.md5(row["text"].encode()).hexdigest()
 
 
-def test_multimodal_decode_stub_raises(spark, docs):
-    media = M.media_from_documents(docs.limit(2))
+def test_multimodal_compressed_decode_raises(spark, docs):
+    """Compressed codecs stay an HONEST boundary: a payload that is
+    neither PPM/PGM nor BMP needs PIL, absent here."""
+    media = M.media_from_documents(docs.limit(2))   # utf-8 text bytes
     with pytest.raises(Exception) as ei:
         M.decode_images(media).collect()
     assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+def _encode_ppm(arr):
+    h, w = arr.shape[:2]
+    return b"P6\n# c\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _encode_pgm(arr):
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _encode_bmp24(arr, flipped=True):
+    """Reference 24-bit BI_RGB encoder (bottom-up rows, 4-byte
+    padding, BGR pixel order) — written independently of the decoder."""
+    import struct
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    rows = range(h - 1, -1, -1) if flipped else range(h)
+    for y in rows:
+        row = arr[y, :, ::-1].tobytes()      # RGB → BGR
+        raster += row + b"\x00" * (stride - len(row))
+    data_off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0,
+                               data_off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h if flipped else -h,
+                         1, 24, 0, len(raster), 2835, 2835, 0, 0))
+    return bytes(hdr) + bytes(raster)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_multimodal_numpy_decoders_roundtrip(seed):
+    rng = np.random.default_rng(900 + seed)
+    h, w = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    a, mode = M.decode_ppm_bytes(_encode_ppm(rgb))
+    assert mode == "RGB" and np.array_equal(a, rgb)
+    a, mode = M.decode_ppm_bytes(_encode_pgm(gray))
+    assert mode == "L" and np.array_equal(a, gray)
+    for flipped in (True, False):
+        a, mode = M.decode_bmp_bytes(_encode_bmp24(rgb, flipped))
+        assert mode == "RGB" and np.array_equal(a, rgb), \
+            f"bmp flipped={flipped}"
+    # WAV: random int16 samples round-trip with rate
+    n = int(rng.integers(1, 500))
+    samples = rng.integers(-32768, 32768, n, dtype=np.int16)
+    buf = M.synth_wav_bytes(0, 0)          # header template sanity
+    assert M.decode_wav_bytes(buf)[1] == 8000
+    import struct
+    rate = int(rng.integers(4000, 48000))
+    wav = (b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                   rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", 2 * n) + samples.tobytes())
+    s, r = M.decode_wav_bytes(wav)
+    assert r == rate and np.array_equal(s, samples.astype(np.int32))
+
+
+def test_multimodal_resize_nearest():
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    out = M.resize_image_nearest(arr, 3, 4)
+    assert out.shape == (4, 3, 3)
+    # spot-check the index mapping
+    assert np.array_equal(out[0, 0], arr[0, 0])
+    assert np.array_equal(out[3, 2], arr[3 * 8 // 4, 2 * 6 // 3])
+
+
+def test_multimodal_decode_gates_match_formulas(spark, docs):
+    sub = docs.limit(12)
+    img = {r["media_id"]: r for r in M.decode_images(
+        M.synth_media_from_documents(sub, "image")).collect()}
+    aud = {r["media_id"]: r for r in M.decode_audio(
+        M.synth_media_from_documents(sub, "audio")).collect()}
+    for row in sub.collect():
+        did, tl = row["doc_id"], len(row["text"])
+        i = img[did]
+        assert (i["width"], i["height"], i["mode"], i["mean_byte"]) \
+            == ((tl % 13) + 2, (did % 5) + 2, "RGB", did % 251)
+        a = aud[did]
+        rate = 8000 + (did % 3) * 4000
+        n = 160 + (tl % 40) * 4
+        assert (a["sample_rate"], a["n_samples"], a["duration_ms"],
+                a["peak"]) == (rate, n, n * 1000 // rate,
+                               (did % 1000) + 1)
 
 
 def test_frame_sample_plan(spark):
