@@ -1143,6 +1143,7 @@ _GATE_PRIORITY = [
     "multimodal_byte_features",
     "multimodal_decode_image",
     "multimodal_decode_audio",
+    "multimodal_audio_frames",
 ]
 
 

@@ -179,6 +179,14 @@ def pipeline_queries() -> dict:
         media = M.synth_media_from_documents(docs, "audio")
         return M.decode_audio(media)
 
+    def mm_audio_frames(spark, sf_dir):
+        """Frame-level features over decoded samples (20 ms windows):
+        fan-out + per-frame peak; oracle derives frame count and
+        tail-frame length from the synthesis formulas."""
+        docs = _docs(spark, sf_dir)
+        media = M.synth_media_from_documents(docs, "audio")
+        return M.audio_frame_features(media, frame_ms=20)
+
     def decontaminate(spark, sf_dir):
         """Benchmark = every DECON_MOD-th doc (stands in for an eval
         set; the corpus's planted near-dups of those docs surface as
@@ -274,6 +282,7 @@ def pipeline_queries() -> dict:
         "multimodal_byte_features": mm_features,
         "multimodal_decode_image": mm_decode_image,
         "multimodal_decode_audio": mm_decode_audio,
+        "multimodal_audio_frames": mm_audio_frames,
         "curation_decontaminate": decontaminate,
         "curation_redact_pii": redact_pii,
         "curation_stratified_sample": stratified_sample,
@@ -525,6 +534,23 @@ SELECT doc_id AS media_id,
             // (8000 + (doc_id % 3) * 4000) AS INT) AS duration_ms,
        CAST((doc_id % 1000) + 1 AS INT) AS peak
 FROM documents
+""",
+        # 20ms frames: flen = rate // 50 samples; nf = ceil(n/flen);
+        # constant-amp synth → every frame's peak = amp
+        "multimodal_audio_frames": """
+WITH p AS (SELECT doc_id AS media_id,
+                  (8000 + (doc_id % 3) * 4000) // 50 AS flen,
+                  160 + (length(text) % 40) * 4 AS n,
+                  (doc_id % 1000) + 1 AS amp
+           FROM documents),
+f AS (SELECT media_id, flen, n, amp,
+             unnest(generate_series(0, (n + flen - 1) // flen - 1))
+                 AS i
+      FROM p)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(least(flen, n - i * flen) AS INT) AS n_in_frame,
+       CAST(amp AS INT) AS peak
+FROM f
 """,
         "text_repetition_ratio": f"""
 WITH {_TOKS},

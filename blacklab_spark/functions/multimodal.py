@@ -267,6 +267,48 @@ def decode_audio(media: DataFrame) -> DataFrame:
             .mapInPandas(decode_audio_kernel, DECODED_AUDIO_SCHEMA))
 
 
+AUDIO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("n_in_frame", T.IntegerType(), False),
+    T.StructField("peak", T.IntegerType(), False),
+])
+
+
+def audio_frame_features(media: DataFrame,
+                         frame_ms: int = 20) -> DataFrame:
+    """Frame-level features over DECODED samples — the audio analog
+    of video frame-sampling: split each clip into ``frame_ms``
+    windows (frame length = rate·ms/1000 samples) and emit per-frame
+    peak amplitude. One vectorized reduceat per clip, rows fan out
+    per frame inside the Arrow batch — no per-frame Python loop."""
+    def gen(batches):
+        for pdf in batches:
+            mids, idxs, nin, peaks = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav_bytes(bytes(payload))
+                if s.ndim > 1:
+                    s = np.abs(s).max(axis=1)
+                flen = max(1, rate * frame_ms // 1000)
+                n = s.shape[0]
+                nf = -(-n // flen)
+                starts = np.arange(nf) * flen
+                fpeak = np.maximum.reduceat(np.abs(s), starts) \
+                    if n else np.empty(0, np.int64)
+                mids += [mid] * nf
+                idxs += list(range(nf))
+                nin += list(np.minimum(flen, n - starts))
+                peaks += [int(p) for p in fpeak]
+            yield pd.DataFrame({
+                "media_id": pd.Series(mids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "n_in_frame": pd.Series(nin, dtype="int32"),
+                "peak": pd.Series(peaks, dtype="int32")})
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(gen, AUDIO_FRAME_SCHEMA))
+
+
 def resize_image_nearest(arr: np.ndarray, out_w: int,
                          out_h: int) -> np.ndarray:
     """Nearest-neighbor resize by index mapping — the decode-side

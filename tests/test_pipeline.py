@@ -174,6 +174,37 @@ def test_multimodal_resize_nearest():
     assert np.array_equal(out[3, 2], arr[3 * 8 // 4, 2 * 6 // 3])
 
 
+def test_multimodal_audio_frames_random_samples(spark):
+    """Frame features over NON-constant samples (the gate's synth is
+    constant-amp): random int16 clips vs a pure-python reference."""
+    import struct
+    rng = np.random.default_rng(31)
+    rows, expect = [], {}
+    for mid in range(6):
+        rate = int(rng.choice([8000, 16000]))
+        n = int(rng.integers(1, 700))
+        samples = rng.integers(-32768, 32768, n, dtype=np.int16)
+        wav = (b"RIFF" + struct.pack("<I", 36 + 2 * n) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                       rate * 2, 2, 16)
+               + b"data" + struct.pack("<I", 2 * n)
+               + samples.tobytes())
+        rows.append((mid, bytes(wav), "audio"))
+        flen = rate * 20 // 1000
+        expect[mid] = [
+            (i, min(flen, n - i * flen),
+             int(max(abs(int(s)) for s in
+                     samples[i * flen:(i + 1) * flen])))
+            for i in range((n + flen - 1) // flen)]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, kind string")
+    got: dict = {}
+    for r in M.audio_frame_features(media, frame_ms=20).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["frame_idx"], r["n_in_frame"], r["peak"]))
+    assert {k: sorted(v) for k, v in got.items()} == expect
+
+
 def test_multimodal_decode_gates_match_formulas(spark, docs):
     sub = docs.limit(12)
     img = {r["media_id"]: r for r in M.decode_images(
